@@ -1,0 +1,168 @@
+"""Model configuration.
+
+TPU-native equivalent of the reference's `Config` struct (reference:
+src/model.h:41-68, parsed at src/model.cpp:17-75). The config travels as
+stringly-typed metadata inside the `.yalm` checkpoint (written by the
+converter, cf. reference convert.py:58-81) and is normalized here into a
+typed, hashable dataclass so it can be closed over by jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Mapping
+
+# Number of StreamingLLM attention-sink slots kept at the front of the KV ring
+# buffer once generation passes the context window (reference: src/model.h:12).
+KV_SINKS = 2
+
+# The reference clamps max_seq_len to 4096 to avoid KV-cache OOM for models
+# whose config advertises a huge max_position_embeddings (src/model.cpp:31-36).
+MAX_SEQ_LEN_CLAMP = 4096
+
+SUPPORTED_DTYPES = ("fp32", "fp16", "bf16", "fp8")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Typed model configuration (reference: src/model.h:41-68)."""
+
+    dim: int                      # transformer residual width
+    hidden_dim: int               # FFN hidden width
+    head_dim: int                 # per-head width
+    n_layers: int
+    n_heads: int                  # query heads
+    n_kv_heads: int               # KV heads (GQA when < n_heads)
+    vocab_size: int
+    max_seq_len: int              # KV ring-buffer window length
+    bos_token_id: int
+    eos_token_id: int
+    rope_theta: float = 10000.0
+    rotary_dim: int = 0           # dims per head that get rotated (rest pass through)
+    norm_eps: float = 1e-5
+    norm_type: str = "rmsnorm"
+    act_type: str = "silu"        # "silu" | "gelu"
+    qkv_clip: float = math.inf    # clip q/k/v to [-clip, clip] post-projection
+    n_experts: int = 0            # MoE expert count (0 = dense)
+    n_experts_active: int = 0     # top-k active experts
+    weight_dtype: str = "fp16"    # "fp32" | "fp16" | "bf16" | "fp8"
+    tie_word_embeddings: bool = False
+
+    def __post_init__(self):
+        if self.rotary_dim == 0:
+            object.__setattr__(self, "rotary_dim", self.head_dim)
+        if self.weight_dtype not in SUPPORTED_DTYPES:
+            raise ValueError(f"unsupported weight dtype {self.weight_dtype!r}")
+        if self.act_type not in ("silu", "gelu"):
+            raise ValueError(f"unsupported act_type {self.act_type!r}")
+        if self.norm_type != "rmsnorm":
+            raise ValueError(f"unsupported norm_type {self.norm_type!r}")
+        if self.n_heads % max(self.n_kv_heads, 1) != 0:
+            raise ValueError("n_heads must be a multiple of n_kv_heads")
+
+    # -- derived sizes -----------------------------------------------------
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @property
+    def is_moe(self) -> bool:
+        return self.n_experts > 0
+
+    # -- codec interop -----------------------------------------------------
+    @classmethod
+    def from_metadata(cls, md: Mapping[str, str], context: int = 0) -> "ModelConfig":
+        """Build from `.yalm` metadata strings (reference: src/model.cpp:17-75).
+
+        If `context` is nonzero, the sliding window is limited to it; otherwise
+        max_seq_len is clamped to MAX_SEQ_LEN_CLAMP like the reference.
+        """
+        max_seq_len = min(int(md["max_seq_len"]), MAX_SEQ_LEN_CLAMP)
+        if context:
+            max_seq_len = context
+        return cls(
+            dim=int(md["dim"]),
+            hidden_dim=int(md["hidden_dim"]),
+            head_dim=int(md["head_dim"]),
+            n_layers=int(md["n_layers"]),
+            n_heads=int(md["n_heads"]),
+            n_kv_heads=int(md["n_kv_heads"]),
+            vocab_size=int(md["vocab_size"]),
+            max_seq_len=max_seq_len,
+            bos_token_id=int(md["bos_token_id"]),
+            eos_token_id=int(md["eos_token_id"]),
+            rope_theta=float(md["rope_theta"]),
+            rotary_dim=int(md["rotary_dim"]),
+            norm_eps=float(md.get("norm_eps", "1e-5")),
+            norm_type=md.get("norm_type", "rmsnorm"),
+            act_type=md.get("act_type", "gelu"),
+            qkv_clip=float(md["qkv_clip"]) if "qkv_clip" in md else math.inf,
+            n_experts=int(md.get("n_experts", "0")),
+            n_experts_active=int(md.get("n_experts_active", "0")),
+            weight_dtype=md["dtype"],
+            tie_word_embeddings=md.get("tie_word_embeddings", "0") in ("1", "true", "True"),
+        )
+
+    def to_metadata(self) -> dict[str, str]:
+        md = {
+            "dtype": self.weight_dtype,
+            "dim": str(self.dim),
+            "hidden_dim": str(self.hidden_dim),
+            "head_dim": str(self.head_dim),
+            "n_layers": str(self.n_layers),
+            "n_heads": str(self.n_heads),
+            "n_kv_heads": str(self.n_kv_heads),
+            "vocab_size": str(self.vocab_size),
+            "max_seq_len": str(self.max_seq_len),
+            "bos_token_id": str(self.bos_token_id),
+            "eos_token_id": str(self.eos_token_id),
+            "rope_theta": str(self.rope_theta),
+            "rotary_dim": str(self.rotary_dim),
+            "norm_eps": str(self.norm_eps),
+            "norm_type": self.norm_type,
+            "act_type": self.act_type,
+        }
+        if math.isfinite(self.qkv_clip):
+            md["qkv_clip"] = str(self.qkv_clip)
+        if self.n_experts:
+            md["n_experts"] = str(self.n_experts)
+            md["n_experts_active"] = str(self.n_experts_active)
+        if self.tie_word_embeddings:
+            md["tie_word_embeddings"] = "1"
+        return md
+
+    # -- analytic bandwidth model -----------------------------------------
+    def weight_byte_size(self) -> int:
+        return {"fp32": 4, "fp16": 2, "bf16": 2, "fp8": 1}[self.weight_dtype]
+
+    def active_bytes(self, pos: int, kv_bytes: int = 2) -> int:
+        """Bytes a single decode step must touch at position `pos`.
+
+        Mirrors the analytic roofline model of reference src/model.cpp:77-102:
+        every weight byte once, plus the live KV entries. The CLI derives its
+        GB/s stat from this.
+        """
+        ws = self.weight_byte_size()
+        per_block = 0
+        per_block += 2 * self.dim * 4                      # the two f32 norms
+        per_block += self.q_dim * self.dim * ws            # wq
+        per_block += 2 * self.kv_dim * self.dim * ws       # wk, wv
+        per_block += self.q_dim * self.dim * ws            # wo
+        if self.n_experts > 0:
+            per_block += self.n_experts * self.dim * ws
+            per_block += self.n_experts_active * 3 * self.dim * self.hidden_dim * ws
+        else:
+            per_block += 3 * self.dim * self.hidden_dim * ws
+        kv_len = min(self.max_seq_len, pos + 1)
+        per_block += 2 * kv_len * self.kv_dim * kv_bytes   # K and V cache reads
+
+        total = self.dim * ws                              # one embedding row
+        total += self.n_layers * per_block
+        total += self.dim * 4                              # final norm
+        total += self.vocab_size * self.dim * ws           # LM head
+        return total

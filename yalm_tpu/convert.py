@@ -1,0 +1,250 @@
+"""HF checkpoint -> `.yalm` converter (reference: convert.py).
+
+Normalizes a HuggingFace model directory (config.json + tokenizer.json +
+*.safetensors shards) into the single-file `.yalm` format read by the runtime:
+
+- normalizes the config into flat string metadata (reference convert.py:22-81)
+- merges safetensors shards
+- un-permutes HF's Q/K projection layout back to interleaved-pair RoPE order
+  (reference convert.py:145-158)
+- keeps all norm weights in fp32, casts everything else to the target dtype
+  (fp32 / fp16 / bf16 / fp8-e5m2)
+- stacks Mixtral per-expert FFN weights into (n_experts, ...) tensors
+  (reference convert.py:188-193)
+- packs the token vocabulary into a single NUL-delimited U8 tensor
+  "tokenizer.tokens" (reference convert.py:243-245)
+
+Implemented with numpy + ml_dtypes only (no torch): HF shards are plain
+safetensors files our codec can read directly, and numpy casting is
+round-to-nearest-even like torch's.
+
+Usage: python -m yalm_tpu.convert --dtype {fp32,fp16,bf16,fp8} out.yalm <hf_dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from .codec.format import DTYPE_STR_TO_TAG, np_dtype_for, read_yalm, write_yalm
+
+SUPPORTED_ARCHITECTURES = [
+    "LlamaForCausalLM",
+    "MistralForCausalLM",
+    "MixtralForCausalLM",
+    "Qwen2ForCausalLM",
+]
+
+
+def normalize_config(config: dict, dtype: str) -> dict[str, str]:
+    """Flatten an HF config.json into `.yalm` metadata strings."""
+    arch = config["architectures"][0]
+    if arch not in SUPPORTED_ARCHITECTURES:
+        raise ValueError(f"architecture {arch} not supported; must be one of {SUPPORTED_ARCHITECTURES}")
+    if dtype not in DTYPE_STR_TO_TAG:
+        raise ValueError(f"dtype {dtype} not supported; must be one of {list(DTYPE_STR_TO_TAG)}")
+
+    head_dim = config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"]
+    if config.get("hidden_act") not in ("gelu", "silu"):
+        raise ValueError(f"unsupported hidden_act {config.get('hidden_act')}")
+    if config.get("attention_bias", False) or config.get("mlp_bias", False):
+        raise ValueError("attention/mlp bias not supported")
+
+    def eos_id(v):
+        # Some configs carry a list of EOS ids; keep the first like HF does.
+        return v[0] if isinstance(v, list) else v
+
+    md = {
+        "arch": arch,
+        "dtype": dtype,
+        "dim": str(config["hidden_size"]),
+        "hidden_dim": str(config["intermediate_size"]),
+        "head_dim": str(head_dim),
+        "n_layers": str(config["num_hidden_layers"]),
+        "n_heads": str(config["num_attention_heads"]),
+        "n_kv_heads": str(config.get("num_key_value_heads", config["num_attention_heads"])),
+        "vocab_size": str(config["vocab_size"]),
+        "max_seq_len": str(config["max_position_embeddings"]),
+        "bos_token_id": str(config["bos_token_id"]),
+        "eos_token_id": str(eos_id(config["eos_token_id"])),
+        "rope_theta": str(config.get("rope_theta", 10000.0)),
+        "rotary_dim": str(int(head_dim * config.get("partial_rotary_factor", 1))),
+        "norm_eps": str(config["rms_norm_eps"]),
+        "norm_type": "rmsnorm",
+        "act_type": config["hidden_act"],
+    }
+    if arch == "MixtralForCausalLM":
+        md["n_experts"] = str(config["num_local_experts"])
+        md["n_experts_active"] = str(config["num_experts_per_tok"])
+    return md
+
+
+def gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte<->unicode table used by HF ByteLevel tokenizers.
+
+    (Same table the reference reproduces at convert.py:86-96; needed to undo
+    the bytes-as-unicode encoding baked into ByteLevel vocabularies.)
+    """
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1)) + list(range(ord("®"), ord("ÿ") + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(2**8):
+        if b not in bs:
+            bs.append(b)
+            cs.append(2**8 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def load_tokens(tokenizer_path: str, vocab_size: int) -> list[bytes]:
+    """Decode the HF vocab into raw UTF-8 byte strings (reference convert.py:98-125)."""
+    with open(tokenizer_path, "r") as f:
+        tokenizer = json.load(f)
+    use_gpt2_bytes = not tokenizer["model"].get("byte_fallback", False)
+
+    tokens: list = [""] * vocab_size
+    vocab = tokenizer["model"]["vocab"]
+    if len(vocab) > vocab_size:
+        raise ValueError(f"vocab has {len(vocab)} entries > vocab_size {vocab_size}")
+    for t, i in vocab.items():
+        tokens[i] = t
+    for added in tokenizer.get("added_tokens", []):
+        tokens[added["id"]] = added["content"]
+
+    gpt2_decode = {v: k for k, v in gpt2_bytes_to_unicode().items()}
+    out: list[bytes] = []
+    for t in tokens:
+        if use_gpt2_bytes:
+            b = bytes(gpt2_decode.get(c, 0) for c in t)
+        else:
+            b = t.replace("▁", " ").encode("utf-8")
+        b = b.replace(b"\0", b"\7")  # NUL -> BEL: strings are NUL-delimited in the pack
+        out.append(b)
+    return out
+
+
+def pack_tokens(tokens: list[bytes]) -> np.ndarray:
+    """Concatenate all token byte strings, NUL-terminated, into one U8 tensor."""
+    blob = b"".join(b + b"\0" for b in tokens)
+    return np.frombuffer(blob, dtype=np.uint8).copy()
+
+
+def permute_reverse(w: np.ndarray, heads: int, rotary_dim: int) -> np.ndarray:
+    """Undo HF's rotary half-split Q/K layout back to interleaved pairs.
+
+    HF stores the rotary dims of each head as [first-halves..., second-halves...];
+    the runtime's RoPE rotates adjacent pairs (2i, 2i+1), so re-interleave
+    (reference convert.py:145-158, themselves from calm's converter).
+    """
+    head_dim = w.shape[0] // heads
+    assert rotary_dim <= head_dim
+    w = w.reshape(heads, head_dim, *w.shape[1:])
+    wr = w[:, :rotary_dim]  # rotary part
+    wk = w[:, rotary_dim:]  # untouched part
+    wr = wr.reshape(heads, 2, rotary_dim // 2, *w.shape[2:])
+    wr = wr.swapaxes(1, 2).reshape(heads, rotary_dim, *w.shape[2:])
+    out = np.concatenate([wr, wk], axis=1)
+    return out.reshape(heads * head_dim, *w.shape[2:])
+
+
+def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
+                 tie_word_embeddings: bool) -> dict[str, np.ndarray]:
+    """Merge shards, normalize layouts, and cast (reference convert.py:127-207)."""
+    weights: dict[str, np.ndarray] = {}
+    handles = []
+    for path in sorted(model_files):
+        yf = read_yalm(path)  # HF shards are plain safetensors
+        handles.append(yf)
+        for k, v in yf.tensors.items():
+            assert k not in weights, f"duplicate tensor {k}"
+            weights[k] = v
+
+    target = np_dtype_for(DTYPE_STR_TO_TAG[dtype_str])
+    n_layers = int(md["n_layers"])
+    rotary_dim = int(md["rotary_dim"])
+    n_heads = int(md["n_heads"])
+    n_kv_heads = int(md["n_kv_heads"])
+    is_moe = "n_experts" in md
+
+    def conv(t: np.ndarray) -> np.ndarray:
+        # two-step cast through fp32 so e.g. bf16 -> fp8 rounds like torch
+        if t.dtype != target:
+            t = t.astype(np.float32).astype(target)
+        return t
+
+    def f32(t: np.ndarray) -> np.ndarray:
+        return t.astype(np.float32)
+
+    tensors: dict[str, np.ndarray] = {}
+    tensors["model.embed.weight"] = conv(weights["model.embed_tokens.weight"])
+
+    for l in range(n_layers):
+        p = f"model.layers.{l}"
+        tensors[f"{p}.attn.norm.weight"] = f32(weights[f"{p}.input_layernorm.weight"])
+        tensors[f"{p}.attn.wq.weight"] = conv(
+            permute_reverse(f32(weights[f"{p}.self_attn.q_proj.weight"]), n_heads, rotary_dim))
+        tensors[f"{p}.attn.wk.weight"] = conv(
+            permute_reverse(f32(weights[f"{p}.self_attn.k_proj.weight"]), n_kv_heads, rotary_dim))
+        tensors[f"{p}.attn.wv.weight"] = conv(weights[f"{p}.self_attn.v_proj.weight"])
+        tensors[f"{p}.attn.wo.weight"] = conv(weights[f"{p}.self_attn.o_proj.weight"])
+        tensors[f"{p}.mlp.norm.weight"] = f32(weights[f"{p}.post_attention_layernorm.weight"])
+
+        if is_moe:
+            tensors[f"{p}.moegate.weight"] = conv(weights[f"{p}.block_sparse_moe.gate.weight"])
+            for wi in ("w1", "w2", "w3"):
+                stacked = np.stack([
+                    conv(weights[f"{p}.block_sparse_moe.experts.{e}.{wi}.weight"])
+                    for e in range(int(md["n_experts"]))
+                ])
+                tensors[f"{p}.mlp.{wi}.weight"] = stacked
+        else:
+            tensors[f"{p}.mlp.w1.weight"] = conv(weights[f"{p}.mlp.gate_proj.weight"])
+            tensors[f"{p}.mlp.w2.weight"] = conv(weights[f"{p}.mlp.down_proj.weight"])
+            tensors[f"{p}.mlp.w3.weight"] = conv(weights[f"{p}.mlp.up_proj.weight"])
+
+    tensors["model.norm.weight"] = f32(weights["model.norm.weight"])
+    if not tie_word_embeddings:
+        tensors["model.output.weight"] = conv(weights["lm_head.weight"])
+    # (tied embeddings: the loader falls back to model.embed.weight, like
+    #  reference src/model.cpp:371-373)
+    return tensors
+
+
+def convert(hf_dir: str, output: str, dtype: str = "fp16") -> None:
+    config_path = os.path.join(hf_dir, "config.json")
+    tokenizer_path = os.path.join(hf_dir, "tokenizer.json")
+    model_files = [
+        os.path.join(hf_dir, f) for f in os.listdir(hf_dir) if f.endswith(".safetensors")
+    ]
+    if not os.path.exists(config_path):
+        raise FileNotFoundError(f"config.json not found in {hf_dir}")
+    if not os.path.exists(tokenizer_path):
+        raise FileNotFoundError(f"tokenizer.json not found in {hf_dir}")
+    if not model_files:
+        raise FileNotFoundError(f"no .safetensors files found in {hf_dir}")
+
+    with open(config_path) as f:
+        config = json.load(f)
+    md = normalize_config(config, dtype)
+    tokens = load_tokens(tokenizer_path, int(md["vocab_size"]))
+    tensors = load_weights(model_files, dtype, md, bool(config.get("tie_word_embeddings", False)))
+    # Tokenizer tensor goes last to keep model tensors aligned at the front.
+    tensors["tokenizer.tokens"] = pack_tokens(tokens)
+    print(f"Saving {len(tensors)} tensors to {output} ...")
+    write_yalm(output, tensors, md)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("output", type=str)
+    ap.add_argument("input", type=str, help="HuggingFace model directory")
+    ap.add_argument("--dtype", type=str, default="fp16", choices=list(DTYPE_STR_TO_TAG))
+    args = ap.parse_args()
+    convert(args.input, args.output, args.dtype)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Pure-jnp transformer forward pass — the parity oracle.
+
+Functional re-formulation of the reference's per-token forward pass
+(src/infer.cpp:254-524): GQA attention with interleaved partial RoPE,
+qkv-clipping, a sliding-window KV ring buffer with StreamingLLM attention
+sinks, RMSNorm, SwiGLU/GeGLU FFN, and optional MoE routing. Differences are
+deliberate TPU-first design, not omissions:
+
+- All layers' weights are stacked and the layer loop is one `lax.scan`.
+- Position-dependent control flow (ring index, sink count, kv_len) is data,
+  not shape: everything is static-shaped and masked, so one compiled program
+  serves every position (the role CUDA graphs play in the reference,
+  src/infer.cu:1130-1164).
+- `prefill` processes a whole chunk of tokens in batched matmuls — the
+  reference hydrates one token at a time (src/main.cpp:91-97); on TPU the MXU
+  makes chunked prefill enormously faster and numerically identical (ring
+  wraparound can't occur while pos < max_seq_len, which the engine enforces).
+
+Single-sequence functions; batch them with `jax.vmap` (weights in_axes=None).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import KV_SINKS, ModelConfig
+from ..ops.attention import attend_chunk, attend_one
+from ..ops.core import act_fn, apply_rope, moe_gate, rmsnorm
+from .cache import KVCache
+from .weights import LayerWeights, Weights
+
+
+def _dq(w: jax.Array, compute_dtype) -> jax.Array:
+    """Weight-only dequantization: fp8/fp16 weights -> compute dtype.
+
+    XLA fuses the convert into the consuming dot; the Pallas fast path
+    replaces the whole (dequant + matmul) with a fused kernel.
+    """
+    return w.astype(compute_dtype)
+
+
+def _proj(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
+    """x[..., in] @ w[out, in]^T -> [..., out]."""
+    return jax.lax.dot_general(
+        x.astype(compute_dtype), _dq(w, compute_dtype),
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _clip(x: jax.Array, limit: float) -> jax.Array:
+    if math.isinf(limit):
+        return x
+    return jnp.clip(x, -limit, limit)
+
+
+def _ffn(xb: jax.Array, w1: jax.Array, w2: jax.Array, w3: jax.Array,
+         act: str, compute_dtype) -> jax.Array:
+    """GLU feed-forward: w2(act(w1 x) * w3 x) (reference src/infer.cpp:355-377)."""
+    h1 = _proj(xb, w1, compute_dtype)
+    h3 = _proj(xb, w3, compute_dtype)
+    return _proj(act_fn(act)(h1) * h3, w2, compute_dtype)
+
+
+def _moe_ffn(cfg: ModelConfig, xb: jax.Array, lw: LayerWeights, compute_dtype) -> jax.Array:
+    """Top-k expert mixture for a single token's activation xb[dim].
+
+    Router scores -> top-k -> gather just the active experts' weights (XLA
+    lowers the take to a DMA of only those experts' bytes — the HBM traffic
+    matches the reference's per-active-expert GEMVs, src/infer.cpp:347-384).
+    """
+    router = _proj(xb, lw.moegate, compute_dtype)           # (n_experts,)
+    weights, idx = moe_gate(router, cfg.n_experts_active)
+
+    def one_expert(e):
+        return _ffn(xb, lw.w1[e], lw.w2[e], lw.w3[e], cfg.act_type, compute_dtype)
+
+    deltas = jax.vmap(one_expert)(idx)                      # (k, dim)
+    return jnp.sum(weights[:, None] * deltas, axis=0)
+
+
+def _dense_ffn_delta(cfg: ModelConfig, xb: jax.Array, lw: LayerWeights, compute_dtype) -> jax.Array:
+    if cfg.is_moe:
+        return _moe_ffn(cfg, xb, lw, compute_dtype)
+    return _ffn(xb, lw.w1, lw.w2, lw.w3, cfg.act_type, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Single-token decode step
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "output_logits", "compute_dtype"))
+def decode_step(
+    cfg: ModelConfig,
+    weights: Weights,
+    token: jax.Array,        # () int32
+    pos: jax.Array,          # () int32 — absolute position in the sequence
+    cache: KVCache,
+    *,
+    output_logits: bool = True,
+    compute_dtype=jnp.float32,
+) -> tuple[Optional[jax.Array], KVCache]:
+    """One decode step at absolute position `pos`; returns (logits|None, cache).
+
+    Implements the full ring-buffer + attention-sink semantics of the
+    reference's top level (src/infer.cpp:474-524): once pos reaches the
+    window, the first KV_SINKS slots freeze (but their keys rotate forward
+    each step) and the rest of the cache is replaced in ring order.
+    """
+    L = cfg.max_seq_len
+    x = weights.embed[token].astype(jnp.float32)            # embedding gather
+
+    kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
+    kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
+    kv_len = jnp.minimum(pos + 1, L)
+    slot_valid = jnp.arange(L) < kv_len                     # (L,)
+
+    def layer_fn(x, layer):
+        lw, kc, vc = layer
+        # -- attention ----------------------------------------------------
+        xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
+        q = _clip(_proj(xb, lw.wq, compute_dtype), cfg.qkv_clip)
+        k = _clip(_proj(xb, lw.wk, compute_dtype), cfg.qkv_clip)
+        v = _clip(_proj(xb, lw.wv, compute_dtype), cfg.qkv_clip)
+
+        q = apply_rope(q.reshape(cfg.n_heads, cfg.head_dim), pos, cfg.rope_theta, cfg.rotary_dim)
+        k = apply_rope(k.reshape(cfg.n_kv_heads, cfg.head_dim), pos, cfg.rope_theta, cfg.rotary_dim)
+        v = v.reshape(cfg.n_kv_heads, cfg.head_dim)
+
+        kc = jax.lax.dynamic_update_slice(kc, k[None].astype(kc.dtype), (kv_pos, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v[None].astype(vc.dtype), (kv_pos, 0, 0))
+
+        # Rotate frozen sink keys forward by one position so they keep a
+        # constant relative distance (reference src/infer.cpp:303-317). The
+        # f32 round-trip through the cache dtype matches the reference's
+        # f16 read-rotate-write.
+        sink_rows = kc[:KV_SINKS].astype(jnp.float32)
+        rotated = apply_rope(sink_rows, jnp.ones((KV_SINKS,)), cfg.rope_theta,
+                             cfg.rotary_dim).astype(kc.dtype)
+        sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
+        kc = jax.lax.dynamic_update_slice(
+            kc, jnp.where(sink_mask, rotated, kc[:KV_SINKS]), (0, 0, 0))
+
+        # -- GQA attention over the ring buffer ---------------------------
+        qpk = cfg.n_heads // cfg.n_kv_heads
+        q3 = q.reshape(cfg.n_kv_heads, qpk, cfg.head_dim)
+        mixed = attend_one(q3, kc, vc, slot_valid).reshape(cfg.q_dim)
+
+        x = x + _proj(mixed, lw.wo, compute_dtype)
+
+        # -- FFN ----------------------------------------------------------
+        xb = rmsnorm(x, lw.rms_ffn, cfg.norm_eps)
+        x = x + _dense_ffn_delta(cfg, xb, lw, compute_dtype)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights.layers, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    if not output_logits:
+        return None, new_cache
+    x = rmsnorm(x, weights.final_norm, cfg.norm_eps)
+    logits = _proj(x, weights.lm_head, compute_dtype)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "logits_mode", "compute_dtype"))
+def prefill(
+    cfg: ModelConfig,
+    weights: Weights,
+    tokens: jax.Array,       # (T,) int32, padded to the chunk length
+    pos0: jax.Array,         # () int32 — absolute position of tokens[0]
+    valid_len: jax.Array,    # () int32 — number of real (non-pad) tokens
+    cache: KVCache,
+    *,
+    logits_mode: str = "last",   # "none" | "last" | "all"
+    compute_dtype=jnp.float32,
+) -> tuple[Optional[jax.Array], KVCache]:
+    """Process a chunk of T tokens starting at absolute position pos0.
+
+    PRECONDITION (engine-enforced): pos0 + T <= cfg.max_seq_len, so no ring
+    wraparound or sink rotation can occur inside the chunk — which is what
+    makes whole-chunk batched matmuls exactly equivalent to the reference's
+    token-at-a-time hydration loop (src/main.cpp:91-97). Positions past
+    `valid_len` are padding: their KV writes are masked out and their logits
+    meaningless.
+
+    logits_mode: "none" -> (None, cache) — pure KV hydration;
+    "last" -> logits of the last valid token, shape (vocab,);
+    "all" -> logits at every chunk position, shape (T, vocab) (perplexity).
+    """
+    T = tokens.shape[0]
+    L = cfg.max_seq_len
+    positions = pos0 + jnp.arange(T)
+    valid = jnp.arange(T) < valid_len                       # (T,)
+
+    x = weights.embed[tokens].astype(jnp.float32)           # (T, dim)
+
+    # causal visibility: query at chunk-row i attends to cache slot l iff
+    # l <= pos0 + i (all earlier slots are valid history; no wraparound).
+    att_mask = jnp.arange(L)[None, :] <= positions[:, None]  # (T, L)
+
+    def layer_fn(x, layer):
+        lw, kc, vc = layer
+        xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
+        q = _clip(_proj(xb, lw.wq, compute_dtype), cfg.qkv_clip)
+        k = _clip(_proj(xb, lw.wk, compute_dtype), cfg.qkv_clip)
+        v = _clip(_proj(xb, lw.wv, compute_dtype), cfg.qkv_clip)
+
+        q = apply_rope(q.reshape(T, cfg.n_heads, cfg.head_dim), positions,
+                       cfg.rope_theta, cfg.rotary_dim)
+        k = apply_rope(k.reshape(T, cfg.n_kv_heads, cfg.head_dim), positions,
+                       cfg.rope_theta, cfg.rotary_dim)
+        v = v.reshape(T, cfg.n_kv_heads, cfg.head_dim)
+
+        # masked region write: only valid rows replace cache contents
+        old_k = jax.lax.dynamic_slice(kc, (pos0, 0, 0), (T, cfg.n_kv_heads, cfg.head_dim))
+        old_v = jax.lax.dynamic_slice(vc, (pos0, 0, 0), (T, cfg.n_kv_heads, cfg.head_dim))
+        vmask = valid[:, None, None]
+        kc = jax.lax.dynamic_update_slice(kc, jnp.where(vmask, k.astype(kc.dtype), old_k), (pos0, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
+
+        qpk = cfg.n_heads // cfg.n_kv_heads
+        q4 = q.reshape(T, cfg.n_kv_heads, qpk, cfg.head_dim)
+        mixed = attend_chunk(q4, kc, vc, att_mask).reshape(T, cfg.q_dim)
+
+        x = x + _proj(mixed, lw.wo, compute_dtype)
+        xb = rmsnorm(x, lw.rms_ffn, cfg.norm_eps)
+        if cfg.is_moe:
+            x = x + jax.vmap(lambda r: _moe_ffn(cfg, r, lw, compute_dtype))(xb)
+        else:
+            x = x + _ffn(xb, lw.w1, lw.w2, lw.w3, cfg.act_type, compute_dtype)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights.layers, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    if logits_mode == "none":
+        return None, new_cache
+    if logits_mode == "last":
+        x_last = jnp.take(x, valid_len - 1, axis=0)
+        x_last = rmsnorm(x_last, weights.final_norm, cfg.norm_eps)
+        return _proj(x_last, weights.lm_head, compute_dtype), new_cache
+    if logits_mode == "all":
+        xn = rmsnorm(x, weights.final_norm, cfg.norm_eps)
+        return _proj(xn, weights.lm_head, compute_dtype), new_cache
+    raise ValueError(f"bad logits_mode {logits_mode!r}")

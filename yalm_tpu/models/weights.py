@@ -1,0 +1,96 @@
+"""Weight pytrees and the checkpoint -> device loader.
+
+TPU-native equivalent of the reference's Model/Block weight mapping
+(src/model.cpp:134-394). Where the reference keeps per-layer raw pointers
+into the mmap, we stack all layers' tensors along a leading n_layers axis so
+the whole forward pass is a single `lax.scan` — one compiled layer body,
+fast tracing, and a natural layout for sharding anyway (the layer axis is
+never sharded).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.format import YalmFile
+from ..config import ModelConfig
+
+
+class LayerWeights(NamedTuple):
+    """One transformer block's weights; every field stacked over n_layers."""
+
+    rms_att: jax.Array   # (n_layers, dim) f32
+    rms_ffn: jax.Array   # (n_layers, dim) f32
+    wq: jax.Array        # (n_layers, q_dim, dim)
+    wk: jax.Array        # (n_layers, kv_dim, dim)
+    wv: jax.Array        # (n_layers, kv_dim, dim)
+    wo: jax.Array        # (n_layers, dim, q_dim)
+    w1: jax.Array        # (n_layers, [n_experts,] hidden_dim, dim)
+    w2: jax.Array        # (n_layers, [n_experts,] dim, hidden_dim)
+    w3: jax.Array        # (n_layers, [n_experts,] hidden_dim, dim)
+    moegate: Optional[jax.Array]  # (n_layers, n_experts, dim) or None
+
+
+class Weights(NamedTuple):
+    embed: jax.Array      # (vocab_size, dim)
+    layers: LayerWeights
+    final_norm: jax.Array  # (dim,) f32
+    lm_head: jax.Array     # (vocab_size, dim); embed itself when tied
+
+
+def _expect(arr: np.ndarray, shape: tuple[int, ...], name: str) -> np.ndarray:
+    if tuple(arr.shape) != shape:
+        raise ValueError(f"tensor {name}: expected shape {shape}, got {tuple(arr.shape)}")
+    return arr
+
+
+def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weights:
+    """Shape-check and stack every tensor (reference src/model.cpp:104-132, 347-378).
+
+    `device_put` lets callers inject sharding-aware placement (e.g.
+    functools.partial(jax.device_put, device=named_sharding)); the default
+    simply materializes on the default device.
+    """
+    t = yf.tensors
+
+    def get(name: str, shape: tuple[int, ...]) -> np.ndarray:
+        if name not in t:
+            raise KeyError(f"missing tensor: {name}")
+        return _expect(t[name], shape, name)
+
+    d, h, kd, q = cfg.dim, cfg.hidden_dim, cfg.kv_dim, cfg.q_dim
+    ffn_shape1 = (cfg.n_experts, h, d) if cfg.is_moe else (h, d)
+    ffn_shape2 = (cfg.n_experts, d, h) if cfg.is_moe else (d, h)
+
+    def stacked(fmt: str, shape: tuple[int, ...]) -> jax.Array:
+        return device_put(np.stack([get(fmt.format(l), shape) for l in range(cfg.n_layers)]))
+
+    layers = LayerWeights(
+        rms_att=stacked("model.layers.{}.attn.norm.weight", (d,)),
+        rms_ffn=stacked("model.layers.{}.mlp.norm.weight", (d,)),
+        wq=stacked("model.layers.{}.attn.wq.weight", (q, d)),
+        wk=stacked("model.layers.{}.attn.wk.weight", (kd, d)),
+        wv=stacked("model.layers.{}.attn.wv.weight", (kd, d)),
+        wo=stacked("model.layers.{}.attn.wo.weight", (d, q)),
+        w1=stacked("model.layers.{}.mlp.w1.weight", ffn_shape1),
+        w2=stacked("model.layers.{}.mlp.w2.weight", ffn_shape2),
+        w3=stacked("model.layers.{}.mlp.w3.weight", ffn_shape1),
+        moegate=stacked("model.layers.{}.moegate.weight", (cfg.n_experts, d)) if cfg.is_moe else None,
+    )
+    embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
+    if "model.output.weight" in t:
+        lm_head = device_put(get("model.output.weight", (cfg.vocab_size, d)))
+    else:
+        # tied embeddings: classifier reuses the embedding matrix
+        # (reference src/model.cpp:371-373)
+        lm_head = embed
+    return Weights(
+        embed=embed,
+        layers=layers,
+        final_norm=device_put(get("model.norm.weight", (d,))),
+        lm_head=lm_head,
+    )

@@ -1,0 +1,110 @@
+"""Core numeric ops, pure jnp — the permanent parity oracle.
+
+These are the TPU-functional re-formulations of the reference's scalar CPU
+kernels (reference src/infer.cpp:100-248). They run on any backend and define
+the golden numerics that Pallas kernels are parity-tested against
+(SURVEY.md §4). All positional/ring-buffer logic is expressed with masks and
+static shapes so everything jits cleanly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def rmsnorm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMS norm over the last axis (reference src/infer.cpp:134-144).
+
+    Matches the reference exactly: rms = sqrt(mean(x^2) + eps) — note eps is
+    added *after* the mean, inside the sqrt.
+    """
+    x = x.astype(jnp.float32)
+    ms = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(ms + eps) * weight.astype(jnp.float32)
+
+
+def _rope_angles(positions: jax.Array, head_dim: int, theta: float,
+                 rotary_dim: int) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables for interleaved-pair RoPE.
+
+    Pair p rotates elements (2p, 2p+1) of each head by pos * theta^(-2p/rotary_dim);
+    pairs with 2p >= rotary_dim get frequency 0 (identity), implementing
+    partial rotary dims (reference src/infer.cpp:200-213).
+    """
+    half = head_dim // 2
+    j = 2.0 * jnp.arange(half, dtype=jnp.float32)          # first-element index of each pair
+    freq = jnp.where(j >= rotary_dim, 0.0, jnp.exp(-jnp.log(theta) * j / rotary_dim))
+    val = positions.astype(jnp.float32)[..., None] * freq  # (..., half)
+    return jnp.cos(val), jnp.sin(val)
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
+    """Interleaved RoPE on x[..., n_heads, head_dim] at positions[...].
+
+    positions broadcasts against x's leading axes (scalar for single-token
+    decode, a vector for a prefill chunk).
+    """
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    head_dim = x.shape[-1]
+    cos, sin = _rope_angles(positions, head_dim, theta, rotary_dim)
+    cos = cos[..., None, :]  # broadcast over the heads axis
+    sin = sin[..., None, :]
+    xr = x.reshape(*x.shape[:-1], head_dim // 2, 2)
+    x0, x1 = xr[..., 0], xr[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    return out.reshape(x.shape).astype(orig_dtype)
+
+
+def rope_rotate_cached(k_rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
+    """Rotate cached key rows forward by one position (StreamingLLM sinks).
+
+    Sink slots stay physically frozen in the ring buffer but must remain a
+    fixed *relative* distance from the current token, so each decode step
+    their keys are rotated by the pos=1 angle (reference src/infer.cpp:303-317,
+    arXiv:2309.17453). k_rows: [..., n_kv_heads, head_dim]; the round-trip
+    through the cache dtype is the caller's business.
+    """
+    one = jnp.ones(k_rows.shape[:-2], dtype=jnp.float32)
+    return apply_rope(k_rows, one, theta, rotary_dim)
+
+
+def masked_softmax(scores: jax.Array, mask: jax.Array) -> jax.Array:
+    """Softmax over the last axis with invalid slots masked out.
+
+    The reference softmaxes over exactly [0, kv_len) (src/infer.cpp:170-185);
+    under static shapes kv_len becomes this mask.
+    """
+    scores = jnp.where(mask, scores, _NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m) * mask  # zero out masked lanes exactly
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def moe_gate(router_logits: jax.Array, n_active: int) -> tuple[jax.Array, jax.Array]:
+    """Top-k routing with softmax over the selected experts.
+
+    Returns (weights[..., n_active], indices[..., n_active]). Matches the
+    reference's normalize-over-top-k formulation (src/infer.cpp:100-132):
+    the softmax denominator only includes the chosen experts.
+    """
+    top_vals, top_idx = jax.lax.top_k(router_logits, n_active)
+    m = jnp.max(router_logits, axis=-1, keepdims=True)  # global max for stability
+    e = jnp.exp(top_vals - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True), top_idx
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """tanh-approx GELU, identical constants to reference src/infer.cpp:187-189."""
+    return 0.5 * x * (1.0 + jnp.tanh(0.797885 * (x + 0.044715 * x * x * x)))
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def act_fn(name: str):
+    return {"gelu": gelu, "silu": silu}[name]

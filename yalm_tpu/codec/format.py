@@ -65,9 +65,15 @@ class YalmFile:
 
     def close(self) -> None:
         # Views into the map become invalid after close; callers must copy
-        # anything they need first (device puts copy implicitly).
+        # anything they need first (device puts copy implicitly). If live
+        # views still exist the close is deferred to GC — mmap refuses to
+        # unmap exported buffers, which is exactly the safety we want.
+        self.tensors = {}
         if self._mmap is not None:
-            self._mmap.close()
+            try:
+                self._mmap.close()
+            except BufferError:
+                pass
             self._mmap = None
 
 

@@ -1,0 +1,274 @@
+"""Inference engine: jitted token step, chunked prefill, on-device sampling.
+
+This is the TPU-native replacement for the reference's decode driver
+(src/main.cpp:87-112) and CUDA-graph machinery (src/infer.cu:1130-1164):
+
+- The whole token step (embedding -> all blocks -> logits -> sampling) is a
+  single jitted program; XLA compilation replaces graph capture, and the two
+  InferenceModes (hydrate / output logits, reference src/model.h:28-31)
+  are two jit specializations instead of two CUDA graphs.
+- KV cache buffers are donated into each step, so decode updates in place.
+- Sampling happens on device (see sampler.py); only the sampled token id
+  crosses to the host per step, versus the reference's full-vocab logits
+  download + host scan every token (src/infer.cu:1035-1037).
+- Prefill runs in bucketed chunks of batched matmuls instead of the
+  reference's token-at-a-time hydration loop; past the context window it
+  falls back to per-token hydration, which is exactly the ring-buffer regime.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .codec.format import YalmFile, read_yalm
+from .config import ModelConfig
+from .models.cache import KVCache
+from .models.transformer import decode_step, prefill
+from .models.weights import Weights, load_weights
+from .sampler import logprob_of, sample
+from .tokenizer import Tokenizer
+
+# Prefill chunk buckets: prompts are processed in full chunks of the largest
+# bucket, with the tail padded up to the smallest fitting bucket. Each bucket
+# size compiles once per logits mode.
+PREFILL_BUCKETS = (16, 64, 256)
+
+
+def _bucket_for(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    return PREFILL_BUCKETS[-1]
+
+
+class Engine:
+    """Single-sequence inference engine over one jitted model."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        weights: Weights,
+        tokenizer: Optional[Tokenizer] = None,
+        *,
+        kv_dtype=jnp.float16,
+        compute_dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.tokenizer = tokenizer
+        self.kv_dtype = kv_dtype
+        self.compute_dtype = compute_dtype
+        self.cache = KVCache.init(cfg, kv_dtype)
+        self.pos = 0          # next absolute position to be written
+        self._last_logits: Optional[jax.Array] = None
+
+        cd = compute_dtype
+
+        # --- jitted specializations (cache donated: in-place ring updates) ---
+        @partial(jax.jit, donate_argnums=(3,))
+        def _step_sample(w, token, pos, cache, key, temperature):
+            logits, cache = decode_step(cfg, w, token, pos, cache,
+                                        output_logits=True, compute_dtype=cd)
+            next_token = sample(logits, key, temperature)
+            return next_token, logits, cache
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _step_hydrate(w, token, pos, cache):
+            _, cache = decode_step(cfg, w, token, pos, cache,
+                                   output_logits=False, compute_dtype=cd)
+            return cache
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _step_logits(w, token, pos, cache):
+            logits, cache = decode_step(cfg, w, token, pos, cache,
+                                        output_logits=True, compute_dtype=cd)
+            return logits, cache
+
+        @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(4,))
+        def _prefill(w, tokens, pos0, valid_len, cache, logits_mode):
+            return prefill(cfg, w, tokens, pos0, valid_len, cache,
+                           logits_mode=logits_mode, compute_dtype=cd)
+
+        self._step_sample = _step_sample
+        self._step_hydrate = _step_hydrate
+        self._step_logits = _step_logits
+        self._prefill = _prefill
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str, *, context: int = 0,
+                        device=None, **kw) -> "Engine":
+        yf = read_yalm(path)
+        cfg = ModelConfig.from_metadata(yf.metadata, context=context)
+        put = jnp.asarray if device is None else partial(jax.device_put, device=device)
+        weights = load_weights(yf, cfg, device_put=put)
+        tok = Tokenizer.from_yalm(yf)
+        eng = cls(cfg, weights, tok, **kw)
+        if device is not None:
+            eng.cache = jax.device_put(eng.cache, device)
+        yf.close()  # weights were copied to device; release the mapping
+        return eng
+
+    # ------------------------------------------------------------------
+    def reset(self) -> None:
+        self.cache = KVCache.init(self.cfg, self.kv_dtype)
+        self.pos = 0
+        self._last_logits = None
+
+    def warmup(self) -> None:
+        """Compile + run every specialization once (reference warms up with a
+        single forward at pos 0, src/main.cpp:66-70; here each bucket/mode
+        pair is its own program)."""
+        cache = KVCache.init(self.cfg, self.kv_dtype)
+        cache = self._step_hydrate(self.weights, jnp.int32(0), jnp.int32(0), cache)
+        _, _, cache = self._step_sample(self.weights, jnp.int32(0), jnp.int32(0), cache,
+                                        jax.random.PRNGKey(0), jnp.float32(1.0))
+        _, cache = self._step_logits(self.weights, jnp.int32(0), jnp.int32(0), cache)
+        for b in PREFILL_BUCKETS:
+            if b > self.cfg.max_seq_len:
+                continue  # chunk can never exceed the window
+            toks = jnp.zeros((b,), jnp.int32)
+            for mode in ("none", "last", "all"):
+                out, cache = self._prefill(self.weights, toks, jnp.int32(0),
+                                           jnp.int32(1), cache, logits_mode=mode)
+        jax.block_until_ready(cache)
+
+    # ------------------------------------------------------------------
+    def prefill_tokens(self, tokens: Sequence[int], *, want_logits: bool = True) -> None:
+        """Hydrate the KV cache with `tokens` starting at self.pos.
+
+        Chunked-batched while inside the context window; token-at-a-time in
+        the ring-buffer regime beyond it. Afterwards `self._last_logits`
+        holds the logits of the final token if want_logits.
+        """
+        cfg = self.cfg
+        L = cfg.max_seq_len
+        toks = list(int(t) for t in tokens)
+        i = 0
+        n = len(toks)
+        while i < n:
+            room = L - self.pos
+            if room <= 0:
+                break  # past the window: fall through to per-token path
+            take = min(n - i, PREFILL_BUCKETS[-1], room)
+            bucket = _bucket_for(take)
+            if bucket > room:
+                # A padded chunk crossing the window edge would make
+                # dynamic_update_slice clamp the region start and shift valid
+                # rows; use an exact-size chunk there (rare one-off compile).
+                bucket = take
+            chunk = toks[i : i + take]
+            padded = np.zeros(bucket, np.int32)
+            padded[: len(chunk)] = chunk
+            last_chunk = i + take >= n
+            mode = "last" if (want_logits and last_chunk) else "none"
+            out, self.cache = self._prefill(
+                self.weights, jnp.asarray(padded), jnp.int32(self.pos),
+                jnp.int32(len(chunk)), self.cache, logits_mode=mode)
+            if mode == "last":
+                self._last_logits = out
+            self.pos += take
+            i += take
+        # ring-buffer regime (pos >= L) or an odd tail: per-token hydration
+        while i < n:
+            tok = toks[i]
+            last = i + 1 >= n
+            if want_logits and last:
+                self._last_logits, self.cache = self._step_logits(
+                    self.weights, jnp.int32(tok), jnp.int32(self.pos), self.cache)
+            else:
+                self.cache = self._step_hydrate(
+                    self.weights, jnp.int32(tok), jnp.int32(self.pos), self.cache)
+            self.pos += 1
+            i += 1
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        prompt_tokens: Sequence[int],
+        *,
+        max_steps: int = 256,
+        temperature: float = 1.0,
+        seed: int | None = None,
+        stop_tokens: Sequence[int] = (),
+    ) -> Iterator[int]:
+        """Prefill then stream sampled token ids (the reference decode loop,
+        src/main.cpp:102-112, with sampling moved on-device)."""
+        self.prefill_tokens(prompt_tokens, want_logits=True)
+        key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
+        temp = jnp.float32(temperature)
+        stop = set(int(s) for s in stop_tokens)
+
+        logits = self._last_logits
+        assert logits is not None
+        key, sub = jax.random.split(key)
+        token = int(sample(logits, sub, temp))
+        steps = 0
+        while max_steps == -1 or steps < max_steps:
+            yield token
+            steps += 1
+            if token in stop:
+                return
+            key, sub = jax.random.split(key)
+            token_arr, logits, self.cache = self._step_sample(
+                self.weights, jnp.int32(token), jnp.int32(self.pos), self.cache, sub, temp)
+            self._last_logits = logits
+            self.pos += 1
+            token = int(token_arr)
+
+    # ------------------------------------------------------------------
+    def perplexity(self, tokens: Sequence[int]) -> tuple[float, float, int]:
+        """Perplexity of tokens[1:] given running context (reference
+        src/main.cpp:128-200). Returns (ppl, standard_error, N).
+
+        Uses chunked prefill with all-position logits — each forward chunk
+        scores a whole block of next-token predictions at once.
+        """
+        toks = np.asarray(tokens, np.int32)
+        n = len(toks)
+        if n < 2:
+            raise ValueError("need at least 2 tokens for perplexity")
+        logprobs: list[np.ndarray] = []
+        cfg = self.cfg
+        L = cfg.max_seq_len
+        i = 0
+        while i < n - 1:  # feed positions [0, n-2]; predictions for [1, n-1]
+            room = L - self.pos
+            if room <= 0:
+                break
+            take = min(n - 1 - i, PREFILL_BUCKETS[-1], room)
+            bucket = _bucket_for(take)
+            if bucket > room:
+                bucket = take  # exact-fit fallback near the window edge
+            padded = np.zeros(bucket, np.int32)
+            padded[:take] = toks[i : i + take]
+            all_logits, self.cache = self._prefill(
+                self.weights, jnp.asarray(padded), jnp.int32(self.pos),
+                jnp.int32(take), self.cache, logits_mode="all")
+            targets = np.zeros(bucket, np.int32)
+            valid = min(take, n - 1 - i)
+            targets[:valid] = toks[i + 1 : i + 1 + valid]
+            lp = np.asarray(logprob_of(all_logits, jnp.asarray(targets)))[:valid]
+            logprobs.append(lp)
+            self.pos += take
+            i += take
+        while i < n - 1:  # ring-buffer regime: per-token
+            logits, self.cache = self._step_logits(
+                self.weights, jnp.int32(toks[i]), jnp.int32(self.pos), self.cache)
+            lp = float(logprob_of(logits, jnp.asarray(toks[i + 1])))
+            logprobs.append(np.array([lp]))
+            self.pos += 1
+            i += 1
+
+        lp = np.concatenate(logprobs).astype(np.float64)
+        N = len(lp)
+        ppl = float(np.exp(-lp.mean()))
+        # same stderr formula as reference src/main.cpp:189
+        err = ppl * float(np.sqrt((np.sum(lp * lp) - lp.sum() ** 2 / N) / N / N))
+        return ppl, err, N

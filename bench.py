@@ -1,0 +1,113 @@
+"""Decode-throughput benchmark on real hardware.
+
+Measures single-stream decode tokens/sec on a Mistral-7B-shaped model
+(dim 4096, hidden 14336, 32 layers, 32 q / 8 kv heads, vocab 32000, 4k
+window — the reference's headline benchmark config, reference README.md:7)
+with synthetic device-side weights, and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+vs_baseline is measured tok/s divided by the reference's published 63.8
+tok/s (yalm on RTX 4090, FP16, ~120-token generation — BASELINE.md).
+
+Env knobs: YALM_BENCH_DTYPE=fp8|bf16 (default fp8), YALM_BENCH_STEPS,
+YALM_BENCH_PRESET=mistral7b|small.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+BASELINE_TOK_S = 63.8  # reference README.md:14, RTX 4090 FP16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_cfg(preset: str, dtype: str):
+    from yalm_tpu.config import ModelConfig
+    if preset == "mistral7b":
+        return ModelConfig(
+            dim=4096, hidden_dim=14336, head_dim=128, n_layers=32, n_heads=32,
+            n_kv_heads=8, vocab_size=32000, max_seq_len=4096, bos_token_id=1,
+            eos_token_id=2, rope_theta=1e6, rotary_dim=128, norm_eps=1e-5,
+            act_type="silu", weight_dtype=dtype,
+        )
+    return ModelConfig(
+        dim=1024, hidden_dim=4096, head_dim=64, n_layers=8, n_heads=16,
+        n_kv_heads=8, vocab_size=32000, max_seq_len=4096, bos_token_id=1,
+        eos_token_id=2, rope_theta=1e6, rotary_dim=64, act_type="silu",
+        weight_dtype=dtype,
+    )
+
+
+def main() -> None:
+    dtype = os.environ.get("YALM_BENCH_DTYPE", "fp8")
+    steps = int(os.environ.get("YALM_BENCH_STEPS", "64"))
+    preset = os.environ.get("YALM_BENCH_PRESET", "mistral7b")
+
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _synth_weights
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.transformer import decode_step
+    from yalm_tpu.sampler import sample
+
+    from yalm_tpu.engine import Engine
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | preset={preset} dtype={dtype} steps={steps}")
+    cfg = build_cfg(preset, dtype)
+
+    t0 = time.perf_counter()
+    weights = _synth_weights(cfg)
+    jax.block_until_ready(weights)
+    log(f"weights synthesized in {time.perf_counter()-t0:.1f}s "
+        f"({cfg.active_bytes(0)/1e9:.2f} GB active bytes/token)")
+
+    eng = Engine(cfg, weights, kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    temp = jnp.float32(0.0)
+
+    # The decode loop runs ON DEVICE in blocks (engine._decode_block), so
+    # host dispatch cost is amortized over the whole block; a host fetch of
+    # the sampled ids delimits the measurement (block_until_ready alone does
+    # not reliably fence on relayed device platforms).
+    t0 = time.perf_counter()
+    out, cache = eng._decode_block(weights, jnp.int32(1), jnp.int32(0),
+                                   eng.cache, key, temp, n=4)
+    _ = np.asarray(out)
+    log(f"compile+first 4-step block: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])), jnp.int32(4),
+                                   cache, key, temp, n=steps)
+    toks = np.asarray(out)  # host fetch = completion fence
+    dt = time.perf_counter() - t0
+    assert len(set(toks.tolist())) > 1 or steps < 4, "degenerate decode"
+    pos0 = 4
+
+    tok_s = steps / dt
+    # speed-of-light context for the log
+    hbm_gbs = 819.0  # v5e spec
+    sol = hbm_gbs * 1e9 / cfg.active_bytes(pos0 + steps)
+    log(f"decode: {tok_s:.2f} tok/s ({dt/steps*1e3:.2f} ms/tok); "
+        f"roofline ~{sol:.1f} tok/s -> {100*tok_s/sol:.1f}% of v5e SoL")
+
+    print(json.dumps({
+        "metric": f"{preset}_{dtype}_decode_throughput",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,10 +95,31 @@ class Engine:
             return prefill(cfg, w, tokens, pos0, valid_len, cache,
                            logits_mode=logits_mode, compute_dtype=cd)
 
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(3,))
+        def _decode_block(w, token0, pos0, cache, key, temperature, n):
+            """Generate n tokens in ONE device program (lax.fori_loop over
+            fused decode+sample steps). One host dispatch per block instead of
+            per token — the TPU-native answer to the reference's per-token
+            CUDA-graph launch + logits download (src/infer.cu:1035-1037)."""
+            out = jnp.zeros((n,), jnp.int32)
+
+            def body(i, carry):
+                token, cache, out, key = carry
+                key, sub = jax.random.split(key)
+                logits, cache = decode_step(cfg, w, token, pos0 + i, cache,
+                                            output_logits=True, compute_dtype=cd)
+                nxt = sample(logits, sub, temperature)
+                return nxt, cache, out.at[i].set(nxt), key
+
+            _, cache, out, _ = jax.lax.fori_loop(
+                0, n, body, (token0, cache, out, key))
+            return out, cache
+
         self._step_sample = _step_sample
         self._step_hydrate = _step_hydrate
         self._step_logits = _step_logits
         self._prefill = _prefill
+        self._decode_block = _decode_block
 
     # ------------------------------------------------------------------
     @classmethod
@@ -197,9 +218,15 @@ class Engine:
         temperature: float = 1.0,
         seed: int | None = None,
         stop_tokens: Sequence[int] = (),
+        block_size: int = 1,
     ) -> Iterator[int]:
         """Prefill then stream sampled token ids (the reference decode loop,
-        src/main.cpp:102-112, with sampling moved on-device)."""
+        src/main.cpp:102-112, with sampling moved on-device).
+
+        block_size > 1 runs the decode loop on device in blocks of that many
+        tokens — one host round-trip per block instead of per token. Tokens
+        past a stop token inside a block are discarded.
+        """
         self.prefill_tokens(prompt_tokens, want_logits=True)
         key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
         temp = jnp.float32(temperature)
@@ -210,17 +237,39 @@ class Engine:
         key, sub = jax.random.split(key)
         token = int(sample(logits, sub, temp))
         steps = 0
+
+        if block_size <= 1:
+            while max_steps == -1 or steps < max_steps:
+                yield token
+                steps += 1
+                if token in stop:
+                    return
+                key, sub = jax.random.split(key)
+                token_arr, logits, self.cache = self._step_sample(
+                    self.weights, jnp.int32(token), jnp.int32(self.pos), self.cache, sub, temp)
+                self._last_logits = logits
+                self.pos += 1
+                token = int(token_arr)
+            return
+
+        # device-side block decode
+        yield token
+        steps += 1
+        if token in stop or (max_steps != -1 and steps >= max_steps):
+            return
         while max_steps == -1 or steps < max_steps:
-            yield token
-            steps += 1
-            if token in stop:
-                return
             key, sub = jax.random.split(key)
-            token_arr, logits, self.cache = self._step_sample(
-                self.weights, jnp.int32(token), jnp.int32(self.pos), self.cache, sub, temp)
-            self._last_logits = logits
-            self.pos += 1
-            token = int(token_arr)
+            out, self.cache = self._decode_block(
+                self.weights, jnp.int32(token), jnp.int32(self.pos), self.cache,
+                sub, temp, n=block_size)
+            self.pos += block_size
+            block = [int(t) for t in np.asarray(out)]  # one host fetch per block
+            for t in block:
+                yield t
+                steps += 1
+                if t in stop or (max_steps != -1 and steps >= max_steps):
+                    return
+            token = block[-1]
 
     # ------------------------------------------------------------------
     def perplexity(self, tokens: Sequence[int]) -> tuple[float, float, int]:

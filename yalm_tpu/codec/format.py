@@ -62,6 +62,7 @@ class YalmFile:
     tensors: dict[str, np.ndarray]
     # Held to keep the mapping alive as long as tensor views exist.
     _mmap: mmap.mmap | None = field(default=None, repr=False)
+    _native: object | None = field(default=None, repr=False)
 
     def close(self) -> None:
         # Views into the map become invalid after close; callers must copy
@@ -75,16 +76,31 @@ class YalmFile:
             except BufferError:
                 pass
             self._mmap = None
+        self._native = None  # NativeCheckpoint unmaps on GC
 
 
-def read_yalm(path: str) -> YalmFile:
+def read_yalm(path: str, *, native: bool | None = None) -> YalmFile:
     """mmap a `.yalm`/safetensors file and return zero-copy tensor views.
 
     Equivalent of the reference's YALMData::from_file (src/codec.cpp:116-199):
     the file is mapped read-only and every tensor is a numpy view directly
     into the mapping — no bytes are copied until a consumer (e.g.
     jax.device_put) reads them.
+
+    `native`: True forces the C++ reader (yalm_tpu/native), False forces pure
+    Python, None auto-selects native when the library is built.
     """
+    if native is not False:
+        try:
+            from .. import native as nat
+            if nat.loaded():
+                nc = nat.NativeCheckpoint(path)
+                return YalmFile(path=path, metadata=nc.metadata(),
+                                tensors=nc.tensors(), _native=nc)
+        except ImportError:
+            pass
+        if native is True:
+            raise RuntimeError("native codec requested but libyalm_native.so not built")
     size = os.path.getsize(path)
     if size < 8:
         raise ValueError(f"{path}: too small to be a .yalm file")

@@ -1,0 +1,448 @@
+// yalm_tpu native host components: mmap checkpoint reader + trie tokenizer.
+//
+// The reference implements these in C++ too (src/codec.cpp mmap loader,
+// src/tokenizer.cpp trie) — this is the from-scratch equivalent for the TPU
+// runtime, exposed through a C ABI consumed via ctypes (no pybind11 in the
+// image). Design differences from the reference:
+//   - self-contained minimal JSON parser for the safetensors header subset
+//     (objects / arrays / strings / integers) instead of vendoring a 25k-line
+//     JSON library;
+//   - flat-array trie (nodes in one contiguous vector, 256-way fanout via a
+//     sorted edge list) instead of per-node heap maps — cache-friendly for
+//     long-prompt encodes;
+//   - zero-copy contract: tensor data pointers point straight into the
+//     MAP_PRIVATE mapping; Python wraps them as numpy views and JAX copies
+//     to device from there.
+//
+// Build: make -C yalm_tpu/native   (produces libyalm_native.so)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <vector>
+#include <memory>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+// ---------------------------------------------------------------------------
+// Minimal JSON parser (safetensors header subset)
+// ---------------------------------------------------------------------------
+
+namespace mini_json {
+
+struct Value;
+using ValuePtr = std::unique_ptr<Value>;
+
+struct Value {
+  enum class Kind { Str, Int, Arr, Obj } kind;
+  std::string str;
+  int64_t num = 0;
+  std::vector<ValuePtr> arr;
+  std::vector<std::pair<std::string, ValuePtr>> obj;
+
+  const Value* find(const std::string& key) const {
+    for (auto& kv : obj)
+      if (kv.first == key) return kv.second.get();
+    return nullptr;
+  }
+};
+
+struct Parser {
+  const char* p;
+  const char* end;
+  std::string error;
+
+  explicit Parser(const char* data, size_t len) : p(data), end(data + len) {}
+
+  void skip_ws() {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) p++;
+  }
+
+  bool fail(const char* msg) {
+    if (error.empty()) error = msg;
+    return false;
+  }
+
+  bool parse_string(std::string& out) {
+    skip_ws();
+    if (p >= end || *p != '"') return fail("expected string");
+    p++;
+    out.clear();
+    while (p < end && *p != '"') {
+      char c = *p++;
+      if (c == '\\') {
+        if (p >= end) return fail("bad escape");
+        char e = *p++;
+        switch (e) {
+          case '"': out.push_back('"'); break;
+          case '\\': out.push_back('\\'); break;
+          case '/': out.push_back('/'); break;
+          case 'n': out.push_back('\n'); break;
+          case 't': out.push_back('\t'); break;
+          case 'r': out.push_back('\r'); break;
+          case 'b': out.push_back('\b'); break;
+          case 'f': out.push_back('\f'); break;
+          case 'u': {
+            if (end - p < 4) return fail("bad \\u escape");
+            unsigned code = 0;
+            for (int i = 0; i < 4; i++) {
+              char h = *p++;
+              code <<= 4;
+              if (h >= '0' && h <= '9') code |= h - '0';
+              else if (h >= 'a' && h <= 'f') code |= h - 'a' + 10;
+              else if (h >= 'A' && h <= 'F') code |= h - 'A' + 10;
+              else return fail("bad hex digit");
+            }
+            // encode as UTF-8 (BMP only; surrogate pairs unsupported — the
+            // safetensors headers we read never contain them)
+            if (code < 0x80) out.push_back((char)code);
+            else if (code < 0x800) {
+              out.push_back((char)(0xC0 | (code >> 6)));
+              out.push_back((char)(0x80 | (code & 0x3F)));
+            } else {
+              out.push_back((char)(0xE0 | (code >> 12)));
+              out.push_back((char)(0x80 | ((code >> 6) & 0x3F)));
+              out.push_back((char)(0x80 | (code & 0x3F)));
+            }
+            break;
+          }
+          default: return fail("unknown escape");
+        }
+      } else {
+        out.push_back(c);
+      }
+    }
+    if (p >= end) return fail("unterminated string");
+    p++;  // closing quote
+    return true;
+  }
+
+  bool parse_value(ValuePtr& out) {
+    skip_ws();
+    if (p >= end) return fail("unexpected end");
+    out = std::make_unique<Value>();
+    if (*p == '"') {
+      out->kind = Value::Kind::Str;
+      return parse_string(out->str);
+    }
+    if (*p == '{') {
+      out->kind = Value::Kind::Obj;
+      p++;
+      skip_ws();
+      if (p < end && *p == '}') { p++; return true; }
+      while (true) {
+        std::string key;
+        if (!parse_string(key)) return false;
+        skip_ws();
+        if (p >= end || *p != ':') return fail("expected ':'");
+        p++;
+        ValuePtr v;
+        if (!parse_value(v)) return false;
+        out->obj.emplace_back(std::move(key), std::move(v));
+        skip_ws();
+        if (p < end && *p == ',') { p++; continue; }
+        if (p < end && *p == '}') { p++; return true; }
+        return fail("expected ',' or '}'");
+      }
+    }
+    if (*p == '[') {
+      out->kind = Value::Kind::Arr;
+      p++;
+      skip_ws();
+      if (p < end && *p == ']') { p++; return true; }
+      while (true) {
+        ValuePtr v;
+        if (!parse_value(v)) return false;
+        out->arr.push_back(std::move(v));
+        skip_ws();
+        if (p < end && *p == ',') { p++; continue; }
+        if (p < end && *p == ']') { p++; return true; }
+        return fail("expected ',' or ']'");
+      }
+    }
+    if (*p == '-' || (*p >= '0' && *p <= '9')) {
+      out->kind = Value::Kind::Int;
+      bool neg = (*p == '-');
+      if (neg) p++;
+      int64_t v = 0;
+      bool any = false;
+      while (p < end && *p >= '0' && *p <= '9') {
+        v = v * 10 + (*p - '0');
+        p++;
+        any = true;
+      }
+      // fractional/exponent parts are not needed for safetensors headers;
+      // swallow them so odd metadata doesn't break parsing
+      if (p < end && *p == '.') {
+        p++;
+        while (p < end && *p >= '0' && *p <= '9') p++;
+      }
+      if (p < end && (*p == 'e' || *p == 'E')) {
+        p++;
+        if (p < end && (*p == '+' || *p == '-')) p++;
+        while (p < end && *p >= '0' && *p <= '9') p++;
+      }
+      if (!any) return fail("bad number");
+      out->num = neg ? -v : v;
+      return true;
+    }
+    // true/false/null — tolerate by skipping
+    if (end - p >= 4 && memcmp(p, "true", 4) == 0) { p += 4; out->kind = Value::Kind::Int; out->num = 1; return true; }
+    if (end - p >= 5 && memcmp(p, "false", 5) == 0) { p += 5; out->kind = Value::Kind::Int; out->num = 0; return true; }
+    if (end - p >= 4 && memcmp(p, "null", 4) == 0) { p += 4; out->kind = Value::Kind::Int; out->num = 0; return true; }
+    return fail("unexpected token");
+  }
+};
+
+}  // namespace mini_json
+
+// ---------------------------------------------------------------------------
+// Checkpoint reader
+// ---------------------------------------------------------------------------
+
+struct YnTensor {
+  std::string name;
+  std::string dtype;
+  int64_t shape[8] = {0};
+  int ndim = 0;
+  const void* data = nullptr;
+  int64_t nbytes = 0;
+};
+
+struct YnFile {
+  void* map = nullptr;
+  size_t map_size = 0;
+  std::vector<YnTensor> tensors;
+  std::vector<std::pair<std::string, std::string>> metadata;
+  std::string error;
+};
+
+extern "C" {
+
+YnFile* yn_open(const char* path) {
+  auto f = std::make_unique<YnFile>();
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) {
+    f->error = std::string("open failed: ") + path;
+    return f.release();
+  }
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 8) {
+    ::close(fd);
+    f->error = "stat failed or file too small";
+    return f.release();
+  }
+  f->map_size = (size_t)st.st_size;
+  f->map = mmap(nullptr, f->map_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  ::close(fd);
+  if (f->map == MAP_FAILED) {
+    f->map = nullptr;
+    f->error = "mmap failed";
+    return f.release();
+  }
+  madvise(f->map, f->map_size, MADV_SEQUENTIAL);
+
+  const uint8_t* base = (const uint8_t*)f->map;
+  uint64_t header_size = 0;
+  memcpy(&header_size, base, 8);  // little-endian host assumed (x86/ARM)
+  if (header_size > f->map_size - 8) {
+    f->error = "bad header size";
+    return f.release();
+  }
+  const char* json = (const char*)(base + 8);
+  mini_json::Parser parser(json, header_size);
+  mini_json::ValuePtr root;
+  if (!parser.parse_value(root) || root->kind != mini_json::Value::Kind::Obj) {
+    f->error = "header parse error: " + parser.error;
+    return f.release();
+  }
+
+  const uint8_t* data_start = base + 8 + header_size;
+  size_t data_size = f->map_size - 8 - header_size;
+
+  for (auto& kv : root->obj) {
+    if (kv.first == "__metadata__") {
+      for (auto& m : kv.second->obj) {
+        if (m.second->kind == mini_json::Value::Kind::Str)
+          f->metadata.emplace_back(m.first, m.second->str);
+      }
+      continue;
+    }
+    const mini_json::Value* v = kv.second.get();
+    const mini_json::Value* dt = v->find("dtype");
+    const mini_json::Value* sh = v->find("shape");
+    const mini_json::Value* off = v->find("data_offsets");
+    if (!dt || !sh || !off || off->arr.size() != 2) {
+      f->error = "bad tensor entry: " + kv.first;
+      return f.release();
+    }
+    YnTensor t;
+    t.name = kv.first;
+    t.dtype = dt->str;
+    t.ndim = (int)sh->arr.size();
+    if (t.ndim > 8) {
+      f->error = "too many dims: " + kv.first;
+      return f.release();
+    }
+    for (int i = 0; i < t.ndim; i++) t.shape[i] = sh->arr[i]->num;
+    int64_t start = off->arr[0]->num, end = off->arr[1]->num;
+    if (start < 0 || end < start || (size_t)end > data_size) {
+      f->error = "bad offsets: " + kv.first;
+      return f.release();
+    }
+    t.data = data_start + start;
+    t.nbytes = end - start;
+    f->tensors.push_back(std::move(t));
+  }
+  return f.release();
+}
+
+const char* yn_error(YnFile* f) { return f->error.empty() ? nullptr : f->error.c_str(); }
+
+void yn_close(YnFile* f) {
+  if (f->map) munmap(f->map, f->map_size);
+  delete f;
+}
+
+int yn_n_tensors(YnFile* f) { return (int)f->tensors.size(); }
+
+int yn_tensor_info(YnFile* f, int idx, const char** name, const char** dtype,
+                   const int64_t** shape, int* ndim, const void** data,
+                   int64_t* nbytes) {
+  if (idx < 0 || idx >= (int)f->tensors.size()) return -1;
+  const YnTensor& t = f->tensors[idx];
+  *name = t.name.c_str();
+  *dtype = t.dtype.c_str();
+  *shape = t.shape;
+  *ndim = t.ndim;
+  *data = t.data;
+  *nbytes = t.nbytes;
+  return 0;
+}
+
+int yn_n_metadata(YnFile* f) { return (int)f->metadata.size(); }
+
+int yn_metadata(YnFile* f, int idx, const char** key, const char** val) {
+  if (idx < 0 || idx >= (int)f->metadata.size()) return -1;
+  *key = f->metadata[idx].first.c_str();
+  *val = f->metadata[idx].second.c_str();
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Trie tokenizer
+// ---------------------------------------------------------------------------
+
+struct TrieNode {
+  // Sorted edge list: (byte, child index). Binary search at encode time.
+  std::vector<std::pair<uint8_t, int32_t>> edges;
+  int32_t token_id = -1;
+
+  int32_t child(uint8_t b) const {
+    size_t lo = 0, hi = edges.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (edges[mid].first < b) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo < edges.size() && edges[lo].first == b) return edges[lo].second;
+    return -1;
+  }
+
+  void add_edge(uint8_t b, int32_t idx) {
+    size_t lo = 0;
+    while (lo < edges.size() && edges[lo].first < b) lo++;
+    edges.insert(edges.begin() + lo, {b, idx});
+  }
+};
+
+struct YtTokenizer {
+  std::vector<TrieNode> nodes;   // nodes[0] is the root
+  int32_t byte_fallback_start = -1;
+  int32_t n_vocab = 0;
+};
+
+extern "C" {
+
+// vocab blob: NUL-terminated token byte strings back to back (the checkpoint's
+// "tokenizer.tokens" tensor).
+YtTokenizer* yt_create(const uint8_t* blob, int64_t blob_len) {
+  auto t = std::make_unique<YtTokenizer>();
+  t->nodes.emplace_back();  // root
+  int32_t token_id = 0;
+  int64_t i = 0;
+  while (i < blob_len) {
+    int64_t start = i;
+    while (i < blob_len && blob[i] != 0) i++;
+    int64_t len = i - start;
+    // walk/extend the trie
+    int32_t node = 0;
+    for (int64_t j = 0; j < len; j++) {
+      uint8_t b = blob[start + j];
+      int32_t next = t->nodes[node].child(b);
+      if (next < 0) {
+        next = (int32_t)t->nodes.size();
+        t->nodes.emplace_back();
+        t->nodes[node].add_edge(b, next);
+      }
+      node = next;
+    }
+    if (len > 0) t->nodes[node].token_id = token_id;
+    if (len == 6 && memcmp(blob + start, "<0x00>", 6) == 0)
+      t->byte_fallback_start = token_id;
+    token_id++;
+    i++;  // skip NUL
+  }
+  t->n_vocab = token_id;
+  return t.release();
+}
+
+void yt_free(YtTokenizer* t) { delete t; }
+
+int32_t yt_byte_fallback_start(YtTokenizer* t) { return t->byte_fallback_start; }
+int32_t yt_n_vocab(YtTokenizer* t) { return t->n_vocab; }
+
+// Greedy longest-prefix-match encode; returns number of ids written, or -1 if
+// out_cap is too small. Bytes with no match use byte-fallback tokens when the
+// vocab has them, and are skipped otherwise.
+int64_t yt_encode(YtTokenizer* t, const uint8_t* text, int64_t text_len,
+                  int32_t* out, int64_t out_cap) {
+  int64_t n_out = 0;
+  int64_t i = 0;
+  while (i < text_len) {
+    int32_t node = 0;
+    int32_t best_id = -1;
+    int64_t best_len = 0;
+    int64_t j = i;
+    while (j < text_len) {
+      int32_t next = t->nodes[node].child(text[j]);
+      if (next < 0) break;
+      node = next;
+      j++;
+      if (t->nodes[node].token_id >= 0) {
+        best_id = t->nodes[node].token_id;
+        best_len = j - i;
+      }
+    }
+    if (best_id < 0) {
+      if (t->byte_fallback_start >= 0) {
+        if (n_out >= out_cap) return -1;
+        out[n_out++] = (int32_t)text[i] + t->byte_fallback_start;
+      }
+      i += 1;
+    } else {
+      if (n_out >= out_cap) return -1;
+      out[n_out++] = best_id;
+      i += best_len;
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"

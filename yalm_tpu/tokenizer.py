@@ -56,6 +56,16 @@ class Tokenizer:
                 node = node.setdefault(b, {})
             node[-1] = i
 
+        # native C++ trie accelerator (yalm_tpu/native), when built
+        self._native = None
+        try:
+            from . import native as _native_mod
+            if _native_mod.loaded():
+                blob = b"".join(v + b"\0" for v in vocab)
+                self._native = _native_mod.NativeTrie(blob)
+        except Exception:
+            self._native = None
+
     @classmethod
     def from_yalm(cls, yf) -> "Tokenizer":
         """Construct from a loaded checkpoint (codec.YalmFile)."""
@@ -71,6 +81,9 @@ class Tokenizer:
         out: list[int] = []
         if bos:
             out.append(self.bos_id)
+        if self._native is not None:
+            out.extend(self._native.encode(data))
+            return out
         i, n = 0, len(data)
         while i < n:
             node = self._trie

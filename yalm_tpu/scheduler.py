@@ -1,0 +1,211 @@
+"""Continuous-batching scheduler.
+
+New capability beyond the reference, which decodes a single stream
+sequentially (src/main.cpp:102-112); BASELINE.json requires a continuous
+batching layer. Design:
+
+- A fixed pool of B slots, each owning one lane of a batched KV cache
+  (B, n_layers, L, kv_heads, head_dim) — batch rides the `dp` mesh axis when
+  sharded. Shapes never change: slot occupancy is data, not shape.
+- Every tick runs ONE jitted batched decode+sample step for all slots
+  (inactive lanes compute garbage that is masked out — the fixed-shape
+  price of zero recompiles).
+- Admission: free slots take queued requests; the new request's prompt is
+  prefilled into its slot's cache lanes between ticks (chunked, same
+  bucketed programs as the single-stream engine), then the slot joins the
+  batched decode.
+- Completion: EOS/stop/max-tokens frees the slot at the next tick boundary.
+
+The host-side loop is intentionally thin: all math lives in two jitted
+programs (batched tick, per-slot prefill).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig
+from .models.cache import KVCache
+from .models.transformer import decode_step, prefill
+from .models.weights import Weights
+from .sampler import sample
+from .engine import PREFILL_BUCKETS, _bucket_for
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_tokens: list[int]
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    stop_tokens: frozenset[int] = frozenset()
+    seed: int = 0
+    # outputs
+    generated: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    on_token: Optional[Callable[[int], None]] = None
+
+    def _emit(self, tok: int) -> None:
+        self.generated.append(tok)
+        if self.on_token:
+            self.on_token(tok)
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: Optional[Request] = None
+    pos: int = 0            # next absolute position for this sequence
+    last_token: int = 0     # token to feed next tick
+
+    @property
+    def free(self) -> bool:
+        return self.request is None
+
+
+class Scheduler:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        weights: Weights,
+        *,
+        batch: int = 8,
+        kv_dtype=jnp.float16,
+        compute_dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.weights = weights
+        self.B = batch
+        self.kv_dtype = kv_dtype
+        self.cache = KVCache.init(cfg, kv_dtype, batch=batch)
+        self.slots = [_Slot() for _ in range(batch)]
+        self.queue: list[Request] = []
+        self._key = jax.random.PRNGKey(0)
+        cd = compute_dtype
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _tick(w, tokens, positions, cache, key, temps):
+            """One batched decode+sample tick over all B slots."""
+            def one(tok, pos, c):
+                logits, c = decode_step(cfg, w, tok, pos, c,
+                                        output_logits=True, compute_dtype=cd)
+                return logits, c
+            logits, cache = jax.vmap(one, in_axes=(0, 0, 0))(tokens, positions, cache)
+            keys = jax.random.split(key, tokens.shape[0])
+            nxt = jax.vmap(sample)(logits, keys, temps)
+            return nxt, cache
+
+        @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
+        def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
+            """Chunk-prefill one slot's cache lane in place."""
+            lane = KVCache(k=cache.k[slot], v=cache.v[slot])
+            out, lane = prefill(cfg, w, tokens, pos0, valid_len, lane,
+                                logits_mode=logits_mode, compute_dtype=cd)
+            cache = KVCache(k=cache.k.at[slot].set(lane.k),
+                            v=cache.v.at[slot].set(lane.v))
+            return out, cache
+
+        self._tick = _tick
+        self._prefill_slot = _prefill_slot
+
+    # ------------------------------------------------------------------
+    def submit(self, request: Request) -> Request:
+        self.queue.append(request)
+        return request
+
+    @property
+    def n_active(self) -> int:
+        return sum(not s.free for s in self.slots)
+
+    def _admit(self) -> None:
+        """Move queued requests into free slots (prefill between ticks)."""
+        for b, slot in enumerate(self.slots):
+            if not self.queue or not slot.free:
+                continue
+            req = self.queue.pop(0)
+            toks = list(req.prompt_tokens)
+            L = self.cfg.max_seq_len
+            pos = 0
+            logits = None
+            i, n = 0, len(toks)
+            while i < n:
+                room = L - pos
+                if room <= 0:
+                    # ring regime for extremely long prompts: feed one at a
+                    # time through the batched tick machinery would be wasteful;
+                    # use chunk=1 prefill (still correct — ring handled by
+                    # decode-style step below)
+                    break
+                take = min(n - i, PREFILL_BUCKETS[-1], room)
+                bucket = _bucket_for(take)
+                if bucket > room:
+                    bucket = take
+                padded = np.zeros(bucket, np.int32)
+                padded[:take] = toks[i : i + take]
+                mode = "last" if i + take >= n else "none"
+                out, self.cache = self._prefill_slot(
+                    self.weights, jnp.asarray(padded), jnp.int32(pos),
+                    jnp.int32(take), b, self.cache, logits_mode=mode)
+                if mode == "last":
+                    logits = out
+                pos += take
+                i += take
+            if i < n:
+                raise NotImplementedError(
+                    "prompts longer than the context window are not yet "
+                    "admitted to the batched scheduler; use Engine")
+            # sample the first generated token
+            self._key, sub = jax.random.split(self._key)
+            first = int(sample(logits, sub, jnp.float32(req.temperature)))
+            req._emit(first)
+            slot.request = req
+            slot.pos = pos
+            slot.last_token = first
+            self._maybe_finish(slot, first)
+
+    def _maybe_finish(self, slot: _Slot, tok: int) -> None:
+        req = slot.request
+        if req is None:
+            return
+        if tok in req.stop_tokens or len(req.generated) >= req.max_new_tokens:
+            req.done = True
+            slot.request = None
+
+    # ------------------------------------------------------------------
+    def step(self) -> int:
+        """Admit then run one batched decode tick. Returns #active slots."""
+        self._admit()
+        active = [not s.free for s in self.slots]
+        if not any(active):
+            return 0
+        tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
+        positions = jnp.asarray([s.pos for s in self.slots], jnp.int32)
+        temps = jnp.asarray(
+            [s.request.temperature if s.request else 0.0 for s in self.slots],
+            jnp.float32)
+        self._key, sub = jax.random.split(self._key)
+        nxt, self.cache = self._tick(self.weights, tokens, positions,
+                                     self.cache, sub, temps)
+        nxt = np.asarray(nxt)
+        for b, slot in enumerate(self.slots):
+            if slot.free:
+                continue
+            tok = int(nxt[b])
+            slot.pos += 1
+            slot.last_token = tok
+            slot.request._emit(tok)
+            self._maybe_finish(slot, tok)
+        return sum(not s.free for s in self.slots)
+
+    def run(self, max_ticks: int = 100000) -> None:
+        """Drive until every queued and active request completes."""
+        for _ in range(max_ticks):
+            if not self.queue and self.n_active == 0:
+                return
+            self.step()
+        raise RuntimeError("scheduler did not converge within max_ticks")

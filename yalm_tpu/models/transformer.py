@@ -94,7 +94,7 @@ def _dense_ffn_delta(cfg: ModelConfig, xb: jax.Array, lw: LayerWeights, compute_
 # Single-token decode step
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "output_logits", "compute_dtype"))
+@partial(jax.jit, static_argnames=("cfg", "output_logits", "compute_dtype", "capture"))
 def decode_step(
     cfg: ModelConfig,
     weights: Weights,
@@ -104,6 +104,7 @@ def decode_step(
     *,
     output_logits: bool = True,
     compute_dtype=jnp.float32,
+    capture: bool = False,
 ) -> tuple[Optional[jax.Array], KVCache]:
     """One decode step at absolute position `pos`; returns (logits|None, cache).
 
@@ -154,17 +155,29 @@ def decode_step(
         x = x + _proj(mixed, lw.wo, compute_dtype)
 
         # -- FFN ----------------------------------------------------------
-        xb = rmsnorm(x, lw.rms_ffn, cfg.norm_eps)
-        x = x + _dense_ffn_delta(cfg, xb, lw, compute_dtype)
-        return x, (kc, vc)
+        xb2 = rmsnorm(x, lw.rms_ffn, cfg.norm_eps)
+        x = x + _dense_ffn_delta(cfg, xb2, lw, compute_dtype)
+        ys = (kc, vc)
+        if capture:
+            # DEBUG_MODEL-style per-layer activation capture
+            # (reference src/model.h:329-348); scan stacks these over layers.
+            ys = (kc, vc, {"att_in": xb, "q": q, "k": k, "v": v,
+                           "att_mix": mixed, "ffn_in": xb2, "block_out": x})
+        return x, ys
 
-    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights.layers, cache.k, cache.v))
-    new_cache = KVCache(k=k_new, v=v_new)
+    x, ys = jax.lax.scan(layer_fn, x, (weights.layers, cache.k, cache.v))
+    new_cache = KVCache(k=ys[0], v=ys[1])
+    cap = ys[2] if capture else None
 
     if not output_logits:
-        return None, new_cache
+        return (None, new_cache, cap) if capture else (None, new_cache)
     x = rmsnorm(x, weights.final_norm, cfg.norm_eps)
     logits = _proj(x, weights.lm_head, compute_dtype)
+    if capture:
+        cap = dict(cap)
+        cap["final_norm"] = x
+        cap["logits"] = logits
+        return logits, new_cache, cap
     return logits, new_cache
 
 

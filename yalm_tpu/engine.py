@@ -58,13 +58,23 @@ class Engine:
         *,
         kv_dtype=jnp.float16,
         compute_dtype=jnp.float32,
+        mesh=None,
     ):
         self.cfg = cfg
-        self.weights = weights
         self.tokenizer = tokenizer
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
-        self.cache = KVCache.init(cfg, kv_dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            # tensor-parallel placement: weights sharded Megatron-style, KV
+            # cache by kv-head; jit then propagates shardings and inserts
+            # the collectives (see parallel/sharding.py)
+            from .parallel.sharding import shard_cache, shard_weights
+            weights = shard_weights(weights, cfg, mesh)
+            self.cache = shard_cache(KVCache.init(cfg, kv_dtype), cfg, mesh)
+        else:
+            self.cache = KVCache.init(cfg, kv_dtype)
+        self.weights = weights
         self.pos = 0          # next absolute position to be written
         self._last_logits: Optional[jax.Array] = None
 
@@ -124,21 +134,31 @@ class Engine:
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, path: str, *, context: int = 0,
-                        device=None, **kw) -> "Engine":
+                        device=None, mesh=None, **kw) -> "Engine":
         yf = read_yalm(path)
         cfg = ModelConfig.from_metadata(yf.metadata, context=context)
-        put = jnp.asarray if device is None else partial(jax.device_put, device=device)
+        if mesh is not None:
+            put = jnp.asarray  # stacked on host; sharded in Engine.__init__
+        elif device is not None:
+            put = partial(jax.device_put, device=device)
+        else:
+            put = jnp.asarray
         weights = load_weights(yf, cfg, device_put=put)
         tok = Tokenizer.from_yalm(yf)
-        eng = cls(cfg, weights, tok, **kw)
-        if device is not None:
+        eng = cls(cfg, weights, tok, mesh=mesh, **kw)
+        if device is not None and mesh is None:
             eng.cache = jax.device_put(eng.cache, device)
         yf.close()  # weights were copied to device; release the mapping
         return eng
 
     # ------------------------------------------------------------------
     def reset(self) -> None:
-        self.cache = KVCache.init(self.cfg, self.kv_dtype)
+        if self.mesh is not None:
+            from .parallel.sharding import shard_cache
+            self.cache = shard_cache(KVCache.init(self.cfg, self.kv_dtype),
+                                     self.cfg, self.mesh)
+        else:
+            self.cache = KVCache.init(self.cfg, self.kv_dtype)
         self.pos = 0
         self._last_logits = None
 

@@ -48,6 +48,39 @@ def build_cfg(preset: str, dtype: str):
     )
 
 
+def _synth_fast_weights(cfg, seed=0):
+    """Random weights synthesized directly in the decode (FastWeights)
+    layout, so device HBM never holds a transient second copy."""
+    import jax
+    import jax.numpy as jnp
+    from yalm_tpu.models.fast import FastWeights
+
+    wdt = {"fp32": jnp.float32, "fp16": jnp.float16, "bf16": jnp.bfloat16,
+           "fp8": jnp.float8_e5m2}[cfg.weight_dtype]
+    key = jax.random.PRNGKey(seed)
+
+    def mk(k, *shape, scale=0.02):
+        parts = []
+        for i in range(shape[0]):
+            sub = jax.random.normal(jax.random.fold_in(key, k * 4096 + i),
+                                    shape[1:], jnp.bfloat16) * scale
+            parts.append(sub.astype(wdt))
+        return jnp.stack(parts)
+
+    nl = cfg.n_layers
+    return FastWeights(
+        embed=mk(9, cfg.vocab_size, cfg.dim),
+        rms_att=jnp.ones((nl, cfg.dim), jnp.float32),
+        rms_ffn=jnp.ones((nl, cfg.dim), jnp.float32),
+        wqkv=mk(1, nl, cfg.q_dim + 2 * cfg.kv_dim, cfg.dim),
+        wo=mk(4, nl, cfg.dim, cfg.q_dim),
+        w13=mk(5, nl, 2 * cfg.hidden_dim, cfg.dim),
+        w2=mk(6, nl, cfg.dim, cfg.hidden_dim),
+        final_norm=jnp.ones((cfg.dim,), jnp.float32),
+        lm_head=mk(10, cfg.vocab_size, cfg.dim),
+    )
+
+
 def main() -> None:
     dtype = os.environ.get("YALM_BENCH_DTYPE", "fp8")
     steps = int(os.environ.get("YALM_BENCH_STEPS", "64"))
@@ -55,9 +88,7 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    from __graft_entry__ import _synth_weights
     from yalm_tpu.models.cache import KVCache
-    from yalm_tpu.models.transformer import decode_step
     from yalm_tpu.sampler import sample
 
     from yalm_tpu.engine import Engine
@@ -67,12 +98,13 @@ def main() -> None:
     cfg = build_cfg(preset, dtype)
 
     t0 = time.perf_counter()
-    weights = _synth_weights(cfg)
+    weights = _synth_fast_weights(cfg)
     jax.block_until_ready(weights)
     log(f"weights synthesized in {time.perf_counter()-t0:.1f}s "
         f"({cfg.active_bytes(0)/1e9:.2f} GB active bytes/token)")
 
-    eng = Engine(cfg, weights, kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    eng = Engine(cfg, weights, kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+                 fast=True)
     key = jax.random.PRNGKey(0)
     temp = jnp.float32(0.0)
 

@@ -1,0 +1,209 @@
+"""Fast-path parity: Pallas kernels (interpret mode on CPU) vs the jnp oracle.
+
+The reference's pattern: CPU implementations are golden, device kernels are
+parity-tested elementwise against them (src/test.cpp:148-206). Here the
+oracle is models/transformer.decode_step and the device path is
+models/fast.decode_step_fast; kernels run through the Pallas interpreter so
+the same tests gate TPU behavior from the CPU test mesh.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yalm_tpu.codec.format import read_yalm
+from yalm_tpu.models import KVCache, decode_step, load_weights
+from yalm_tpu.models.fast import FastWeights, decode_step_fast, fast_supported
+from yalm_tpu.ops.attention import attend_one
+from yalm_tpu.ops.pallas.gemv import gemv, gemv_l, gemv_supported, pick_blocks
+from yalm_tpu.ops.pallas.attention import attend_one_l
+from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+
+def fast_config(**overrides):
+    """Smallest config satisfying the kernels' tiling rules (head_dim 128).
+
+    qkv_clip stays at the default (inf) here: adding clamp ops to a decode
+    program at these shapes trips a nondeterministic segfault in jaxlib
+    0.9.0's CPU backend (heap corruption; crash sites vary between XLA
+    execution and trace-time keystr). Clip *semantics* are covered at
+    crash-free small shapes by test_model.test_qkv_clip — the fast path
+    shares the same single jnp.clip line.
+    """
+    defaults = dict(dim=256, hidden_dim=512, head_dim=128, n_layers=2,
+                    n_heads=4, n_kv_heads=2, vocab_size=512, max_seq_len=32,
+                    rotary_dim=128)
+    defaults.update(overrides)
+    return tiny_config(**defaults)
+
+
+# ---------------------------------------------------------------------------
+# GEMV kernels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.float8_e5m2])
+@pytest.mark.parametrize("shape", [(16, 128), (512, 256), (24, 384)])
+def test_gemv_matches_dot(dtype, shape):
+    N, K = shape
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((N, K), np.float32) * 0.1, dtype)
+    x = jnp.asarray(rng.standard_normal(K, np.float32))
+    got = np.asarray(gemv(x, w, interpret=True))
+    want = np.asarray(x) @ np.asarray(w.astype(jnp.float32)).T
+    # kernel computes in bf16 -> f32 accumulate
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gemv_l_selects_layer():
+    L, N, K = 3, 32, 256
+    rng = np.random.default_rng(1)
+    w_all = jnp.asarray(rng.standard_normal((L, N, K), np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal(K, np.float32))
+    for l in range(L):
+        got = np.asarray(gemv_l(x, w_all, jnp.int32(l), interpret=True))
+        want = np.asarray(x) @ np.asarray(w_all[l]).T
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gemv_l_inside_fori_loop():
+    """The intended usage: traced layer index inside a device loop."""
+    L, N, K = 4, 16, 128
+    rng = np.random.default_rng(2)
+    w_all = jnp.asarray(rng.standard_normal((L, K, K), np.float32) * 0.05)
+    x0 = jnp.asarray(rng.standard_normal(K, np.float32))
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, L, lambda i, x: gemv_l(x, w_all, i, interpret=True), x)
+
+    got = np.asarray(run(x0))
+    want = np.asarray(x0)
+    for l in range(L):
+        want = want @ np.asarray(w_all[l]).T
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_pick_blocks_divides():
+    for n, k in [(14336, 4096), (32000, 4096), (6144, 4096), (24, 384)]:
+        bn, bk = pick_blocks(n, k, 1)
+        assert n % bn == 0 and k % bk == 0
+        assert bn % 8 == 0 and bk % 128 == 0
+    assert gemv_supported(32000, 4096)
+    assert not gemv_supported(100, 4096)
+    assert not gemv_supported(32000, 100)
+
+
+# ---------------------------------------------------------------------------
+# Flash decode attention
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kv_len", [1, 7, 32])
+@pytest.mark.parametrize("qpk", [1, 2])
+def test_attend_one_l_matches_oracle(kv_len, qpk):
+    L, S, Hk, D = 2, 32, 2, 128
+    rng = np.random.default_rng(3)
+    k_all = jnp.asarray(rng.standard_normal((L, S, Hk, D), np.float32), jnp.bfloat16)
+    v_all = jnp.asarray(rng.standard_normal((L, S, Hk, D), np.float32), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((Hk, qpk, D), np.float32))
+    for layer in range(L):
+        got = np.asarray(attend_one_l(q, k_all, v_all, jnp.int32(layer),
+                                      jnp.int32(kv_len), interpret=True))
+        want = np.asarray(attend_one(q, k_all[layer], v_all[layer],
+                                     jnp.arange(S) < kv_len))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Whole-step parity: fast path vs oracle across the ring boundary
+# ---------------------------------------------------------------------------
+
+def test_decode_step_fast_matches_oracle(tmp_path):
+    cfg = fast_config()
+    assert fast_supported(cfg)
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=0)
+    weights = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(weights, cfg)
+
+    cache_o = KVCache.init(cfg, jnp.bfloat16)
+    cache_f = KVCache.init(cfg, jnp.bfloat16)
+    tok = jnp.int32(5)
+    # run past max_seq_len (32) to exercise the ring buffer + sink rotation
+    for pos in range(cfg.max_seq_len + 8):
+        lo, cache_o = decode_step(cfg, weights, tok, jnp.int32(pos), cache_o,
+                                  output_logits=True, compute_dtype=jnp.bfloat16)
+        lf, cache_f = decode_step_fast(cfg, fw, tok, jnp.int32(pos), cache_f,
+                                       output_logits=True)
+        lo, lf = np.asarray(lo), np.asarray(lf)
+        assert np.argmax(lo) == np.argmax(lf), f"argmax diverged at pos {pos}"
+        scale = max(1.0, float(np.abs(lo).max()))
+        assert float(np.abs(lo - lf).max()) / scale < 0.05, f"logits diverged at pos {pos}"
+        tok = jnp.int32(int(np.argmax(lo)))
+
+    # caches agree too (both bf16, same writes/rotations)
+    np.testing.assert_allclose(np.asarray(cache_o.k, np.float32),
+                               np.asarray(cache_f.k, np.float32), rtol=3e-2, atol=3e-2)
+
+
+def test_decode_step_fast_hydrate_mode(tmp_path):
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=1)
+    weights = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(weights, cfg)
+    cache = KVCache.init(cfg, jnp.bfloat16)
+    out, cache = decode_step_fast(cfg, fw, jnp.int32(3), jnp.int32(0), cache,
+                                  output_logits=False)
+    assert out is None
+    assert float(jnp.abs(cache.k[:, 0]).max()) > 0  # slot 0 was written
+
+
+def test_fast_supported_gates():
+    assert not fast_supported(tiny_config())          # head_dim 16
+    assert not fast_supported(fast_config(n_experts=2, n_experts_active=1))
+    assert fast_supported(fast_config())
+
+
+# ---------------------------------------------------------------------------
+# Engine integration
+# ---------------------------------------------------------------------------
+
+def test_engine_fast_matches_oracle_engine(tmp_path):
+    from yalm_tpu.engine import Engine
+
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=2)
+
+    eng_f = Engine.from_checkpoint(path, fast=True, kv_dtype=jnp.bfloat16)
+    assert eng_f.fast and isinstance(eng_f.weights, FastWeights)
+    eng_o = Engine.from_checkpoint(path, fast=False, kv_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16)
+    assert not eng_o.fast
+
+    prompt = [1, 7, 42, 9]
+    toks_f = list(eng_f.generate(prompt, max_steps=12, temperature=0.0, seed=0))
+    toks_o = list(eng_o.generate(prompt, max_steps=12, temperature=0.0, seed=0))
+    # greedy decode: identical token streams modulo rare logit near-ties
+    agree = sum(a == b for a, b in zip(toks_f, toks_o))
+    assert agree >= len(toks_f) - 1, (toks_f, toks_o)
+
+
+def test_engine_fast_perplexity(tmp_path):
+    from yalm_tpu.engine import Engine
+
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=3)
+    toks = list(np.random.default_rng(0).integers(3, cfg.vocab_size, 50))
+
+    eng_f = Engine.from_checkpoint(path, fast=True, kv_dtype=jnp.bfloat16)
+    ppl_f, _, n_f = eng_f.perplexity(toks)
+    eng_o = Engine.from_checkpoint(path, fast=False, kv_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16)
+    ppl_o, _, n_o = eng_o.perplexity(toks)
+    assert n_f == n_o == len(toks) - 1
+    assert abs(ppl_f - ppl_o) / ppl_o < 0.02, (ppl_f, ppl_o)

@@ -29,6 +29,8 @@ import numpy as np
 from .codec.format import YalmFile, read_yalm
 from .config import ModelConfig
 from .models.cache import KVCache
+from .models.fast import (FastWeights, decode_step_fast, fast_supported,
+                          load_fast_weights, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights, load_weights
 from .sampler import logprob_of, sample
@@ -53,18 +55,28 @@ class Engine:
     def __init__(
         self,
         cfg: ModelConfig,
-        weights: Weights,
+        weights: Weights | FastWeights,
         tokenizer: Optional[Tokenizer] = None,
         *,
         kv_dtype=jnp.float16,
         compute_dtype=jnp.float32,
         mesh=None,
+        fast: bool | str = "auto",
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
         self.mesh = mesh
+        if fast == "auto":
+            # the Pallas decode path is the default wherever it applies;
+            # mesh-sharded (TP) inference stays on the oracle path for now
+            fast = mesh is None and fast_supported(cfg)
+        if fast and (mesh is not None or not fast_supported(cfg)):
+            raise ValueError("fast path unavailable for this config/mesh")
+        self.fast = bool(fast)
+        if self.fast and isinstance(weights, Weights):
+            weights = FastWeights.from_weights(weights, cfg)
         if mesh is not None:
             # tensor-parallel placement: weights sharded Megatron-style, KV
             # cache by kv-head; jit then propagates shardings and inserts
@@ -80,30 +92,43 @@ class Engine:
 
         cd = compute_dtype
 
+        if self.fast:
+            def _step(w, token, pos, cache, output_logits=True):
+                return decode_step_fast(cfg, w, token, pos, cache,
+                                        output_logits=output_logits)
+
+            def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode):
+                return prefill_fast(cfg, w, tokens, pos0, valid_len, cache,
+                                    logits_mode=logits_mode)
+        else:
+            def _step(w, token, pos, cache, output_logits=True):
+                return decode_step(cfg, w, token, pos, cache,
+                                   output_logits=output_logits, compute_dtype=cd)
+
+            def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode):
+                return prefill(cfg, w, tokens, pos0, valid_len, cache,
+                               logits_mode=logits_mode, compute_dtype=cd)
+
         # --- jitted specializations (cache donated: in-place ring updates) ---
         @partial(jax.jit, donate_argnums=(3,))
         def _step_sample(w, token, pos, cache, key, temperature):
-            logits, cache = decode_step(cfg, w, token, pos, cache,
-                                        output_logits=True, compute_dtype=cd)
+            logits, cache = _step(w, token, pos, cache)
             next_token = sample(logits, key, temperature)
             return next_token, logits, cache
 
         @partial(jax.jit, donate_argnums=(3,))
         def _step_hydrate(w, token, pos, cache):
-            _, cache = decode_step(cfg, w, token, pos, cache,
-                                   output_logits=False, compute_dtype=cd)
+            _, cache = _step(w, token, pos, cache, output_logits=False)
             return cache
 
         @partial(jax.jit, donate_argnums=(3,))
         def _step_logits(w, token, pos, cache):
-            logits, cache = decode_step(cfg, w, token, pos, cache,
-                                        output_logits=True, compute_dtype=cd)
+            logits, cache = _step(w, token, pos, cache)
             return logits, cache
 
         @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(4,))
         def _prefill(w, tokens, pos0, valid_len, cache, logits_mode):
-            return prefill(cfg, w, tokens, pos0, valid_len, cache,
-                           logits_mode=logits_mode, compute_dtype=cd)
+            return _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode)
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(3,))
         def _decode_block(w, token0, pos0, cache, key, temperature, n):
@@ -116,8 +141,7 @@ class Engine:
             def body(i, carry):
                 token, cache, out, key = carry
                 key, sub = jax.random.split(key)
-                logits, cache = decode_step(cfg, w, token, pos0 + i, cache,
-                                            output_logits=True, compute_dtype=cd)
+                logits, cache = _step(w, token, pos0 + i, cache)
                 nxt = sample(logits, sub, temperature)
                 return nxt, cache, out.at[i].set(nxt), key
 
@@ -134,7 +158,8 @@ class Engine:
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, path: str, *, context: int = 0,
-                        device=None, mesh=None, **kw) -> "Engine":
+                        device=None, mesh=None, fast: bool | str = "auto",
+                        **kw) -> "Engine":
         yf = read_yalm(path)
         cfg = ModelConfig.from_metadata(yf.metadata, context=context)
         if mesh is not None:
@@ -143,9 +168,15 @@ class Engine:
             put = partial(jax.device_put, device=device)
         else:
             put = jnp.asarray
-        weights = load_weights(yf, cfg, device_put=put)
+        if fast == "auto":
+            fast = mesh is None and fast_supported(cfg)
+        if fast:
+            # concat on the host so HBM never holds two weight copies
+            weights = load_fast_weights(yf, cfg, device_put=put)
+        else:
+            weights = load_weights(yf, cfg, device_put=put)
         tok = Tokenizer.from_yalm(yf)
-        eng = cls(cfg, weights, tok, mesh=mesh, **kw)
+        eng = cls(cfg, weights, tok, mesh=mesh, fast=fast, **kw)
         if device is not None and mesh is None:
             eng.cache = jax.device_put(eng.cache, device)
         yf.close()  # weights were copied to device; release the mapping

@@ -1,0 +1,298 @@
+"""TPU fast decode path: Pallas kernels, fori_loop layers, in-place KV cache.
+
+Semantically identical to the oracle `decode_step` (transformer.py) — same
+ring buffer, sinks, clipping, GQA — but engineered so one decode step moves
+exactly one copy of the weight bytes through HBM:
+
+- Projections run through `gemv_l` (ops/pallas/gemv.py): tiles DMA straight
+  from the stacked weights with the layer chosen by scalar prefetch, dequant
+  fused. The naive XLA lowering (dynamic-slice + astype + dot under scan)
+  measured 3-4x the traffic and OOM'd HBM at bf16 on a 7B model.
+- Q,K,V ride ONE stacked [wq;wk;wv] GEMV and w1,w3 ride one [w1;w3] GEMV
+  (the reference fuses the same pairs: fused_qkv_matmul_clip,
+  fused_ffn_w1_w3_glu_act — src/infer.cu:290-336, 598-620).
+- Attention is one flash kernel over the ring buffer (ops/pallas/attention.py)
+  replacing the reference's attn_dot/attn_softmax/att_mix trio.
+- The layer loop is `lax.fori_loop` (compiled once) and the cache is updated
+  via dynamic_update_slice on the full stacked buffer — donated by the
+  engine, so updates are in-place.
+
+MoE models fall back to the oracle path (experts are sharded across the
+mesh there; see parallel/).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import KV_SINKS, ModelConfig
+from ..ops.attention import attend_chunk
+from ..ops.core import apply_rope, gelu, rope_rotate_cached, silu, rmsnorm
+from ..ops.pallas.attention import attend_one_l, attention_supported
+from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
+from .cache import KVCache
+from .weights import Weights
+
+
+class FastWeights(NamedTuple):
+    """Decode-optimized weight layout (projection pairs pre-concatenated)."""
+
+    embed: jax.Array       # (vocab, dim)
+    rms_att: jax.Array     # (n_layers, dim) f32
+    rms_ffn: jax.Array     # (n_layers, dim) f32
+    wqkv: jax.Array        # (n_layers, q_dim + 2*kv_dim, dim)
+    wo: jax.Array          # (n_layers, dim, q_dim)
+    w13: jax.Array         # (n_layers, 2*hidden_dim, dim)
+    w2: jax.Array          # (n_layers, dim, hidden_dim)
+    final_norm: jax.Array  # (dim,) f32
+    lm_head: jax.Array     # (vocab, dim)
+
+    @classmethod
+    def from_weights(cls, w: Weights, cfg: ModelConfig) -> "FastWeights":
+        lw = w.layers
+        return cls(
+            embed=w.embed,
+            rms_att=lw.rms_att,
+            rms_ffn=lw.rms_ffn,
+            wqkv=jnp.concatenate([lw.wq, lw.wk, lw.wv], axis=1),
+            wo=lw.wo,
+            w13=jnp.concatenate([lw.w1, lw.w3], axis=1),
+            w2=lw.w2,
+            final_norm=w.final_norm,
+            lm_head=w.lm_head,
+        )
+
+
+def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeights:
+    """Load a checkpoint straight into the decode layout.
+
+    Concatenation happens on the host (numpy views into the mmap), so device
+    HBM only ever holds ONE copy of the weights — FastWeights.from_weights
+    on a loaded Weights would transiently double it.
+    """
+    import numpy as np
+    t = yf.tensors
+    d, h, q, kd = cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim
+
+    def get(name, shape):
+        arr = t[name]
+        if tuple(arr.shape) != shape:
+            raise ValueError(f"tensor {name}: expected {shape}, got {arr.shape}")
+        return arr
+
+    def stack(fmt, shape):
+        return np.stack([get(fmt.format(l), shape) for l in range(cfg.n_layers)])
+
+    def stack_cat(fmts_shapes):
+        return np.stack([
+            np.concatenate([get(f.format(l), s) for f, s in fmts_shapes])
+            for l in range(cfg.n_layers)])
+
+    embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
+    lm = (device_put(get("model.output.weight", (cfg.vocab_size, d)))
+          if "model.output.weight" in t else embed)
+    return FastWeights(
+        embed=embed,
+        rms_att=device_put(stack("model.layers.{}.attn.norm.weight", (d,))),
+        rms_ffn=device_put(stack("model.layers.{}.mlp.norm.weight", (d,))),
+        wqkv=device_put(stack_cat([("model.layers.{}.attn.wq.weight", (q, d)),
+                                   ("model.layers.{}.attn.wk.weight", (kd, d)),
+                                   ("model.layers.{}.attn.wv.weight", (kd, d))])),
+        wo=device_put(stack("model.layers.{}.attn.wo.weight", (d, q))),
+        w13=device_put(stack_cat([("model.layers.{}.mlp.w1.weight", (h, d)),
+                                  ("model.layers.{}.mlp.w3.weight", (h, d))])),
+        w2=device_put(stack("model.layers.{}.mlp.w2.weight", (d, h))),
+        final_norm=device_put(get("model.norm.weight", (d,))),
+        lm_head=lm,
+    )
+
+
+def fast_supported(cfg: ModelConfig) -> bool:
+    """Whether this model's shapes fit the Pallas kernels' tiling rules."""
+    if cfg.is_moe:
+        return False
+    pairs = [
+        (cfg.q_dim + 2 * cfg.kv_dim, cfg.dim),
+        (cfg.dim, cfg.q_dim),
+        (2 * cfg.hidden_dim, cfg.dim),
+        (cfg.dim, cfg.hidden_dim),
+        (cfg.vocab_size, cfg.dim),
+    ]
+    return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "output_logits"))
+def decode_step_fast(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    token: jax.Array,   # () int32
+    pos: jax.Array,     # () int32
+    cache: KVCache,
+    *,
+    output_logits: bool = True,
+) -> tuple[Optional[jax.Array], KVCache]:
+    """One decode step; numerics match decode_step(compute_dtype=bf16)."""
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+
+    x = fw.embed[token].astype(jnp.float32)
+
+    kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
+    kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
+    kv_len = jnp.minimum(pos + 1, L)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    def layer_body(i, carry):
+        x, k_all, v_all = carry
+
+        # -- attention ------------------------------------------------------
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                     cfg.norm_eps)
+        qkv = clip(gemv_l(xb, fw.wqkv, i))
+        q = qkv[: cfg.q_dim]
+        k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+        v = qkv[cfg.q_dim + cfg.kv_dim:]
+
+        q = apply_rope(q.reshape(Hq, D), pos, cfg.rope_theta, cfg.rotary_dim)
+        k = apply_rope(k.reshape(Hk, D), pos, cfg.rope_theta, cfg.rotary_dim)
+        v = v.reshape(Hk, D)
+
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None, None].astype(k_all.dtype), (i, kv_pos, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None, None].astype(v_all.dtype), (i, kv_pos, 0, 0))
+
+        # StreamingLLM sink-key re-rotation (oracle layer_fn; reference
+        # src/infer.cpp:303-317): frozen slots' keys advance one position.
+        sink_rows = jax.lax.dynamic_slice(
+            k_all, (i, 0, 0, 0), (1, KV_SINKS, Hk, D))[0].astype(jnp.float32)
+        rotated = rope_rotate_cached(sink_rows, cfg.rope_theta,
+                                     cfg.rotary_dim).astype(k_all.dtype)
+        sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
+        k_all = jax.lax.dynamic_update_slice(
+            k_all,
+            jnp.where(sink_mask, rotated, sink_rows.astype(k_all.dtype))[None],
+            (i, 0, 0, 0))
+
+        mixed = attend_one_l(q.reshape(Hk, qpk, D), k_all, v_all, i, kv_len)
+        x = x + gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i)
+
+        # -- FFN --------------------------------------------------------------
+        xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
+                      cfg.norm_eps)
+        h13 = gemv_l(xb2, fw.w13, i)
+        h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+        x = x + gemv_l(h, fw.w2, i)
+        return (x, k_all, v_all)
+
+    x, k_new, v_new = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    if not output_logits:
+        return None, new_cache
+    x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+    logits = gemv(x, fw.lm_head)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill on the fast layout
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "logits_mode"))
+def prefill_fast(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (T,) int32, padded chunk
+    pos0: jax.Array,       # () int32
+    valid_len: jax.Array,  # () int32
+    cache: KVCache,
+    *,
+    logits_mode: str = "last",
+) -> tuple[Optional[jax.Array], KVCache]:
+    """Chunked prefill over FastWeights (bf16 compute; same semantics and
+    preconditions as the oracle `prefill`, models/transformer.py).
+
+    Prefill is MXU-batched (T tokens per weight read), so plain XLA matmuls
+    over the concatenated projections are the right tool — the Pallas GEMV
+    machinery only pays off at batch 1.
+    """
+    T = tokens.shape[0]
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    cd = jnp.bfloat16
+
+    positions = pos0 + jnp.arange(T)
+    valid = jnp.arange(T) < valid_len
+    att_mask = jnp.arange(L)[None, :] <= positions[:, None]
+
+    def proj(x, w):
+        return jax.lax.dot_general(
+            x.astype(cd), w.astype(cd),
+            (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    x = fw.embed[tokens].astype(jnp.float32)  # (T, dim)
+
+    def layer_fn(x, layer):
+        rms_a, rms_f, wqkv, wo, w13, w2, kc, vc = layer
+        xb = rmsnorm(x, rms_a, cfg.norm_eps)
+        qkv = clip(proj(xb, wqkv))                               # (T, q+2kv)
+        q = qkv[:, : cfg.q_dim]
+        k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+        v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+
+        q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_theta, cfg.rotary_dim)
+        k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_theta, cfg.rotary_dim)
+        v = v.reshape(T, Hk, D)
+
+        old_k = jax.lax.dynamic_slice(kc, (pos0, 0, 0), (T, Hk, D))
+        old_v = jax.lax.dynamic_slice(vc, (pos0, 0, 0), (T, Hk, D))
+        vmask = valid[:, None, None]
+        kc = jax.lax.dynamic_update_slice(
+            kc, jnp.where(vmask, k.astype(kc.dtype), old_k), (pos0, 0, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
+
+        mixed = attend_chunk(q.reshape(T, Hk, qpk, D), kc, vc, att_mask)
+        x = x + proj(mixed.reshape(T, cfg.q_dim), wo)
+
+        xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
+        h13 = proj(xb2, w13)
+        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+        x = x + proj(h, w2)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer_fn, x,
+        (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
+
+    if logits_mode == "none":
+        return None, new_cache
+    if logits_mode == "last":
+        x_last = jnp.take(x, valid_len - 1, axis=0)
+        x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
+        return gemv(x_last, fw.lm_head), new_cache
+    if logits_mode == "all":
+        xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        return proj(xn, fw.lm_head), new_cache
+    raise ValueError(f"bad logits_mode {logits_mode!r}")

@@ -111,20 +111,28 @@ def main() -> None:
     # The decode loop runs ON DEVICE in blocks (engine._decode_block), so
     # host dispatch cost is amortized over the whole block; a host fetch of
     # the sampled ids delimits the measurement (block_until_ready alone does
-    # not reliably fence on relayed device platforms).
+    # not reliably fence on relayed device platforms). The warmup block uses
+    # the SAME static n as the measured blocks — a different n is a
+    # different compiled program, and its compile time would pollute the
+    # measurement. Median of 3 repeats guards against machine noise.
     t0 = time.perf_counter()
     out, cache = eng._decode_block(weights, jnp.int32(1), jnp.int32(0),
-                                   eng.cache, key, temp, n=4)
+                                   eng.cache, key, temp, n=steps)
     _ = np.asarray(out)
-    log(f"compile+first 4-step block: {time.perf_counter()-t0:.1f}s")
+    log(f"compile+first {steps}-step block: {time.perf_counter()-t0:.1f}s")
 
-    t0 = time.perf_counter()
-    out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])), jnp.int32(4),
-                                   cache, key, temp, n=steps)
-    toks = np.asarray(out)  # host fetch = completion fence
-    dt = time.perf_counter() - t0
+    times = []
+    pos0 = steps
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])),
+                                       jnp.int32(pos0), cache, key, temp, n=steps)
+        toks = np.asarray(out)  # host fetch = completion fence
+        times.append(time.perf_counter() - t0)
+        pos0 += steps
+        log(f"  rep {rep}: {steps/times[-1]:.2f} tok/s")
     assert len(set(toks.tolist())) > 1 or steps < 4, "degenerate decode"
-    pos0 = 4
+    dt = sorted(times)[1]  # median of 3
 
     tok_s = steps / dt
     # speed-of-light context for the log

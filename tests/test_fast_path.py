@@ -19,7 +19,8 @@ from yalm_tpu.models import KVCache, decode_step, load_weights
 from yalm_tpu.models.fast import FastWeights, decode_step_fast, fast_supported
 from yalm_tpu.ops.attention import attend_one
 from yalm_tpu.ops.pallas.gemv import gemv, gemv_l, gemv_supported, pick_blocks
-from yalm_tpu.ops.pallas.attention import attend_one_l
+from yalm_tpu.ops.pallas.attention import attend_one_l, attend_step_l
+from yalm_tpu.ops.core import rope_rotate_cached
 from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
 
 
@@ -90,9 +91,11 @@ def test_pick_blocks_divides():
     for n, k in [(14336, 4096), (32000, 4096), (6144, 4096), (24, 384)]:
         bn, bk = pick_blocks(n, k, 1)
         assert n % bn == 0 and k % bk == 0
-        assert bn % 8 == 0 and bk % 128 == 0
-    assert gemv_supported(32000, 4096)
-    assert not gemv_supported(100, 4096)
+        # Mosaic: output lane dim must be 128-aligned or the full dimension
+        assert bn % 128 == 0 or bn == n
+        assert bk % 128 == 0
+    assert gemv_supported(32000, 4096)   # 32000 = 250 * 128
+    assert gemv_supported(100, 4096)     # full-N block fallback
     assert not gemv_supported(32000, 100)
 
 
@@ -114,6 +117,46 @@ def test_attend_one_l_matches_oracle(kv_len, qpk):
         want = np.asarray(attend_one(q, k_all[layer], v_all[layer],
                                      jnp.arange(S) < kv_len))
         np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention step (cache write + sink rotation + flash, aliased cache)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("interpret", [None, True],
+                         ids=["emulation", "pallas-interpret"])
+@pytest.mark.parametrize("kv_pos,kv_len,kv_sink",
+                         [(5, 6, 0), (3, 32, 2), (0, 1, 0)])
+def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
+    L, S, Hk, D, qpk = 2, 32, 2, 128, 2
+    theta = 1e4
+    rng = np.random.default_rng(7)
+    k_all = jnp.asarray(rng.standard_normal((L, S, Hk, D), np.float32), jnp.bfloat16)
+    v_all = jnp.asarray(rng.standard_normal((L, S, Hk, D), np.float32), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((Hk, qpk, D), np.float32))
+    kn = jnp.asarray(rng.standard_normal((Hk, D), np.float32))
+    vn = jnp.asarray(rng.standard_normal((Hk, D), np.float32))
+
+    # reference composition: dus writes + sink rotation + standalone kernel
+    layer = 0
+    k2 = k_all.at[layer, kv_pos].set(kn.astype(k_all.dtype))
+    v2 = v_all.at[layer, kv_pos].set(vn.astype(v_all.dtype))
+    rows = k2[layer, 0:2].astype(jnp.float32)
+    rot = rope_rotate_cached(rows, theta, D).astype(k2.dtype)
+    mask = (jnp.arange(2) < kv_sink)[:, None, None]
+    k2 = k2.at[layer, 0:2].set(jnp.where(mask, rot, rows.astype(k2.dtype)))
+    want = attend_one_l(q, k2, v2, jnp.int32(layer), jnp.int32(kv_len))
+
+    got, gk, gv = attend_step_l(
+        q, kn, vn, k_all, v_all, jnp.int32(layer), jnp.int32(kv_pos),
+        jnp.int32(kv_len), jnp.int32(kv_sink),
+        kv_sinks=2, theta=theta, rotary_dim=D, interpret=interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gk, np.float32),
+                               np.asarray(k2, np.float32), rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gv, np.float32),
+                               np.asarray(v2, np.float32), rtol=1e-2, atol=1e-2)
 
 
 # ---------------------------------------------------------------------------

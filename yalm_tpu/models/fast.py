@@ -32,8 +32,8 @@ import jax.numpy as jnp
 
 from ..config import KV_SINKS, ModelConfig
 from ..ops.attention import attend_chunk
-from ..ops.core import apply_rope, gelu, rope_rotate_cached, silu, rmsnorm
-from ..ops.pallas.attention import attend_one_l, attention_supported
+from ..ops.core import apply_rope, gelu, silu, rmsnorm
+from ..ops.pallas.attention import attend_step_l, attention_supported
 from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
 from .cache import KVCache
 from .weights import Weights
@@ -168,24 +168,14 @@ def decode_step_fast(
         k = apply_rope(k.reshape(Hk, D), pos, cfg.rope_theta, cfg.rotary_dim)
         v = v.reshape(Hk, D)
 
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None, None].astype(k_all.dtype), (i, kv_pos, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None, None].astype(v_all.dtype), (i, kv_pos, 0, 0))
-
-        # StreamingLLM sink-key re-rotation (oracle layer_fn; reference
-        # src/infer.cpp:303-317): frozen slots' keys advance one position.
-        sink_rows = jax.lax.dynamic_slice(
-            k_all, (i, 0, 0, 0), (1, KV_SINKS, Hk, D))[0].astype(jnp.float32)
-        rotated = rope_rotate_cached(sink_rows, cfg.rope_theta,
-                                     cfg.rotary_dim).astype(k_all.dtype)
-        sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
-        k_all = jax.lax.dynamic_update_slice(
-            k_all,
-            jnp.where(sink_mask, rotated, sink_rows.astype(k_all.dtype))[None],
-            (i, 0, 0, 0))
-
-        mixed = attend_one_l(q.reshape(Hk, qpk, D), k_all, v_all, i, kv_len)
+        # One fused kernel: writes k/v into ring slot kv_pos, re-rotates the
+        # sink keys (StreamingLLM, reference src/infer.cpp:303-317), and runs
+        # flash attention — with the cache aliased in place (XLA never holds
+        # the buffer, so no relayouts or update copies).
+        mixed, k_all, v_all = attend_step_l(
+            q.reshape(Hk, qpk, D), k, v, k_all, v_all,
+            i, kv_pos, kv_len, kv_sink,
+            kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
         x = x + gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i)
 
         # -- FFN --------------------------------------------------------------

@@ -167,7 +167,277 @@ def attend_one_l(q: jax.Array, k_all: jax.Array, v_all: jax.Array,
 
 
 def attention_supported(cfg) -> bool:
-    """Shapes the kernel can tile: head_dim a lane multiple, kv heads*dim
-    tileable, window splittable into sublane-aligned blocks."""
-    return (cfg.head_dim % 128 == 0 and cfg.max_seq_len % 8 == 0
-            and cfg.max_seq_len >= 8)
+    """Shapes the kernel can tile: head_dim must be a lane-group multiple
+    (Mosaic rejects 64-wide slices of 128-tiled VMEM scratch), window
+    splittable into sublane-aligned blocks."""
+    return (cfg.head_dim % 128 == 0
+            and cfg.max_seq_len % 8 == 0 and cfg.max_seq_len >= 8)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused attention step: cache write + sink rotation + flash attention
+# in ONE kernel over ALIASED cache buffers.
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation (dynamic_update_slice + slice/where for sinks + a
+# separate attention kernel) leaves the cache in XLA's hands, and XLA then
+# (a) spends ~100us/layer on the tiny in-place updates and (b) picks an
+# S-minor layout for the loop-carried cache, forcing full-cache relayout
+# copies at the jit boundary — hundreds of MB per decode step on a 7B model.
+# Owning the whole cache interaction inside one custom call with
+# input_output_aliases keeps the buffer bitwise in place: XLA just threads
+# it through. This is the role the reference's fused_rope_and_cache_update +
+# rotate_sink_tokens + attn kernels play inside its CUDA graph
+# (src/infer.cu:642-697, 338-524), collapsed into a single Pallas kernel.
+
+
+def _rot1(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
+    """Rotate interleaved RoPE pairs of rows[..., D] forward by ONE position
+    (StreamingLLM sink-key maintenance, reference src/infer.cpp:303-317).
+
+    XLA formulation (pair-split reshape) for the emulation path; the kernel
+    uses _rot1_lanes, which Mosaic can lower."""
+    D = rows.shape[-1]
+    half = D // 2
+    j = 2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
+    freq = jnp.where(j >= rotary_dim, 0.0,
+                     jnp.exp(-jnp.log(theta) * j / rotary_dim))
+    cos, sin = jnp.cos(freq), jnp.sin(freq)
+    r = rows.reshape(*rows.shape[:-1], half, 2)
+    x0, x1 = r[..., 0], r[..., 1]
+    out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
+    return out.reshape(rows.shape)
+
+
+def _rot1_lanes(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
+    """In-kernel pair rotation without lane-splitting reshapes.
+
+    Pair p lives in lanes (2p, 2p+1). rotated = rows * cos_full +
+    swap(rows) * sin_signed, where swap exchanges adjacent lanes (two rolls
+    + a parity select) — all operations Mosaic lowers natively.
+    """
+    R, D = rows.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
+    j = (lane - (lane % 2)).astype(jnp.float32)          # 2p per pair
+    freq = jnp.where(j >= rotary_dim, 0.0,
+                     jnp.exp(-jnp.log(theta) * j / rotary_dim))
+    cos_full = jnp.cos(freq)
+    sin_full = jnp.sin(freq)
+    even = (lane % 2) == 0
+    sin_signed = jnp.where(even, -sin_full, sin_full)
+    # pltpu.roll requires non-negative shifts: rolling by D-1 ≡ -1 circular
+    swapped = jnp.where(even,
+                        pltpu.roll(rows, D - 1, 1),      # lane 2p   <- 2p+1
+                        pltpu.roll(rows, 1, 1))          # lane 2p+1 <- 2p
+    return rows * cos_full + swapped * sin_signed
+
+
+def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
+                      k_hbm, v_hbm,          # ANY-space inputs (aliased)
+                      o_ref, ko_hbm, vo_hbm,  # outputs (ko/vo alias k/v)
+                      kbuf, vbuf, rowbuf, m_ref, l_ref, acc_ref,
+                      sem, rowsem, *,
+                      S: int, block_s: int, n_kv_heads: int, p_rows: int,
+                      kv_sinks: int, theta: float, rotary_dim: int):
+    layer, kv_pos, kv_len, kv_sink = (scal_ref[0], scal_ref[1],
+                                      scal_ref[2], scal_ref[3])
+    Hk, P = n_kv_heads, p_rows
+    D = q_ref.shape[-1]
+    n_blocks = S // block_s
+
+    # -- 1. write this step's k/v row at kv_pos (in place) -----------------
+    kw = pltpu.make_async_copy(knew_ref, ko_hbm.at[layer, kv_pos], rowsem)
+    kw.start()
+    kw.wait()
+    vw = pltpu.make_async_copy(vnew_ref, vo_hbm.at[layer, kv_pos], rowsem)
+    vw.start()
+    vw.wait()
+
+    # -- 2. sink-key re-rotation (only once past the window) ---------------
+    @pl.when(kv_sink > 0)
+    def _():
+        rd = pltpu.make_async_copy(ko_hbm.at[layer, 0:kv_sinks], rowbuf, rowsem)
+        rd.start()
+        rd.wait()
+        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+        rowbuf[...] = _rot1_lanes(rows, theta, rotary_dim).reshape(
+            kv_sinks, Hk, D).astype(rowbuf.dtype)
+        wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[layer, 0:kv_sinks], rowsem)
+        wr.start()
+        wr.wait()
+
+    # -- 3. flash attention over the (now-updated) ring buffer -------------
+    def kv_dma(slot, blk, buf, hbm):
+        return pltpu.make_async_copy(
+            hbm.at[layer, pl.ds(blk * block_s, block_s)],
+            buf.at[slot], sem.at[slot])
+
+    kv_dma(0, 0, kbuf, ko_hbm).start()
+    kv_dma(0, 0, vbuf, vo_hbm).start()
+
+    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def block_step(s, _):
+        slot = s % 2
+
+        @pl.when(s + 1 < n_blocks)
+        def _():
+            kv_dma((s + 1) % 2, s + 1, kbuf, ko_hbm).start()
+            kv_dma((s + 1) % 2, s + 1, vbuf, vo_hbm).start()
+
+        kv_dma(slot, s, kbuf, ko_hbm).wait()
+        kv_dma(slot, s, vbuf, vo_hbm).wait()
+
+        slot_idx = s * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (P, block_s), 1)
+        valid = slot_idx < kv_len
+
+        for h in range(Hk):
+            r0 = h * P  # python-static row offset, P is a sublane multiple
+            qh = q_ref[r0:r0 + P, :]
+            kh = kbuf[slot, :, h, :]
+            vh = vbuf[slot, :, h, :]
+            sh = jax.lax.dot_general(
+                qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            sh = jnp.where(valid, sh, _NEG_INF)
+            m_prev = m_ref[r0:r0 + P, 0:1]
+            l_prev = l_ref[r0:r0 + P, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(sh - m_new)
+            ob = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            m_ref[r0:r0 + P, 0:1] = m_new
+            l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, block_step, 0)
+    o_ref[...] = acc_ref[...] / l_ref[:, 0:1]
+
+
+def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
+                   kv_sink, *, kv_sinks, theta, rotary_dim):
+    """jnp emulation of the fused step (off-TPU default; kernel numerics)."""
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_new[None, None].astype(k_all.dtype), (layer, kv_pos, 0, 0))
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_new[None, None].astype(v_all.dtype), (layer, kv_pos, 0, 0))
+    rows = jax.lax.dynamic_slice(
+        k_all, (layer, 0, 0, 0),
+        (1, kv_sinks) + k_all.shape[2:])[0].astype(jnp.float32)
+    Hk, D = k_all.shape[2], k_all.shape[3]
+    rot = _rot1(rows.reshape(kv_sinks * Hk, D), theta,
+                rotary_dim).reshape(rows.shape)
+    mask = (jnp.arange(kv_sinks) < kv_sink)[:, None, None]
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, jnp.where(mask, rot, rows).astype(k_all.dtype)[None],
+        (layer, 0, 0, 0))
+    k = jax.lax.dynamic_index_in_dim(k_all, layer, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(v_all, layer, keepdims=False)
+    out = _attend_ref(q2, k, v, kv_len)
+    return out, k_all, v_all
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kv_sinks", "theta", "rotary_dim",
+                                    "block_s", "interpret"))
+def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
+                  k_all: jax.Array, v_all: jax.Array,
+                  layer: jax.Array, kv_pos: jax.Array, kv_len: jax.Array,
+                  kv_sink: jax.Array, *,
+                  kv_sinks: int, theta: float, rotary_dim: int,
+                  block_s: int = 0, interpret: bool | None = None
+                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused decode-attention step against layer `layer` of the cache.
+
+    Writes (k_new, v_new) into ring slot kv_pos, re-rotates the first
+    kv_sink sink keys by one position, then runs flash attention over slots
+    < kv_len — all inside one kernel whose cache operands are aliased to its
+    outputs, so the buffers update strictly in place.
+
+    q: (n_kv_heads, q_per_kv, head_dim) f32 (unscaled)
+    k_new/v_new: (n_kv_heads, head_dim) f32
+    returns (mix (n_kv_heads, q_per_kv, head_dim) f32, k_all, v_all)
+    """
+    L, S, Hk, D = k_all.shape
+    _, qpk, _ = q.shape
+    q2 = (q.astype(jnp.float32) / math.sqrt(D)).reshape(Hk * qpk, D)
+    args = (q2, k_new.astype(k_all.dtype), v_new.astype(v_all.dtype),
+            k_all, v_all, layer, kv_pos, kv_len, kv_sink)
+    if interpret is None and _emulate():
+        out, k_all, v_all = _attn_step_ref(
+            *args, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+        return out.reshape(Hk, qpk, D)[:, :qpk, :], k_all, v_all
+
+    if not block_s:
+        block_s = S
+        for cand in (512, 256, 128, 64, 32, 16, 8):
+            if S % cand == 0:
+                block_s = cand
+                break
+
+    P = max(8, ((qpk + 7) // 8) * 8)
+    qp = jnp.zeros((Hk, P, D), jnp.float32)
+    qp = qp.at[:, :qpk, :].set(q.astype(jnp.float32) / math.sqrt(D))
+    q2 = qp.reshape(Hk * P, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((Hk * P, D), lambda i, sc: (0, 0)),
+            pl.BlockSpec((Hk, D), lambda i, sc: (0, 0)),
+            pl.BlockSpec((Hk, D), lambda i, sc: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((Hk * P, D), lambda i, sc: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
+            pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
+            pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    scal = jnp.stack([jnp.asarray(layer, jnp.int32),
+                      jnp.asarray(kv_pos, jnp.int32),
+                      jnp.asarray(kv_len, jnp.int32),
+                      jnp.asarray(kv_sink, jnp.int32)])
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(
+            _attn_step_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
+            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Hk * P, D), jnp.float32),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},  # k_all, v_all in place
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * S * Hk * P * D,
+            bytes_accessed=2 * S * Hk * D * k_all.dtype.itemsize,
+            transcendentals=S * Hk * P,
+        ),
+        interpret=bool(interpret),
+    )(scal, q2, k_new.astype(k_all.dtype), v_new.astype(v_all.dtype),
+      k_all, v_all)
+    return out.reshape(Hk, P, D)[:, :qpk, :], k_out, v_out

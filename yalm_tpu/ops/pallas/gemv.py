@@ -179,25 +179,38 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
 def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:
     """Choose (block_n, block_k) dividing (N, K).
 
-    block_k rides the lane (minor) dim — multiples of 128; block_n rides
-    sublanes — multiples of 8. Tiles target ~0.5-2 MB so the Mosaic
+    block_k rides the lane (minor) dim of both x and the weight tile —
+    multiples of 128. block_n is the weight tile's sublane dim but also the
+    lane dim of the (1, N) OUTPUT, so Mosaic requires it to be a multiple of
+    128 too (or the full dimension). Tiles target ~0.5-2 MB so the Mosaic
     double-buffer pipeline hides DMA latency well within VMEM.
     """
     bk = _best_divisor(K, target=min(K, 2048), align=128)
     # keep tile bytes around 1 MB
     per_row = bk * itemsize
-    bn = _best_divisor(N, target=max(8, min(N, (1 << 20) // max(per_row, 1))), align=8)
+    bn = _best_divisor(N, target=max(128, min(N, (1 << 20) // max(per_row, 1))),
+                       align=128)
     return bn, bk
 
 
 def gemv_supported(N: int, K: int) -> bool:
-    """Shapes the kernels can tile: K a multiple of 128, N a multiple of 8."""
-    return K % 128 == 0 and N % 8 == 0
+    """Shapes the kernels can tile.
+
+    K must split into 128-lane blocks. N always tiles: either a
+    multiple-of-128 divisor exists or the whole N rides one block (Mosaic
+    allows a block equal to the full dimension) — gate the latter on the
+    resulting weight tile fitting comfortably in VMEM.
+    """
+    if K % 128 != 0:
+        return False
+    if any(N % d == 0 for d in range(128, min(N, 4096) + 1, 128)):
+        return True
+    return N * 128 * 4 <= (1 << 22)  # full-N block, conservatively sized
 
 
 def _best_divisor(n: int, target: int, align: int) -> int:
-    """Largest multiple-of-`align` divisor of n that is <= target (or the
-    smallest aligned divisor if none fits)."""
+    """Largest multiple-of-`align` divisor of n that is <= target; if none
+    exists at all, the full dimension (always a legal Mosaic block)."""
     best = None
     d = align
     while d <= n:
@@ -208,6 +221,4 @@ def _best_divisor(n: int, target: int, align: int) -> int:
                 best = d
                 break
         d += align
-    if best is None:
-        raise ValueError(f"no divisor of {n} aligned to {align}")
-    return best
+    return best if best is not None else n

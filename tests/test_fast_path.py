@@ -211,6 +211,81 @@ def test_fast_supported_gates():
 
 
 # ---------------------------------------------------------------------------
+# Batched decode tick
+# ---------------------------------------------------------------------------
+
+def test_batched_decode_matches_per_lane(tmp_path):
+    """decode_step_fast_batched == B independent decode_step_fast lanes."""
+    from yalm_tpu.models.fast import decode_step_fast_batched
+
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=4)
+    weights = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(weights, cfg)
+
+    B = 8
+    rng = np.random.default_rng(0)
+    bcache = KVCache.init(cfg, jnp.bfloat16, batch=B)
+    lanes = [KVCache.init(cfg, jnp.bfloat16) for _ in range(B)]
+    # different positions per lane, including past the window (ring+sinks)
+    positions = np.array([0, 1, 5, 17, 31, 33, 40, 36], np.int32)
+    # hydrate each lane (and the batched cache) to its position first
+    for step in range(int(positions.max())):
+        toks = rng.integers(3, cfg.vocab_size, B).astype(np.int32)
+        live = step < positions
+        pos_now = np.minimum(step, positions - 1).astype(np.int32)
+        _, bcache2 = decode_step_fast_batched(cfg, fw, jnp.asarray(toks),
+                                              jnp.asarray(pos_now), bcache)
+        # only advance lanes that are still hydrating
+        bcache = KVCache(
+            k=jnp.where(live[:, None, None, None, None], bcache2.k, bcache.k),
+            v=jnp.where(live[:, None, None, None, None], bcache2.v, bcache.v))
+        for b in range(B):
+            if live[b]:
+                _, lanes[b] = decode_step_fast(cfg, fw, jnp.int32(toks[b]),
+                                               jnp.int32(step), lanes[b],
+                                               output_logits=False)
+
+    toks = rng.integers(3, cfg.vocab_size, B).astype(np.int32)
+    blogits, bcache = decode_step_fast_batched(
+        cfg, fw, jnp.asarray(toks), jnp.asarray(positions), bcache)
+    for b in range(B):
+        lf, lanes[b] = decode_step_fast(cfg, fw, jnp.int32(toks[b]),
+                                        jnp.int32(positions[b]), lanes[b])
+        np.testing.assert_allclose(np.asarray(blogits[b]), np.asarray(lf),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_scheduler_fast_matches_oracle_scheduler(tmp_path):
+    from yalm_tpu.scheduler import Request, Scheduler
+
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=5)
+    weights = load_weights(read_yalm(path), cfg)
+
+    def run(fast):
+        sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                          compute_dtype=jnp.bfloat16, fast=fast)
+        assert sched.fast == fast
+        reqs = [Request(prompt_tokens=[1, 5 + i, 9], max_new_tokens=6,
+                        temperature=0.0) for i in range(4)]
+        for r in reqs:
+            sched.submit(r)
+        sched.run()
+        return [r.generated for r in reqs]
+
+    fast_out = run(True)
+    oracle_out = run(False)
+    assert all(len(g) == 6 for g in fast_out)
+    # greedy decode: token streams agree modulo rare bf16 logit near-ties
+    agree = sum(a == b for f, o in zip(fast_out, oracle_out)
+                for a, b in zip(f, o))
+    assert agree >= 4 * 6 - 2, (fast_out, oracle_out)
+
+
+# ---------------------------------------------------------------------------
 # Engine integration
 # ---------------------------------------------------------------------------
 

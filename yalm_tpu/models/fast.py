@@ -33,8 +33,9 @@ import jax.numpy as jnp
 from ..config import KV_SINKS, ModelConfig
 from ..ops.attention import attend_chunk
 from ..ops.core import apply_rope, gelu, silu, rmsnorm
-from ..ops.pallas.attention import attend_step_l, attention_supported
-from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
+from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
+                                    attention_supported)
+from ..ops.pallas.gemv import gemm, gemm_l, gemv, gemv_l, gemv_supported
 from .cache import KVCache
 from .weights import Weights
 
@@ -195,6 +196,76 @@ def decode_step_fast(
     x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
     logits = gemv(x, fw.lm_head)
     return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Batched decode step (continuous-batching tick)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step_fast_batched(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (B,) int32
+    positions: jax.Array,  # (B,) int32 — per-lane absolute positions
+    cache: KVCache,        # batched: (B, n_layers, S, Hk, D)
+) -> tuple[jax.Array, KVCache]:
+    """One decode tick for B independent sequences sharing the weights.
+
+    Weight tiles stream through HBM once per tick and multiply the whole
+    (B, k) activation block — aggregate throughput scales ~B× at the same
+    roofline as batch 1 (the scheduler's reason to exist; the reference has
+    no batching at all, src/main.cpp:102-112). B must be a sublane multiple
+    (8); the scheduler pads its slot count. Returns (logits (B, vocab), cache).
+    """
+    B = tokens.shape[0]
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+
+    x = fw.embed[tokens].astype(jnp.float32)           # (B, dim)
+
+    kv_sink = jnp.where(positions >= L, KV_SINKS, 0)   # (B,)
+    kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
+    kv_len = jnp.minimum(positions + 1, L)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    def layer_body(i, carry):
+        x, k_all, v_all = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                     cfg.norm_eps)
+        qkv = clip(gemm_l(xb, fw.wqkv, i))             # (B, q+2kv)
+        q = qkv[:, : cfg.q_dim]
+        k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+        v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+
+        q = apply_rope(q.reshape(B, Hq, D), positions, cfg.rope_theta, cfg.rotary_dim)
+        k = apply_rope(k.reshape(B, Hk, D), positions, cfg.rope_theta, cfg.rotary_dim)
+        v = v.reshape(B, Hk, D)
+
+        mixed, k_all, v_all = attend_step_batched_l(
+            q.reshape(B, Hk, qpk, D), k, v, k_all, v_all,
+            i, kv_pos, kv_len, kv_sink,
+            kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
+        x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i)
+
+        xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
+                      cfg.norm_eps)
+        h13 = gemm_l(xb2, fw.w13, i)
+        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+        x = x + gemm_l(h, fw.w2, i)
+        return (x, k_all, v_all)
+
+    x, k_new, v_new = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+    x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+    logits = gemm(x, fw.lm_head)
+    return logits, KVCache(k=k_new, v=v_new)
 
 
 # ---------------------------------------------------------------------------

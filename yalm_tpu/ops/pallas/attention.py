@@ -175,6 +175,206 @@ def attention_supported(cfg) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Batched fused attention step (continuous-batching tick)
+# ---------------------------------------------------------------------------
+
+def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
+                              k_hbm, v_hbm,
+                              o_ref, ko_hbm, vo_hbm,
+                              kbuf, vbuf, rowbuf, m_ref, l_ref, acc_ref,
+                              sem, rowsem, *,
+                              S: int, block_s: int, n_kv_heads: int,
+                              p_rows: int, kv_sinks: int, theta: float,
+                              rotary_dim: int):
+    """Grid is (B,): one program per batch lane; scalars are per-lane arrays
+    laid out [layer, kv_pos[B], kv_len[B], kv_sink[B]]."""
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    layer = scal_ref[0]
+    kv_pos, kv_len, kv_sink = (scal_ref[1 + b], scal_ref[1 + B + b],
+                               scal_ref[1 + 2 * B + b])
+    Hk, P = n_kv_heads, p_rows
+    D = q_ref.shape[-1]
+    n_blocks = S // block_s
+
+    kw = pltpu.make_async_copy(knew_ref.at[0], ko_hbm.at[b, layer, kv_pos], rowsem)
+    kw.start()
+    kw.wait()
+    vw = pltpu.make_async_copy(vnew_ref.at[0], vo_hbm.at[b, layer, kv_pos], rowsem)
+    vw.start()
+    vw.wait()
+
+    @pl.when(kv_sink > 0)
+    def _():
+        rd = pltpu.make_async_copy(ko_hbm.at[b, layer, 0:kv_sinks], rowbuf, rowsem)
+        rd.start()
+        rd.wait()
+        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+        rowbuf[...] = _rot1_lanes(rows, theta, rotary_dim).reshape(
+            kv_sinks, Hk, D).astype(rowbuf.dtype)
+        wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[b, layer, 0:kv_sinks], rowsem)
+        wr.start()
+        wr.wait()
+
+    def kv_dma(slot, blk, buf, hbm):
+        return pltpu.make_async_copy(
+            hbm.at[b, layer, pl.ds(blk * block_s, block_s)],
+            buf.at[slot], sem.at[slot])
+
+    kv_dma(0, 0, kbuf, ko_hbm).start()
+    kv_dma(0, 0, vbuf, vo_hbm).start()
+
+    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # only stream blocks that hold live history: slots >= kv_len are masked
+    # out anyway, so their DMA would be pure waste (the window is 4096 but a
+    # fresh sequence has kv_len ~ 1)
+    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
+
+    def block_step(s, _):
+        slot = s % 2
+
+        @pl.when(s + 1 < n_act)
+        def _():
+            kv_dma((s + 1) % 2, s + 1, kbuf, ko_hbm).start()
+            kv_dma((s + 1) % 2, s + 1, vbuf, vo_hbm).start()
+
+        kv_dma(slot, s, kbuf, ko_hbm).wait()
+        kv_dma(slot, s, vbuf, vo_hbm).wait()
+
+        slot_idx = s * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (P, block_s), 1)
+        valid = slot_idx < kv_len
+
+        for h in range(Hk):
+            r0 = h * P
+            qh = q_ref[0, r0:r0 + P, :]
+            kh = kbuf[slot, :, h, :]
+            vh = vbuf[slot, :, h, :]
+            sh = jax.lax.dot_general(
+                qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            sh = jnp.where(valid, sh, _NEG_INF)
+            m_prev = m_ref[r0:r0 + P, 0:1]
+            l_prev = l_ref[r0:r0 + P, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(sh - m_new)
+            ob = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            m_ref[r0:r0 + P, 0:1] = m_new
+            l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
+        return 0
+
+    jax.lax.fori_loop(0, n_act, block_step, 0)
+    o_ref[0] = acc_ref[...] / l_ref[:, 0:1]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kv_sinks", "theta", "rotary_dim",
+                                    "block_s", "interpret"))
+def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
+                          k_all: jax.Array, v_all: jax.Array,
+                          layer: jax.Array, kv_pos: jax.Array,
+                          kv_len: jax.Array, kv_sink: jax.Array, *,
+                          kv_sinks: int, theta: float, rotary_dim: int,
+                          block_s: int = 0, interpret: bool | None = None
+                          ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched attend_step_l for the continuous-batching tick.
+
+    q: (B, n_kv_heads, q_per_kv, head_dim) f32; k_new/v_new: (B, Hk, D)
+    k_all/v_all: (B, n_layers, S, Hk, D); kv_pos/kv_len/kv_sink: (B,) int32
+    layer: () int32 (shared across the batch)
+    returns (mix (B, Hk, qpk, D) f32, k_all, v_all)
+    """
+    B, L, S, Hk, D = k_all.shape
+    _, _, qpk, _ = q.shape
+    if interpret is None and _emulate():
+        def one(q1, kn1, vn1, k1, v1, kp, kl, ks):
+            q2 = (q1.astype(jnp.float32) / math.sqrt(D)).reshape(Hk * qpk, D)
+            out, k1, v1 = _attn_step_ref(
+                q2, kn1, vn1, k1, v1, layer, kp, kl, ks,
+                kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+            return out.reshape(Hk, qpk, D), k1, v1
+        return jax.vmap(one)(q, k_new, v_new, k_all, v_all,
+                             kv_pos, kv_len, kv_sink)
+
+    if not block_s:
+        block_s = S
+        for cand in (512, 256, 128, 64, 32, 16, 8):
+            if S % cand == 0:
+                block_s = cand
+                break
+
+    P = max(8, ((qpk + 7) // 8) * 8)
+    qp = jnp.zeros((B, Hk, P, D), jnp.float32)
+    qp = qp.at[:, :, :qpk, :].set(q.astype(jnp.float32) / math.sqrt(D))
+    q2 = qp.reshape(B, Hk * P, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
+            pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
+            pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    scal = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(kv_pos, jnp.int32).reshape(B),
+        jnp.asarray(kv_len, jnp.int32).reshape(B),
+        jnp.asarray(kv_sink, jnp.int32).reshape(B),
+    ])
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(
+            _attn_step_batched_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
+            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hk * P, D), jnp.float32),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S * Hk * P * D,
+            bytes_accessed=2 * B * S * Hk * D * k_all.dtype.itemsize,
+            transcendentals=B * S * Hk * P,
+        ),
+        interpret=bool(interpret),
+    )(scal, q2, k_new.astype(k_all.dtype), v_new.astype(v_all.dtype),
+      k_all, v_all)
+    return out.reshape(B, Hk, P, D)[:, :, :qpk, :], k_out, v_out
+
+
+# ---------------------------------------------------------------------------
 # Fully-fused attention step: cache write + sink rotation + flash attention
 # in ONE kernel over ALIASED cache buffers.
 # ---------------------------------------------------------------------------
@@ -279,10 +479,12 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     l_ref[...] = jnp.zeros_like(l_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
+
     def block_step(s, _):
         slot = s % 2
 
-        @pl.when(s + 1 < n_blocks)
+        @pl.when(s + 1 < n_act)
         def _():
             kv_dma((s + 1) % 2, s + 1, kbuf, ko_hbm).start()
             kv_dma((s + 1) % 2, s + 1, vbuf, vo_hbm).start()
@@ -316,7 +518,7 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
         return 0
 
-    jax.lax.fori_loop(0, n_blocks, block_step, 0)
+    jax.lax.fori_loop(0, n_act, block_step, 0)
     o_ref[...] = acc_ref[...] / l_ref[:, 0:1]
 
 

@@ -176,6 +176,78 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     return out.reshape(N)
 
 
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
+           block_n: int = 0, block_k: int = 0,
+           interpret: bool | None = None) -> jax.Array:
+    """y[B, N] = x[B, K] @ W_all[layer]^T — the batched gemv_l.
+
+    The continuous-batching tick decodes B tokens against the same weights;
+    streaming each weight tile once and multiplying an (B, bk) activation
+    block amortizes the HBM traffic over the whole batch (same roofline as
+    batch 1, ~B× the tokens). B must be a sublane multiple (pad slots to 8).
+    """
+    B, K = x.shape
+    L, N, Kw = w_all.shape
+    assert K == Kw, (x.shape, w_all.shape)
+    if interpret is None and _emulate():
+        w = jax.lax.dynamic_index_in_dim(w_all, layer, keepdims=False)
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if not block_n or not block_k:
+        block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
+    n_n, n_k = N // block_n, K // block_k
+    if interpret is None:
+        interpret = False
+
+    def kern(l_ref, x_ref, w_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_k - 1)
+        def _():
+            o_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((B, block_k), lambda i, j, l: (0, j)),
+            pl.BlockSpec((1, block_n, block_k), lambda i, j, l: (l[0], i, j)),
+        ],
+        out_specs=pl.BlockSpec((B, block_n), lambda i, j, l: (0, i)),
+        scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K * w_all.dtype.itemsize + B * (K + N) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      x.astype(jnp.float32), w_all)
+
+
+def gemm(x: jax.Array, w: jax.Array, *, interpret: bool | None = None) -> jax.Array:
+    """y[B, N] = x[B, K] @ W[N, K]^T (2-D weights, e.g. the LM head)."""
+    return gemm_l(x, w[None], jnp.int32(0), interpret=interpret)
+
+
 def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:
     """Choose (block_n, block_k) dividing (N, K).
 
@@ -185,10 +257,11 @@ def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:
     128 too (or the full dimension). Tiles target ~0.5-2 MB so the Mosaic
     double-buffer pipeline hides DMA latency well within VMEM.
     """
+    import os
+    tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 1 << 20))
     bk = _best_divisor(K, target=min(K, 2048), align=128)
-    # keep tile bytes around 1 MB
     per_row = bk * itemsize
-    bn = _best_divisor(N, target=max(128, min(N, (1 << 20) // max(per_row, 1))),
+    bn = _best_divisor(N, target=max(128, min(N, tile_bytes // max(per_row, 1))),
                        align=128)
     return bn, bk
 

@@ -33,6 +33,8 @@ import numpy as np
 
 from .config import ModelConfig
 from .models.cache import KVCache
+from .models.fast import (FastWeights, decode_step_fast_batched,
+                          fast_supported, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
 from .sampler import sample
@@ -72,13 +74,22 @@ class Scheduler:
     def __init__(
         self,
         cfg: ModelConfig,
-        weights: Weights,
+        weights: Weights | FastWeights,
         *,
         batch: int = 8,
         kv_dtype=jnp.float16,
         compute_dtype=jnp.float32,
+        fast: bool | str = "auto",
     ):
         self.cfg = cfg
+        if fast == "auto":
+            # batched Pallas kernels need sublane-aligned batch
+            fast = fast_supported(cfg) and batch % 8 == 0
+        if fast and (not fast_supported(cfg) or batch % 8 != 0):
+            raise ValueError("fast scheduler needs a supported config and batch % 8 == 0")
+        self.fast = bool(fast)
+        if self.fast and isinstance(weights, Weights):
+            weights = FastWeights.from_weights(weights, cfg)
         self.weights = weights
         self.B = batch
         self.kv_dtype = kv_dtype
@@ -88,27 +99,47 @@ class Scheduler:
         self._key = jax.random.PRNGKey(0)
         cd = compute_dtype
 
-        @partial(jax.jit, donate_argnums=(3,))
-        def _tick(w, tokens, positions, cache, key, temps):
-            """One batched decode+sample tick over all B slots."""
-            def one(tok, pos, c):
-                logits, c = decode_step(cfg, w, tok, pos, c,
-                                        output_logits=True, compute_dtype=cd)
-                return logits, c
-            logits, cache = jax.vmap(one, in_axes=(0, 0, 0))(tokens, positions, cache)
-            keys = jax.random.split(key, tokens.shape[0])
-            nxt = jax.vmap(sample)(logits, keys, temps)
-            return nxt, cache
+        if self.fast:
+            @partial(jax.jit, donate_argnums=(3,))
+            def _tick(w, tokens, positions, cache, key, temps):
+                """One batched Pallas decode+sample tick over all B slots:
+                each weight tile streams HBM once and serves every lane."""
+                logits, cache = decode_step_fast_batched(
+                    cfg, w, tokens, positions, cache)
+                keys = jax.random.split(key, tokens.shape[0])
+                nxt = jax.vmap(sample)(logits, keys, temps)
+                return nxt, cache
 
-        @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
-        def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
-            """Chunk-prefill one slot's cache lane in place."""
-            lane = KVCache(k=cache.k[slot], v=cache.v[slot])
-            out, lane = prefill(cfg, w, tokens, pos0, valid_len, lane,
-                                logits_mode=logits_mode, compute_dtype=cd)
-            cache = KVCache(k=cache.k.at[slot].set(lane.k),
-                            v=cache.v.at[slot].set(lane.v))
-            return out, cache
+            @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
+            def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
+                lane = KVCache(k=cache.k[slot], v=cache.v[slot])
+                out, lane = prefill_fast(cfg, w, tokens, pos0, valid_len, lane,
+                                         logits_mode=logits_mode)
+                cache = KVCache(k=cache.k.at[slot].set(lane.k),
+                                v=cache.v.at[slot].set(lane.v))
+                return out, cache
+        else:
+            @partial(jax.jit, donate_argnums=(3,))
+            def _tick(w, tokens, positions, cache, key, temps):
+                """One batched decode+sample tick over all B slots."""
+                def one(tok, pos, c):
+                    logits, c = decode_step(cfg, w, tok, pos, c,
+                                            output_logits=True, compute_dtype=cd)
+                    return logits, c
+                logits, cache = jax.vmap(one, in_axes=(0, 0, 0))(tokens, positions, cache)
+                keys = jax.random.split(key, tokens.shape[0])
+                nxt = jax.vmap(sample)(logits, keys, temps)
+                return nxt, cache
+
+            @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
+            def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
+                """Chunk-prefill one slot's cache lane in place."""
+                lane = KVCache(k=cache.k[slot], v=cache.v[slot])
+                out, lane = prefill(cfg, w, tokens, pos0, valid_len, lane,
+                                    logits_mode=logits_mode, compute_dtype=cd)
+                cache = KVCache(k=cache.k.at[slot].set(lane.k),
+                                v=cache.v.at[slot].set(lane.v))
+                return out, cache
 
         self._tick = _tick
         self._prefill_slot = _prefill_slot

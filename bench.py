@@ -11,7 +11,8 @@ vs_baseline is measured tok/s divided by the reference's published 63.8
 tok/s (yalm on RTX 4090, FP16, ~120-token generation — BASELINE.md).
 
 Env knobs: YALM_BENCH_DTYPE=fp8|bf16 (default fp8), YALM_BENCH_STEPS,
-YALM_BENCH_PRESET=mistral7b|small.
+YALM_BENCH_PRESET=mistral7b|small, YALM_BENCH_BATCH=N (N>0 switches the
+metric to continuous-batching aggregate tok/s at batch N; N%8==0).
 """
 
 from __future__ import annotations
@@ -103,6 +104,10 @@ def main() -> None:
     log(f"weights synthesized in {time.perf_counter()-t0:.1f}s "
         f"({cfg.active_bytes(0)/1e9:.2f} GB active bytes/token)")
 
+    batch = int(os.environ.get("YALM_BENCH_BATCH", "0"))
+    if batch:
+        return bench_batched(cfg, weights, batch, steps)
+
     eng = Engine(cfg, weights, kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  fast=True)
     key = jax.random.PRNGKey(0)
@@ -146,6 +151,53 @@ def main() -> None:
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+    }))
+
+
+def bench_batched(cfg, weights, batch: int, steps: int) -> None:
+    """Continuous-batching aggregate throughput (new capability vs the
+    single-stream reference; B sequences decode against one weight stream)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import decode_step_fast_batched
+    from yalm_tpu.sampler import sample
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
+    def blk(w, cache, tokens, pos0, key, n):
+        def body(i, carry):
+            toks, cache, key = carry
+            logits, cache = decode_step_fast_batched(cfg, w, toks, pos0 + i, cache)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, toks.shape[0])
+            nxt = jax.vmap(sample)(logits, keys, jnp.zeros(toks.shape[0]))
+            return nxt, cache, key
+        toks, cache, _ = jax.lax.fori_loop(0, n, body, (tokens, cache, key))
+        return toks, cache
+
+    cache = KVCache.init(cfg, jnp.bfloat16, batch=batch)
+    toks = jnp.ones((batch,), jnp.int32)
+    pos = jnp.zeros((batch,), jnp.int32)
+    t0 = time.perf_counter()
+    out, cache = blk(weights, cache, toks, pos, jax.random.PRNGKey(0), n=steps)
+    _ = np.asarray(out)
+    log(f"compile+first {steps}-step block: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out, cache = blk(weights, cache, toks, pos + steps * (rep + 1),
+                         jax.random.PRNGKey(0), n=steps)
+        _ = np.asarray(out)
+        times.append(time.perf_counter() - t0)
+        log(f"  rep {rep}: {batch*steps/times[-1]:.1f} tok/s aggregate")
+    dt = sorted(times)[1]
+    agg = batch * steps / dt
+    print(json.dumps({
+        "metric": f"{cfg.weight_dtype}_batch{batch}_decode_throughput",
+        "value": round(agg, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(agg / BASELINE_TOK_S, 3),
     }))
 
 

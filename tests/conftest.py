@@ -19,3 +19,47 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+# ---------------------------------------------------------------------------
+# Subprocess isolation for tests that trip jaxlib 0.9.0's CPU-backend bug
+# ---------------------------------------------------------------------------
+#
+# Executing moderately complex jitted decode programs on the CPU backend
+# corrupts the heap nondeterministically (jaxlib 0.9.0; crash sites vary
+# between XLA execution and unrelated trace-time code — upstream bug, not a
+# yalm_tpu defect). Affected whole-model tests run in a child pytest process:
+# a segfault (signal exit) is retried a few times, while a genuine test
+# failure (exit 1) still fails immediately. See memory note tpu-env-quirks.
+
+import functools
+import subprocess
+import sys
+
+_ISOLATION_ENV = "YALM_TEST_ISOLATED"
+
+
+def isolated(fn):
+    """Run this test in its own pytest subprocess, retrying segfaults only."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if os.environ.get(_ISOLATION_ENV):
+            return fn(*args, **kwargs)
+        nodeid = f"{fn.__module__.replace('.', '/')}.py::{fn.__name__}"
+        env = dict(os.environ, **{_ISOLATION_ENV: "1"})
+        for attempt in range(4):
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", "-x", "--no-header",
+                 os.path.join(os.path.dirname(__file__), nodeid.split("/")[-1])],
+                env=env, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(__file__)))
+            if r.returncode == 0:
+                return
+            if r.returncode == 1:  # real assertion/test failure
+                raise AssertionError(
+                    f"{nodeid} failed in subprocess:\n{r.stdout[-4000:]}")
+            # signal exit (segfault et al.): retry
+        raise AssertionError(f"{nodeid} crashed in 4/4 subprocess attempts")
+
+    return wrapper

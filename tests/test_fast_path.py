@@ -23,6 +23,8 @@ from yalm_tpu.ops.pallas.attention import attend_one_l, attend_step_l
 from yalm_tpu.ops.core import rope_rotate_cached
 from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
 
+from conftest import isolated
+
 
 def fast_config(**overrides):
     """Smallest config satisfying the kernels' tiling rules (head_dim 128).
@@ -163,6 +165,7 @@ def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
 # Whole-step parity: fast path vs oracle across the ring boundary
 # ---------------------------------------------------------------------------
 
+@isolated
 def test_decode_step_fast_matches_oracle(tmp_path):
     cfg = fast_config()
     assert fast_supported(cfg)
@@ -191,6 +194,7 @@ def test_decode_step_fast_matches_oracle(tmp_path):
                                np.asarray(cache_f.k, np.float32), rtol=3e-2, atol=3e-2)
 
 
+@isolated
 def test_decode_step_fast_hydrate_mode(tmp_path):
     cfg = fast_config()
     path = str(tmp_path / "m.yalm")
@@ -205,15 +209,80 @@ def test_decode_step_fast_hydrate_mode(tmp_path):
 
 
 def test_fast_supported_gates():
+    from yalm_tpu.models.fast import fast_batched_supported
     assert not fast_supported(tiny_config())          # head_dim 16
-    assert not fast_supported(fast_config(n_experts=2, n_experts_active=1))
+    assert fast_supported(fast_config(n_experts=2, n_experts_active=1))
     assert fast_supported(fast_config())
+    # the batched tick has no MoE routing path yet
+    assert not fast_batched_supported(fast_config(n_experts=2, n_experts_active=1))
+    assert fast_batched_supported(fast_config())
+
+
+# ---------------------------------------------------------------------------
+# MoE fast path
+# ---------------------------------------------------------------------------
+
+def test_gemv_le_selects_layer_and_expert():
+    from yalm_tpu.ops.pallas.gemv import gemv_le
+    L, E, N, K = 2, 3, 16, 128
+    rng = np.random.default_rng(8)
+    w_all = jnp.asarray(rng.standard_normal((L, E, N, K), np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal(K, np.float32))
+    for l in range(L):
+        for e in range(E):
+            got = np.asarray(gemv_le(x, w_all, jnp.int32(l), jnp.int32(e),
+                                     interpret=True))
+            want = np.asarray(x) @ np.asarray(w_all[l, e]).T
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def moe_fast_config(**overrides):
+    defaults = dict(n_experts=4, n_experts_active=2)
+    defaults.update(overrides)
+    return fast_config(**defaults)
+
+
+@isolated
+def test_decode_step_fast_moe_matches_oracle(tmp_path):
+    cfg = moe_fast_config()
+    assert fast_supported(cfg)
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=6)
+    weights = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(weights, cfg)
+    assert fw.moegate is not None and fw.w13.ndim == 4
+
+    cache_o = KVCache.init(cfg, jnp.bfloat16)
+    cache_f = KVCache.init(cfg, jnp.bfloat16)
+    tok = jnp.int32(5)
+    for pos in range(16):
+        lo, cache_o = decode_step(cfg, weights, tok, jnp.int32(pos), cache_o,
+                                  output_logits=True, compute_dtype=jnp.bfloat16)
+        lf, cache_f = decode_step_fast(cfg, fw, tok, jnp.int32(pos), cache_f,
+                                       output_logits=True)
+        lo, lf = np.asarray(lo), np.asarray(lf)
+        assert np.argmax(lo) == np.argmax(lf), f"argmax diverged at pos {pos}"
+        tok = jnp.int32(int(np.argmax(lo)))
+
+
+@isolated
+def test_engine_fast_moe_from_checkpoint(tmp_path):
+    from yalm_tpu.engine import Engine
+
+    cfg = moe_fast_config()
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=7)
+    eng = Engine.from_checkpoint(path, fast=True, kv_dtype=jnp.bfloat16)
+    assert eng.fast
+    toks = list(eng.generate([1, 7, 42], max_steps=8, temperature=0.0, seed=0))
+    assert len(toks) == 8
 
 
 # ---------------------------------------------------------------------------
 # Batched decode tick
 # ---------------------------------------------------------------------------
 
+@isolated
 def test_batched_decode_matches_per_lane(tmp_path):
     """decode_step_fast_batched == B independent decode_step_fast lanes."""
     from yalm_tpu.models.fast import decode_step_fast_batched
@@ -257,6 +326,7 @@ def test_batched_decode_matches_per_lane(tmp_path):
                                    rtol=2e-2, atol=2e-2)
 
 
+@isolated
 def test_scheduler_fast_matches_oracle_scheduler(tmp_path):
     from yalm_tpu.scheduler import Request, Scheduler
 
@@ -289,6 +359,7 @@ def test_scheduler_fast_matches_oracle_scheduler(tmp_path):
 # Engine integration
 # ---------------------------------------------------------------------------
 
+@isolated
 def test_engine_fast_matches_oracle_engine(tmp_path):
     from yalm_tpu.engine import Engine
 
@@ -310,6 +381,7 @@ def test_engine_fast_matches_oracle_engine(tmp_path):
     assert agree >= len(toks_f) - 1, (toks_f, toks_o)
 
 
+@isolated
 def test_engine_fast_perplexity(tmp_path):
     from yalm_tpu.engine import Engine
 

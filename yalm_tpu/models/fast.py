@@ -17,8 +17,10 @@ exactly one copy of the weight bytes through HBM:
   via dynamic_update_slice on the full stacked buffer — donated by the
   engine, so updates are in-place.
 
-MoE models fall back to the oracle path (experts are sharded across the
-mesh there; see parallel/).
+MoE routing stays data-dependent but HBM-exact: the router picks top-k
+experts and `gemv_le` streams only the routed experts' bytes (layer AND
+expert ride the scalar-prefetch channel). The batched tick is dense-only
+for now (see fast_batched_supported).
 """
 
 from __future__ import annotations
@@ -35,37 +37,45 @@ from ..ops.attention import attend_chunk
 from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
                                     attention_supported)
-from ..ops.pallas.gemv import gemm, gemm_l, gemv, gemv_l, gemv_supported
+from ..ops.core import moe_gate
+from ..ops.pallas.gemv import (gemm, gemm_l, gemv, gemv_l, gemv_le,
+                               gemv_supported)
 from .cache import KVCache
 from .weights import Weights
 
 
 class FastWeights(NamedTuple):
-    """Decode-optimized weight layout (projection pairs pre-concatenated)."""
+    """Decode-optimized weight layout (projection pairs pre-concatenated).
+
+    For MoE models w13/w2 carry an expert axis and moegate holds the router
+    (dense models: moegate is None and the expert axis is absent)."""
 
     embed: jax.Array       # (vocab, dim)
     rms_att: jax.Array     # (n_layers, dim) f32
     rms_ffn: jax.Array     # (n_layers, dim) f32
     wqkv: jax.Array        # (n_layers, q_dim + 2*kv_dim, dim)
     wo: jax.Array          # (n_layers, dim, q_dim)
-    w13: jax.Array         # (n_layers, 2*hidden_dim, dim)
-    w2: jax.Array          # (n_layers, dim, hidden_dim)
+    w13: jax.Array         # (n_layers, [n_experts,] 2*hidden_dim, dim)
+    w2: jax.Array          # (n_layers, [n_experts,] dim, hidden_dim)
     final_norm: jax.Array  # (dim,) f32
     lm_head: jax.Array     # (vocab, dim)
+    moegate: Optional[jax.Array] = None  # (n_layers, n_experts, dim)
 
     @classmethod
     def from_weights(cls, w: Weights, cfg: ModelConfig) -> "FastWeights":
         lw = w.layers
+        ffn_axis = 2 if cfg.is_moe else 1
         return cls(
             embed=w.embed,
             rms_att=lw.rms_att,
             rms_ffn=lw.rms_ffn,
             wqkv=jnp.concatenate([lw.wq, lw.wk, lw.wv], axis=1),
             wo=lw.wo,
-            w13=jnp.concatenate([lw.w1, lw.w3], axis=1),
+            w13=jnp.concatenate([lw.w1, lw.w3], axis=ffn_axis),
             w2=lw.w2,
             final_norm=w.final_norm,
             lm_head=w.lm_head,
+            moegate=lw.moegate,
         )
 
 
@@ -89,14 +99,25 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeigh
     def stack(fmt, shape):
         return np.stack([get(fmt.format(l), shape) for l in range(cfg.n_layers)])
 
-    def stack_cat(fmts_shapes):
+    def stack_cat(fmts_shapes, axis=0):
         return np.stack([
-            np.concatenate([get(f.format(l), s) for f, s in fmts_shapes])
+            np.concatenate([get(f.format(l), s) for f, s in fmts_shapes], axis=axis)
             for l in range(cfg.n_layers)])
 
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
     lm = (device_put(get("model.output.weight", (cfg.vocab_size, d)))
           if "model.output.weight" in t else embed)
+    if cfg.is_moe:
+        E = cfg.n_experts
+        w13 = stack_cat([("model.layers.{}.mlp.w1.weight", (E, h, d)),
+                         ("model.layers.{}.mlp.w3.weight", (E, h, d))], axis=1)
+        w2 = stack("model.layers.{}.mlp.w2.weight", (E, d, h))
+        moegate = device_put(stack("model.layers.{}.moegate.weight", (E, d)))
+    else:
+        w13 = stack_cat([("model.layers.{}.mlp.w1.weight", (h, d)),
+                         ("model.layers.{}.mlp.w3.weight", (h, d))])
+        w2 = stack("model.layers.{}.mlp.w2.weight", (d, h))
+        moegate = None
     return FastWeights(
         embed=embed,
         rms_att=device_put(stack("model.layers.{}.attn.norm.weight", (d,))),
@@ -105,18 +126,16 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeigh
                                    ("model.layers.{}.attn.wk.weight", (kd, d)),
                                    ("model.layers.{}.attn.wv.weight", (kd, d))])),
         wo=device_put(stack("model.layers.{}.attn.wo.weight", (d, q))),
-        w13=device_put(stack_cat([("model.layers.{}.mlp.w1.weight", (h, d)),
-                                  ("model.layers.{}.mlp.w3.weight", (h, d))])),
-        w2=device_put(stack("model.layers.{}.mlp.w2.weight", (d, h))),
+        w13=device_put(w13),
+        w2=device_put(w2),
         final_norm=device_put(get("model.norm.weight", (d,))),
         lm_head=lm,
+        moegate=moegate,
     )
 
 
 def fast_supported(cfg: ModelConfig) -> bool:
     """Whether this model's shapes fit the Pallas kernels' tiling rules."""
-    if cfg.is_moe:
-        return False
     pairs = [
         (cfg.q_dim + 2 * cfg.kv_dim, cfg.dim),
         (cfg.dim, cfg.q_dim),
@@ -124,7 +143,15 @@ def fast_supported(cfg: ModelConfig) -> bool:
         (cfg.dim, cfg.hidden_dim),
         (cfg.vocab_size, cfg.dim),
     ]
+    if cfg.is_moe:
+        pairs.append((cfg.n_experts, cfg.dim))
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
+
+
+def fast_batched_supported(cfg: ModelConfig) -> bool:
+    """The batched tick additionally lacks an MoE routing path (per-lane
+    expert indices need a gather-style kernel; scheduler falls back)."""
+    return fast_supported(cfg) and not cfg.is_moe
 
 
 @partial(jax.jit, static_argnames=("cfg", "output_logits"))
@@ -182,9 +209,19 @@ def decode_step_fast(
         # -- FFN --------------------------------------------------------------
         xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                       cfg.norm_eps)
-        h13 = gemv_l(xb2, fw.w13, i)
-        h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-        x = x + gemv_l(h, fw.w2, i)
+        if cfg.is_moe:
+            # router -> top-k -> per-active-expert fused GEMVs; only the
+            # routed experts' bytes leave HBM (reference src/infer.cpp:347-384)
+            router = gemv_l(xb2, fw.moegate, i)
+            gates, idx = moe_gate(router, cfg.n_experts_active)
+            for j in range(cfg.n_experts_active):
+                h13 = gemv_le(xb2, fw.w13, i, idx[j])
+                h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+                x = x + gates[j] * gemv_le(h, fw.w2, i, idx[j])
+        else:
+            h13 = gemv_l(xb2, fw.w13, i)
+            h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+            x = x + gemv_l(h, fw.w2, i)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -314,7 +351,7 @@ def prefill_fast(
     x = fw.embed[tokens].astype(jnp.float32)  # (T, dim)
 
     def layer_fn(x, layer):
-        rms_a, rms_f, wqkv, wo, w13, w2, kc, vc = layer
+        rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, *extra = layer
         xb = rmsnorm(x, rms_a, cfg.norm_eps)
         qkv = clip(proj(xb, wqkv))                               # (T, q+2kv)
         q = qkv[:, : cfg.q_dim]
@@ -337,14 +374,31 @@ def prefill_fast(
         x = x + proj(mixed.reshape(T, cfg.q_dim), wo)
 
         xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
-        h13 = proj(xb2, w13)
-        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-        x = x + proj(h, w2)
+        if cfg.is_moe:
+            moegate = extra[0]
+
+            def one_tok(r):
+                gates, idx = moe_gate(proj(r, moegate), cfg.n_experts_active)
+
+                def one_expert(e):
+                    h13 = proj(r, w13[e])
+                    h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+                    return proj(h, w2[e])
+                deltas = jax.vmap(one_expert)(idx)
+                return jnp.sum(gates[:, None] * deltas, axis=0)
+
+            x = x + jax.vmap(one_tok)(xb2)
+        else:
+            h13 = proj(xb2, w13)
+            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+            x = x + proj(h, w2)
         return x, (kc, vc)
 
+    extras = (fw.moegate,) if cfg.is_moe else ()
     x, (k_new, v_new) = jax.lax.scan(
         layer_fn, x,
-        (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2, cache.k, cache.v))
+        (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
+         cache.k, cache.v) + extras)
     new_cache = KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":

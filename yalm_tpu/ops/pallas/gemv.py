@@ -177,6 +177,72 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
+            expert: jax.Array, *, block_n: int = 0, block_k: int = 0,
+            interpret: bool | None = None) -> jax.Array:
+    """y[N] = W_all[layer, expert] @ x — the MoE variant of gemv_l.
+
+    Both the layer and the routed expert index ride the scalar-prefetch
+    channel, so only the ACTIVE expert's bytes ever leave HBM — the traffic
+    contract of the reference's per-active-expert GEMVs (src/infer.cpp:355-384).
+    """
+    L, E, N, K = w_all.shape
+    assert x.shape == (K,), (x.shape, w_all.shape)
+    if interpret is None and _emulate():
+        w = w_all[layer, expert]
+        return _gemv_ref(x, w)
+    if not block_n or not block_k:
+        block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
+    n_n, n_k = N // block_n, K // block_k
+    if interpret is None:
+        interpret = False
+
+    def kern(sc_ref, x_ref, w_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), w_ref[0, 0].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_k - 1)
+        def _():
+            o_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k), lambda i, j, sc: (0, j)),
+            pl.BlockSpec((1, 1, block_n, block_k),
+                         lambda i, j, sc: (sc[0], sc[1], i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n), lambda i, j, sc: (0, i)),
+        scratch_shapes=[pltpu.VMEM((1, block_n), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * K,
+            bytes_accessed=N * K * w_all.dtype.itemsize + K * 4 + N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(layer, jnp.int32),
+                 jnp.asarray(expert, jnp.int32)]),
+      x.reshape(1, K).astype(jnp.float32), w_all)
+    return out.reshape(N)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
            block_n: int = 0, block_k: int = 0,
            interpret: bool | None = None) -> jax.Array:

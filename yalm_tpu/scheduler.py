@@ -34,7 +34,7 @@ import numpy as np
 from .config import ModelConfig
 from .models.cache import KVCache
 from .models.fast import (FastWeights, decode_step_fast_batched,
-                          fast_supported, prefill_fast)
+                          fast_batched_supported, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
 from .sampler import sample
@@ -84,8 +84,8 @@ class Scheduler:
         self.cfg = cfg
         if fast == "auto":
             # batched Pallas kernels need sublane-aligned batch
-            fast = fast_supported(cfg) and batch % 8 == 0
-        if fast and (not fast_supported(cfg) or batch % 8 != 0):
+            fast = fast_batched_supported(cfg) and batch % 8 == 0
+        if fast and (not fast_batched_supported(cfg) or batch % 8 != 0):
             raise ValueError("fast scheduler needs a supported config and batch % 8 == 0")
         self.fast = bool(fast)
         if self.fast and isinstance(weights, Weights):

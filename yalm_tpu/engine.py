@@ -69,13 +69,24 @@ class Engine:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         if fast == "auto":
-            # the Pallas decode path is the default wherever it applies;
-            # mesh-sharded (TP) inference stays on the oracle path for now
-            fast = mesh is None and fast_supported(cfg)
-        if fast and (mesh is not None or not fast_supported(cfg)):
-            raise ValueError("fast path unavailable for this config/mesh")
+            # the Pallas decode path is the default wherever it applies —
+            # single-chip via FastWeights, mesh-sharded via shard_map TP
+            if mesh is None:
+                fast = fast_supported(cfg)
+            else:
+                from .parallel.fast_tp import fast_tp_supported
+                fast = fast_tp_supported(cfg, mesh.shape["tp"])
+        if fast and mesh is None and not fast_supported(cfg):
+            raise ValueError("fast path unavailable for this config")
+        if fast and mesh is not None:
+            from .parallel.fast_tp import fast_tp_supported
+            if not fast_tp_supported(cfg, mesh.shape["tp"]):
+                raise ValueError("fast TP path unavailable for this config/mesh")
         self.fast = bool(fast)
-        if self.fast and isinstance(weights, Weights):
+        # single-chip fast uses the concatenated FastWeights layout; the TP
+        # fast path keeps the oracle Weights layout (per-matrix kernels keep
+        # every shard's rows contiguous under the Megatron split)
+        if self.fast and mesh is None and isinstance(weights, Weights):
             weights = FastWeights.from_weights(weights, cfg)
         if mesh is not None:
             # tensor-parallel placement: weights sharded Megatron-style, KV
@@ -92,7 +103,20 @@ class Engine:
 
         cd = compute_dtype
 
-        if self.fast:
+        if self.fast and mesh is not None:
+            from .parallel.fast_tp import make_decode_step_fast_tp
+            _tp_step = make_decode_step_fast_tp(cfg, mesh)
+
+            def _step(w, token, pos, cache, output_logits=True):
+                logits, cache = _tp_step(w, token, pos, cache)
+                return (logits if output_logits else None), cache
+
+            def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode):
+                # prefill stays on the auto-sharded oracle path (batched
+                # matmuls; NamedSharding inserts the same collectives)
+                return prefill(cfg, w, tokens, pos0, valid_len, cache,
+                               logits_mode=logits_mode, compute_dtype=cd)
+        elif self.fast:
             def _step(w, token, pos, cache, output_logits=True):
                 return decode_step_fast(cfg, w, token, pos, cache,
                                         output_logits=output_logits)
@@ -169,8 +193,12 @@ class Engine:
         else:
             put = jnp.asarray
         if fast == "auto":
-            fast = mesh is None and fast_supported(cfg)
-        if fast:
+            if mesh is None:
+                fast = fast_supported(cfg)
+            else:
+                from .parallel.fast_tp import fast_tp_supported
+                fast = fast_tp_supported(cfg, mesh.shape["tp"])
+        if fast and mesh is None:
             # concat on the host so HBM never holds two weight copies
             weights = load_fast_weights(yf, cfg, device_put=put)
         else:

@@ -45,7 +45,16 @@ def _emulate() -> bool:
     kernel parity tests; embedding interpreted kernels inside large looped
     programs segfaults nondeterministically in jax 0.9.0's CPU interpreter,
     so whole-model CPU runs use the emulation path instead.
+
+    YALM_PALLAS_EMULATE=1/0 overrides the backend check — needed when a TPU
+    plugin owns the default backend but the computation targets a virtual
+    CPU mesh (driver dryruns). Flipping it mid-process is unsupported (the
+    flag is read at trace time and jit caches don't key on it).
     """
+    import os
+    flag = os.environ.get("YALM_PALLAS_EMULATE")
+    if flag in ("0", "1"):
+        return flag == "1"
     return jax.default_backend() != "tpu"
 
 

@@ -1,0 +1,137 @@
+"""Tensor-parallel fast decode: shard_map over the Pallas kernels.
+
+The oracle TP path lets NamedSharding + jit insert collectives around plain
+XLA ops; this module is the performance twin for the Pallas decode path.
+Each device runs the SAME fused kernels (ops/pallas) on its local Megatron
+shard — its heads' q/k/v, its slice of the FFN hidden dim, its kv-heads'
+cache — and the only cross-chip traffic is:
+
+  - one psum after the wo-projection        (row-parallel matmul)
+  - one psum after the w2-projection        (row-parallel matmul)
+  - one psum to assemble the embedding row  (vocab-sharded table)
+  - one all_gather of the vocab-sharded logits
+
+which is exactly the Megatron-LM communication pattern (2 collectives per
+block) riding ICI. The reference is single-device (src/model.cpp:385-386
+"TODO: support multiple CUDA devices"); this is its scale-out replacement.
+
+Uses the UNconcatenated `Weights` layout — per-matrix kernels keep each
+shard's rows contiguous, so the same `shard_weights` placement serves both
+the oracle and the fast path.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import KV_SINKS, ModelConfig
+from ..models.cache import KVCache
+from ..models.weights import Weights
+from ..ops.core import apply_rope, gelu, silu, rmsnorm
+from ..ops.pallas.attention import attend_step_l, attention_supported
+from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
+from .sharding import cache_pspecs, weight_pspecs
+
+
+def fast_tp_supported(cfg: ModelConfig, tp: int) -> bool:
+    """Dense models whose LOCAL shard shapes still fit the kernel tiling."""
+    if cfg.is_moe or tp < 1:
+        return False
+    if cfg.n_kv_heads % tp or cfg.n_heads % tp or cfg.hidden_dim % tp \
+            or cfg.vocab_size % tp:
+        return False
+    pairs = [
+        (cfg.q_dim // tp, cfg.dim),
+        (cfg.kv_dim // tp, cfg.dim),
+        (cfg.dim, cfg.q_dim // tp),
+        (cfg.hidden_dim // tp, cfg.dim),
+        (cfg.dim, cfg.hidden_dim // tp),
+        (cfg.vocab_size // tp, cfg.dim),
+    ]
+    return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
+
+
+def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh):
+    """Build a jittable (weights, token, pos, cache) -> (logits, cache) step
+    that runs the Pallas fast path on every `tp` shard via shard_map."""
+    tp = mesh.shape["tp"]
+    assert fast_tp_supported(cfg, tp), (cfg, tp)
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hq_l, Hk_l = Hq // tp, Hk // tp          # local head counts
+    V_l = cfg.vocab_size // tp
+    act = silu if cfg.act_type == "silu" else gelu
+
+    w_specs = weight_pspecs(cfg)
+    c_specs = cache_pspecs(cfg)
+
+    def step(w: Weights, token, pos, cache: KVCache):
+        lw = w.layers
+
+        # vocab-sharded embedding row: local gather + psum assembles the row
+        shard0 = jax.lax.axis_index("tp") * V_l
+        local_idx = jnp.clip(token - shard0, 0, V_l - 1)
+        row = w.embed[local_idx].astype(jnp.float32)
+        row = jnp.where((token >= shard0) & (token < shard0 + V_l), row, 0.0)
+        x = jax.lax.psum(row, "tp")
+
+        kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
+        kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
+        kv_len = jnp.minimum(pos + 1, L)
+
+        def clip(a):
+            if math.isinf(cfg.qkv_clip):
+                return a
+            return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+        def layer_body(i, carry):
+            x, k_all, v_all = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(lw.rms_att, i, keepdims=False),
+                         cfg.norm_eps)
+            # column-parallel q/k/v: this shard computes its heads only
+            q = clip(gemv_l(xb, lw.wq, i))
+            k = clip(gemv_l(xb, lw.wk, i))
+            v = clip(gemv_l(xb, lw.wv, i))
+
+            q = apply_rope(q.reshape(Hq_l, D), pos, cfg.rope_theta, cfg.rotary_dim)
+            k = apply_rope(k.reshape(Hk_l, D), pos, cfg.rope_theta, cfg.rotary_dim)
+            v = v.reshape(Hk_l, D)
+
+            # attention is fully local: the cache shard holds this device's
+            # kv heads; the fused kernel updates it in place
+            mixed, k_all, v_all = attend_step_l(
+                q.reshape(Hk_l, Hq_l // Hk_l, D), k, v, k_all, v_all,
+                i, kv_pos, kv_len, kv_sink,
+                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                rotary_dim=cfg.rotary_dim)
+            # row-parallel wo: partial sums -> ONE psum per block
+            x = x + jax.lax.psum(
+                gemv_l(mixed.reshape(Hq_l * D), lw.wo, i), "tp")
+
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(lw.rms_ffn, i, keepdims=False),
+                          cfg.norm_eps)
+            h1 = gemv_l(xb2, lw.w1, i)
+            h3 = gemv_l(xb2, lw.w3, i)
+            x = x + jax.lax.psum(gemv_l(act(h1) * h3, lw.w2, i), "tp")
+            return (x, k_all, v_all)
+
+        x, k_new, v_new = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+        x = rmsnorm(x, w.final_norm, cfg.norm_eps)
+        # vocab-sharded logits -> gathered so the sampler sees the full row
+        logits = jax.lax.all_gather(gemv(x, w.lm_head), "tp").reshape(-1)
+        return logits, KVCache(k=k_new, v=v_new)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(w_specs, P(), P(), c_specs),
+        out_specs=(P(), c_specs),
+        check_vma=False,
+    )

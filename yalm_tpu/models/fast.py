@@ -181,32 +181,46 @@ def decode_step_fast(
             return a
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
 
+    # the fused-rmsnorm variant needs full-K weight blocks (pick_blocks gives
+    # them for every realistic dim; fall back to the separate op otherwise)
+    from ..ops.pallas.gemv import pick_blocks
+    fuse_norm = pick_blocks(fw.wqkv.shape[1], cfg.dim,
+                            fw.wqkv.dtype.itemsize)[1] == cfg.dim
+
     def layer_body(i, carry):
         x, k_all, v_all = carry
 
         # -- attention ------------------------------------------------------
-        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
-                     cfg.norm_eps)
-        qkv = clip(gemv_l(xb, fw.wqkv, i))
+        # rmsnorm fused into the projection kernel (saves the XLA op and an
+        # activation round-trip); residual adds fused into wo/w2 likewise
+        if fuse_norm:
+            qkv = clip(gemv_l(x, fw.wqkv, i, norm_w=fw.rms_att,
+                              norm_eps=cfg.norm_eps))
+        else:
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                         cfg.norm_eps)
+            qkv = clip(gemv_l(xb, fw.wqkv, i))
         q = qkv[: cfg.q_dim]
         k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
         v = qkv[cfg.q_dim + cfg.kv_dim:]
 
-        q = apply_rope(q.reshape(Hq, D), pos, cfg.rope_theta, cfg.rotary_dim)
-        k = apply_rope(k.reshape(Hk, D), pos, cfg.rope_theta, cfg.rotary_dim)
-        v = v.reshape(Hk, D)
-
-        # One fused kernel: writes k/v into ring slot kv_pos, re-rotates the
-        # sink keys (StreamingLLM, reference src/infer.cpp:303-317), and runs
-        # flash attention — with the cache aliased in place (XLA never holds
-        # the buffer, so no relayouts or update copies).
+        # One fused kernel: RoPE on q/k at `pos`, k/v write into ring slot
+        # kv_pos, sink-key re-rotation (StreamingLLM, reference
+        # src/infer.cpp:303-317), and flash attention — with the cache
+        # aliased in place (XLA never holds the buffer, so no relayouts or
+        # update copies).
         mixed, k_all, v_all = attend_step_l(
-            q.reshape(Hk, qpk, D), k, v, k_all, v_all,
-            i, kv_pos, kv_len, kv_sink,
+            q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
+            k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
             kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
-        x = x + gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i)
+        x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x)
 
         # -- FFN --------------------------------------------------------------
+        if fuse_norm and not cfg.is_moe:
+            h13 = gemv_l(x, fw.w13, i, norm_w=fw.rms_ffn, norm_eps=cfg.norm_eps)
+            h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+            x = gemv_l(h, fw.w2, i, residual=x)
+            return (x, k_all, v_all)
         xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                       cfg.norm_eps)
         if cfg.is_moe:
@@ -281,13 +295,9 @@ def decode_step_fast_batched(
         k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
         v = qkv[:, cfg.q_dim + cfg.kv_dim:]
 
-        q = apply_rope(q.reshape(B, Hq, D), positions, cfg.rope_theta, cfg.rotary_dim)
-        k = apply_rope(k.reshape(B, Hk, D), positions, cfg.rope_theta, cfg.rotary_dim)
-        v = v.reshape(B, Hk, D)
-
         mixed, k_all, v_all = attend_step_batched_l(
-            q.reshape(B, Hk, qpk, D), k, v, k_all, v_all,
-            i, kv_pos, kv_len, kv_sink,
+            q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
+            k_all, v_all, i, kv_pos, kv_len, kv_sink, positions,
             kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
         x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i)
 

@@ -181,26 +181,34 @@ def attention_supported(cfg) -> bool:
 def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               k_hbm, v_hbm,
                               o_ref, ko_hbm, vo_hbm,
-                              kbuf, vbuf, rowbuf, m_ref, l_ref, acc_ref,
+                              kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
                               sem, rowsem, *,
                               S: int, block_s: int, n_kv_heads: int,
                               p_rows: int, kv_sinks: int, theta: float,
                               rotary_dim: int):
     """Grid is (B,): one program per batch lane; scalars are per-lane arrays
-    laid out [layer, kv_pos[B], kv_len[B], kv_sink[B]]."""
+    laid out [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B]]."""
     b = pl.program_id(0)
     B = pl.num_programs(0)
     layer = scal_ref[0]
-    kv_pos, kv_len, kv_sink = (scal_ref[1 + b], scal_ref[1 + B + b],
-                               scal_ref[1 + 2 * B + b])
+    kv_pos, kv_len, kv_sink, pos = (scal_ref[1 + b], scal_ref[1 + B + b],
+                                    scal_ref[1 + 2 * B + b],
+                                    scal_ref[1 + 3 * B + b])
     Hk, P = n_kv_heads, p_rows
     D = q_ref.shape[-1]
     n_blocks = S // block_s
 
-    kw = pltpu.make_async_copy(knew_ref.at[0], ko_hbm.at[b, layer, kv_pos], rowsem)
+    # RoPE fused in: rotate this lane's q (pre-scaled) and new k row
+    q_rot = _rot_lanes(q_ref[0].astype(jnp.float32), theta, rotary_dim,
+                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+    k_rot = _rot_lanes(knew_ref[0].astype(jnp.float32), theta, rotary_dim,
+                       pos.astype(jnp.float32))
+    newbuf[...] = k_rot.astype(newbuf.dtype)
+    kw = pltpu.make_async_copy(newbuf, ko_hbm.at[b, layer, kv_pos], rowsem)
     kw.start()
     kw.wait()
-    vw = pltpu.make_async_copy(vnew_ref.at[0], vo_hbm.at[b, layer, kv_pos], rowsem)
+    newbuf[...] = vnew_ref[0].astype(newbuf.dtype)
+    vw = pltpu.make_async_copy(newbuf, vo_hbm.at[b, layer, kv_pos], rowsem)
     vw.start()
     vw.wait()
 
@@ -250,7 +258,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
         for h in range(Hk):
             r0 = h * P
-            qh = q_ref[0, r0:r0 + P, :]
+            qh = q_rot[r0:r0 + P, :]
             kh = kbuf[slot, :, h, :]
             vh = vbuf[slot, :, h, :]
             sh = jax.lax.dot_general(
@@ -280,28 +288,30 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                           k_all: jax.Array, v_all: jax.Array,
                           layer: jax.Array, kv_pos: jax.Array,
-                          kv_len: jax.Array, kv_sink: jax.Array, *,
+                          kv_len: jax.Array, kv_sink: jax.Array,
+                          pos: jax.Array, *,
                           kv_sinks: int, theta: float, rotary_dim: int,
                           block_s: int = 0, interpret: bool | None = None
                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched attend_step_l for the continuous-batching tick.
 
-    q: (B, n_kv_heads, q_per_kv, head_dim) f32; k_new/v_new: (B, Hk, D)
-    k_all/v_all: (B, n_layers, S, Hk, D); kv_pos/kv_len/kv_sink: (B,) int32
+    q: (B, n_kv_heads, q_per_kv, head_dim) f32 (UNrotated, unscaled)
+    k_new/v_new: (B, Hk, D) f32 (k_new UNrotated)
+    k_all/v_all: (B, n_layers, S, Hk, D); kv_pos/kv_len/kv_sink/pos: (B,) int32
     layer: () int32 (shared across the batch)
     returns (mix (B, Hk, qpk, D) f32, k_all, v_all)
     """
     B, L, S, Hk, D = k_all.shape
     _, _, qpk, _ = q.shape
     if interpret is None and _emulate():
-        def one(q1, kn1, vn1, k1, v1, kp, kl, ks):
-            q2 = (q1.astype(jnp.float32) / math.sqrt(D)).reshape(Hk * qpk, D)
+        def one(q1, kn1, vn1, k1, v1, kp, kl, ks, p1):
+            q2 = q1.astype(jnp.float32).reshape(Hk * qpk, D)
             out, k1, v1 = _attn_step_ref(
-                q2, kn1, vn1, k1, v1, layer, kp, kl, ks,
+                q2, kn1, vn1, k1, v1, layer, kp, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
             return out.reshape(Hk, qpk, D), k1, v1
         return jax.vmap(one)(q, k_new, v_new, k_all, v_all,
-                             kv_pos, kv_len, kv_sink)
+                             kv_pos, kv_len, kv_sink, pos)
 
     if not block_s:
         block_s = S
@@ -312,7 +322,7 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     P = max(8, ((qpk + 7) // 8) * 8)
     qp = jnp.zeros((B, Hk, P, D), jnp.float32)
-    qp = qp.at[:, :, :qpk, :].set(q.astype(jnp.float32) / math.sqrt(D))
+    qp = qp.at[:, :, :qpk, :].set(q.astype(jnp.float32))
     q2 = qp.reshape(B, Hk * P, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -334,6 +344,7 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
             pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), k_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
@@ -347,6 +358,7 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         jnp.asarray(kv_pos, jnp.int32).reshape(B),
         jnp.asarray(kv_len, jnp.int32).reshape(B),
         jnp.asarray(kv_sink, jnp.int32).reshape(B),
+        jnp.asarray(pos, jnp.int32).reshape(B),
     ])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(
@@ -369,7 +381,7 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             transcendentals=B * S * Hk * P,
         ),
         interpret=bool(interpret),
-    )(scal, q2, k_new.astype(k_all.dtype), v_new.astype(v_all.dtype),
+    )(scal, q2, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
       k_all, v_all)
     return out.reshape(B, Hk, P, D)[:, :, :qpk, :], k_out, v_out
 
@@ -391,38 +403,46 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 # (src/infer.cu:642-697, 338-524), collapsed into a single Pallas kernel.
 
 
-def _rot1(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
-    """Rotate interleaved RoPE pairs of rows[..., D] forward by ONE position
-    (StreamingLLM sink-key maintenance, reference src/infer.cpp:303-317).
-
-    XLA formulation (pair-split reshape) for the emulation path; the kernel
-    uses _rot1_lanes, which Mosaic can lower."""
+def _rot_lanes_ref(rows: jax.Array, theta: float, rotary_dim: int,
+                   pos) -> jax.Array:
+    """XLA twin of _rot_lanes (pair-split reshape; Mosaic can't lower it but
+    the emulation path can): RoPE rows[..., D] forward by `pos` positions."""
     D = rows.shape[-1]
     half = D // 2
     j = 2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
     freq = jnp.where(j >= rotary_dim, 0.0,
                      jnp.exp(-jnp.log(theta) * j / rotary_dim))
-    cos, sin = jnp.cos(freq), jnp.sin(freq)
+    ang = jnp.asarray(pos, jnp.float32) * freq
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
     r = rows.reshape(*rows.shape[:-1], half, 2)
     x0, x1 = r[..., 0], r[..., 1]
     out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
     return out.reshape(rows.shape)
 
 
-def _rot1_lanes(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
-    """In-kernel pair rotation without lane-splitting reshapes.
+def _rot1(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
+    """Rotate rows forward by ONE position (StreamingLLM sink maintenance,
+    reference src/infer.cpp:303-317) — emulation-path variant."""
+    return _rot_lanes_ref(rows, theta, rotary_dim, 1.0)
+
+
+def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
+               pos) -> jax.Array:
+    """In-kernel RoPE by `pos` positions without lane-splitting reshapes.
 
     Pair p lives in lanes (2p, 2p+1). rotated = rows * cos_full +
     swap(rows) * sin_signed, where swap exchanges adjacent lanes (two rolls
-    + a parity select) — all operations Mosaic lowers natively.
+    + a parity select) — all operations Mosaic lowers natively. `pos` may be
+    a traced scalar (current decode position) or 1 (sink maintenance).
     """
     R, D = rows.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
     j = (lane - (lane % 2)).astype(jnp.float32)          # 2p per pair
     freq = jnp.where(j >= rotary_dim, 0.0,
                      jnp.exp(-jnp.log(theta) * j / rotary_dim))
-    cos_full = jnp.cos(freq)
-    sin_full = jnp.sin(freq)
+    ang = jnp.asarray(pos, jnp.float32) * freq
+    cos_full = jnp.cos(ang)
+    sin_full = jnp.sin(ang)
     even = (lane % 2) == 0
     sin_signed = jnp.where(even, -sin_full, sin_full)
     # pltpu.roll requires non-negative shifts: rolling by D-1 ≡ -1 circular
@@ -432,24 +452,39 @@ def _rot1_lanes(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
     return rows * cos_full + swapped * sin_signed
 
 
+def _rot1_lanes(rows, theta, rotary_dim):
+    return _rot_lanes(rows, theta, rotary_dim, 1.0)
+
+
 def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                       k_hbm, v_hbm,          # ANY-space inputs (aliased)
                       o_ref, ko_hbm, vo_hbm,  # outputs (ko/vo alias k/v)
-                      kbuf, vbuf, rowbuf, m_ref, l_ref, acc_ref,
+                      kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
                       sem, rowsem, *,
                       S: int, block_s: int, n_kv_heads: int, p_rows: int,
                       kv_sinks: int, theta: float, rotary_dim: int):
     layer, kv_pos, kv_len, kv_sink = (scal_ref[0], scal_ref[1],
                                       scal_ref[2], scal_ref[3])
+    pos = scal_ref[4]
     Hk, P = n_kv_heads, p_rows
     D = q_ref.shape[-1]
     n_blocks = S // block_s
 
+    # -- 0. RoPE fused in: rotate q (pre-softmax-scaled) and the new k row
+    # at the current position (reference fused_rope_and_cache_update,
+    # src/infer.cu:642-677)
+    q_rot = _rot_lanes(q_ref[...].astype(jnp.float32), theta, rotary_dim,
+                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+
     # -- 1. write this step's k/v row at kv_pos (in place) -----------------
-    kw = pltpu.make_async_copy(knew_ref, ko_hbm.at[layer, kv_pos], rowsem)
+    k_rot = _rot_lanes(knew_ref[...].astype(jnp.float32).reshape(Hk, D),
+                       theta, rotary_dim, pos.astype(jnp.float32))
+    newbuf[...] = k_rot.astype(newbuf.dtype)
+    kw = pltpu.make_async_copy(newbuf, ko_hbm.at[layer, kv_pos], rowsem)
     kw.start()
     kw.wait()
-    vw = pltpu.make_async_copy(vnew_ref, vo_hbm.at[layer, kv_pos], rowsem)
+    newbuf[...] = vnew_ref[...].astype(newbuf.dtype)
+    vw = pltpu.make_async_copy(newbuf, vo_hbm.at[layer, kv_pos], rowsem)
     vw.start()
     vw.wait()
 
@@ -498,7 +533,7 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
         for h in range(Hk):
             r0 = h * P  # python-static row offset, P is a sublane multiple
-            qh = q_ref[r0:r0 + P, :]
+            qh = q_rot[r0:r0 + P, :]
             kh = kbuf[slot, :, h, :]
             vh = vbuf[slot, :, h, :]
             sh = jax.lax.dot_general(
@@ -523,8 +558,16 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
 
 def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
-                   kv_sink, *, kv_sinks, theta, rotary_dim):
-    """jnp emulation of the fused step (off-TPU default; kernel numerics)."""
+                   kv_sink, pos, *, kv_sinks, theta, rotary_dim):
+    """jnp emulation of the fused step (off-TPU default; kernel numerics).
+
+    q2 (rows, D) and k_new arrive UNrotated/unscaled; RoPE at `pos` and the
+    1/sqrt(D) scale are applied here like the kernel does."""
+    D = k_all.shape[3]
+    posf = jnp.asarray(pos, jnp.float32)
+    q2 = _rot_lanes_ref(q2.astype(jnp.float32), theta, rotary_dim, posf) \
+        * (1.0 / math.sqrt(D))
+    k_new = _rot_lanes_ref(k_new.astype(jnp.float32), theta, rotary_dim, posf)
     k_all = jax.lax.dynamic_update_slice(
         k_all, k_new[None, None].astype(k_all.dtype), (layer, kv_pos, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
@@ -551,29 +594,29 @@ def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
 def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                   k_all: jax.Array, v_all: jax.Array,
                   layer: jax.Array, kv_pos: jax.Array, kv_len: jax.Array,
-                  kv_sink: jax.Array, *,
+                  kv_sink: jax.Array, pos: jax.Array, *,
                   kv_sinks: int, theta: float, rotary_dim: int,
                   block_s: int = 0, interpret: bool | None = None
                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused decode-attention step against layer `layer` of the cache.
 
-    Writes (k_new, v_new) into ring slot kv_pos, re-rotates the first
-    kv_sink sink keys by one position, then runs flash attention over slots
-    < kv_len — all inside one kernel whose cache operands are aliased to its
-    outputs, so the buffers update strictly in place.
+    Applies RoPE at absolute position `pos` to q and k_new in-kernel, writes
+    (k_new, v_new) into ring slot kv_pos, re-rotates the first kv_sink sink
+    keys by one position, then runs flash attention over slots < kv_len —
+    all inside one kernel whose cache operands are aliased to its outputs,
+    so the buffers update strictly in place.
 
-    q: (n_kv_heads, q_per_kv, head_dim) f32 (unscaled)
-    k_new/v_new: (n_kv_heads, head_dim) f32
+    q: (n_kv_heads, q_per_kv, head_dim) f32 (UNrotated, unscaled)
+    k_new/v_new: (n_kv_heads, head_dim) f32 (k_new UNrotated)
     returns (mix (n_kv_heads, q_per_kv, head_dim) f32, k_all, v_all)
     """
     L, S, Hk, D = k_all.shape
     _, qpk, _ = q.shape
-    q2 = (q.astype(jnp.float32) / math.sqrt(D)).reshape(Hk * qpk, D)
-    args = (q2, k_new.astype(k_all.dtype), v_new.astype(v_all.dtype),
-            k_all, v_all, layer, kv_pos, kv_len, kv_sink)
     if interpret is None and _emulate():
+        q2 = q.astype(jnp.float32).reshape(Hk * qpk, D)
         out, k_all, v_all = _attn_step_ref(
-            *args, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+            q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len, kv_sink,
+            pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
         return out.reshape(Hk, qpk, D)[:, :qpk, :], k_all, v_all
 
     if not block_s:
@@ -585,7 +628,7 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     P = max(8, ((qpk + 7) // 8) * 8)
     qp = jnp.zeros((Hk, P, D), jnp.float32)
-    qp = qp.at[:, :qpk, :].set(q.astype(jnp.float32) / math.sqrt(D))
+    qp = qp.at[:, :qpk, :].set(q.astype(jnp.float32))
     q2 = qp.reshape(Hk * P, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -607,6 +650,7 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
             pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), k_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
@@ -618,7 +662,8 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     scal = jnp.stack([jnp.asarray(layer, jnp.int32),
                       jnp.asarray(kv_pos, jnp.int32),
                       jnp.asarray(kv_len, jnp.int32),
-                      jnp.asarray(kv_sink, jnp.int32)])
+                      jnp.asarray(kv_sink, jnp.int32),
+                      jnp.asarray(pos, jnp.int32)])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(
             _attn_step_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
@@ -640,6 +685,6 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             transcendentals=S * Hk * P,
         ),
         interpret=bool(interpret),
-    )(scal, q2, k_new.astype(k_all.dtype), v_new.astype(v_all.dtype),
+    )(scal, q2, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
       k_all, v_all)
     return out.reshape(Hk, P, D)[:, :qpk, :], k_out, v_out

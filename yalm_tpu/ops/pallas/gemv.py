@@ -131,27 +131,53 @@ def gemv(x: jax.Array, w: jax.Array, *, block_n: int = 0, block_k: int = 0,
     return out.reshape(N)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret",
+                                             "norm_eps"))
 def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
+           norm_w: jax.Array | None = None, norm_eps: float = 1e-5,
+           residual: jax.Array | None = None,
            block_n: int = 0, block_k: int = 0,
            interpret: bool | None = None) -> jax.Array:
-    """y[N] = W_all[layer] @ x — layer-indexed GEMV over stacked weights.
+    """y[N] = W_all[layer] @ maybe_rmsnorm(x) (+ residual) — layer-indexed
+    GEMV over stacked weights.
 
     `layer` is a traced scalar: it rides the scalar-prefetch channel and
     steers the weight BlockSpec's index_map, so tiles DMA straight from the
     selected layer's bytes in HBM. Safe (and fast) inside lax.fori_loop /
     lax.scan over layers.
+
+    Optional fusions (each removes a small XLA op + an activation HBM
+    round-trip from the per-layer chain):
+    - norm_w (n_layers, K): RMS-normalize x against layer `layer`'s norm
+      weights inside the kernel (requires full-K blocks).
+    - residual (N,): added to the output in the final flush.
     """
     L, N, K = w_all.shape
     assert x.shape == (K,), (x.shape, w_all.shape)
     if interpret is None and _emulate():
-        return _gemv_ref(x, jax.lax.dynamic_index_in_dim(w_all, layer, keepdims=False))
+        xv = x.astype(jnp.float32)
+        if norm_w is not None:
+            nw = jax.lax.dynamic_index_in_dim(norm_w, layer, keepdims=False)
+            ms = jnp.mean(xv * xv)
+            xv = xv * jax.lax.rsqrt(ms + norm_eps) * nw.astype(jnp.float32)
+        out = _gemv_ref(xv, jax.lax.dynamic_index_in_dim(w_all, layer, keepdims=False))
+        return out + residual if residual is not None else out
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
     assert n_n * block_n == N and n_k * block_k == K, (w_all.shape, block_n, block_k)
+    assert norm_w is None or n_k == 1, "fused rmsnorm needs full-K blocks"
     if interpret is None:
         interpret = False
+
+    extra_in, extra_specs = [], []
+    if norm_w is not None:
+        # (L, 1, K) so the block's trailing dims equal the full array dims
+        extra_in.append(norm_w.reshape(L, 1, K))
+        extra_specs.append(pl.BlockSpec((1, 1, block_k), lambda i, j, l: (l[0], 0, j)))
+    if residual is not None:
+        extra_in.append(residual.reshape(1, N).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, block_n), lambda i, j, l: (0, i)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -159,13 +185,38 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
         in_specs=[
             pl.BlockSpec((1, block_k), lambda i, j, l: (0, j)),
             pl.BlockSpec((1, block_n, block_k), lambda i, j, l: (l[0], i, j)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((1, block_n), lambda i, j, l: (0, i)),
         scratch_shapes=[pltpu.VMEM((1, block_n), jnp.float32)],
     )
 
-    def kern(l_ref, x_ref, w_ref, o_ref, acc_ref):
-        _kernel(x_ref, w_ref, o_ref, acc_ref, n_k=n_k, stacked=True)
+    has_norm, has_res = norm_w is not None, residual is not None
+
+    def kern(l_ref, x_ref, w_ref, *rest):
+        refs = list(rest)
+        nw_ref = refs.pop(0) if has_norm else None
+        res_ref = refs.pop(0) if has_res else None
+        o_ref, acc_ref = refs
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        xv = x_ref[...].astype(jnp.float32)
+        if has_norm:
+            ms = jnp.mean(xv * xv, axis=-1, keepdims=True)
+            xv = xv * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0].astype(jnp.float32)
+        acc_ref[...] += jax.lax.dot_general(
+            xv.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_k - 1)
+        def _():
+            if has_res:
+                o_ref[...] = acc_ref[...] + res_ref[...]
+            else:
+                o_ref[...] = acc_ref[...]
 
     out = pl.pallas_call(
         kern,
@@ -181,7 +232,7 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
-      x.reshape(1, K).astype(jnp.float32), w_all)
+      x.reshape(1, K).astype(jnp.float32), w_all, *extra_in)
     return out.reshape(N)
 
 

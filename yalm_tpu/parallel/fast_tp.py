@@ -100,15 +100,12 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh):
             k = clip(gemv_l(xb, lw.wk, i))
             v = clip(gemv_l(xb, lw.wv, i))
 
-            q = apply_rope(q.reshape(Hq_l, D), pos, cfg.rope_theta, cfg.rotary_dim)
-            k = apply_rope(k.reshape(Hk_l, D), pos, cfg.rope_theta, cfg.rotary_dim)
-            v = v.reshape(Hk_l, D)
-
             # attention is fully local: the cache shard holds this device's
-            # kv heads; the fused kernel updates it in place
+            # kv heads; the fused kernel ropes q/k and updates it in place
             mixed, k_all, v_all = attend_step_l(
-                q.reshape(Hk_l, Hq_l // Hk_l, D), k, v, k_all, v_all,
-                i, kv_pos, kv_len, kv_sink,
+                q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
+                v.reshape(Hk_l, D), k_all, v_all,
+                i, kv_pos, kv_len, kv_sink, pos,
                 kv_sinks=KV_SINKS, theta=cfg.rope_theta,
                 rotary_dim=cfg.rotary_dim)
             # row-parallel wo: partial sums -> ONE psum per block

@@ -1,0 +1,107 @@
+"""HTTP serving layer tests: completion, streaming, concurrency, health."""
+
+import json
+import threading
+import urllib.request
+
+import jax.numpy as jnp
+import pytest
+
+from yalm_tpu.server import ServingEngine, serve
+from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("srv") / "m.yalm")
+    synth_checkpoint(path, tiny_config(), seed=0)
+    engine = ServingEngine.from_checkpoint(path, batch=4, kv_dtype=jnp.float16)
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", engine
+    httpd.shutdown()
+    engine.close()
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, r.read()
+
+
+def test_health_and_models(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+    with urllib.request.urlopen(base + "/v1/models", timeout=30) as r:
+        data = json.loads(r.read())
+    assert data["data"][0]["id"] == "yalm-tpu"
+
+
+def test_completion(server):
+    base, _ = server
+    status, body = _post(base + "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 8, "temperature": 0.0})
+    assert status == 200
+    out = json.loads(body)
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] >= 1
+    assert isinstance(out["choices"][0]["text"], str)
+
+
+def test_streaming_completion(server):
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": "hello", "max_tokens": 6,
+                         "temperature": 0.0, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = r.read().decode()
+    events = [l for l in raw.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "data: [DONE]"
+    assert len(events) >= 2  # at least one token + DONE
+
+
+def test_concurrent_requests(server):
+    base, _ = server
+    results = {}
+
+    def one(i):
+        status, body = _post(base + "/v1/completions",
+                             {"prompt": f"hello {i}", "max_tokens": 5,
+                              "temperature": 0.0})
+        results[i] = (status, json.loads(body))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert len(results) == 5
+    assert all(status == 200 for status, _ in results.values())
+    assert all(out["usage"]["completion_tokens"] >= 1
+               for _, out in results.values())
+
+
+def test_bad_request(server):
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/v1/completions", data=b'{"nope": 1}',
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_engine_complete_api(server):
+    _, engine = server
+    text = engine.complete("hello world", max_tokens=6, temperature=0.0)
+    assert isinstance(text, str)

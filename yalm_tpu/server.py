@@ -1,0 +1,255 @@
+"""HTTP serving layer over the continuous-batching scheduler.
+
+The reference has no serving story at all ("Chat interface has not been
+implemented", reference README.md:85, and a single-stream CLI loop,
+src/main.cpp:102-112). This module is the deployment-shaped front end:
+
+- OpenAI-style REST surface: POST /v1/completions (optionally streamed as
+  server-sent events), GET /v1/models, GET /health.
+- One driver thread owns the Scheduler and ticks it continuously; HTTP
+  handler threads only enqueue requests and wait on queues — all device
+  work stays on the single driver thread (JAX dispatch is not re-entrant).
+- Pure stdlib (http.server + json + threading): nothing to install.
+
+Run: python -m yalm_tpu.server model.yalm --port 8080 --batch 8
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .codec.format import read_yalm
+from .config import ModelConfig
+from .models.fast import fast_batched_supported
+from .models.weights import load_weights
+from .scheduler import Request, Scheduler
+from .tokenizer import Tokenizer
+
+_SENTINEL = object()
+
+
+class ServingEngine:
+    """Owns the scheduler + driver thread; thread-safe submission."""
+
+    def __init__(self, cfg: ModelConfig, weights, tokenizer: Tokenizer, *,
+                 batch: int = 8, kv_dtype=jnp.bfloat16, fast: bool | str = "auto"):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.sched = Scheduler(cfg, weights, batch=batch, kv_dtype=kv_dtype,
+                               compute_dtype=jnp.bfloat16, fast=fast)
+        self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
+        self._watch: list[tuple[Request, "queue.Queue"]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._drive, daemon=True,
+                                        name="yalm-scheduler")
+        self._thread.start()
+
+    @classmethod
+    def from_checkpoint(cls, path: str, *, context: int = 0, **kw) -> "ServingEngine":
+        yf = read_yalm(path)
+        cfg = ModelConfig.from_metadata(yf.metadata, context=context)
+        weights = load_weights(yf, cfg)
+        tok = Tokenizer.from_yalm(yf)
+        eng = cls(cfg, weights, tok, **kw)
+        yf.close()
+        return eng
+
+    # -- driver thread --------------------------------------------------
+    def _drive(self) -> None:
+        while not self._stop.is_set():
+            moved = False
+            try:
+                while True:
+                    req, out_q = self._inbox.get_nowait()
+                    self.sched.submit(req)
+                    self._watch.append((req, out_q))
+                    moved = True
+            except queue.Empty:
+                pass
+            if self.sched.queue or self.sched.n_active:
+                self.sched.step()
+            elif not moved:
+                time.sleep(0.005)  # idle
+            # completion sentinels (done is set by the scheduler after the
+            # final token's on_token fired, so ordering here is safe)
+            still = []
+            for req, out_q in self._watch:
+                if req.done:
+                    out_q.put(_SENTINEL)
+                else:
+                    still.append((req, out_q))
+            self._watch = still
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # -- request API ----------------------------------------------------
+    def submit_prompt(self, prompt: str, *, max_tokens: int = 128,
+                      temperature: float = 1.0,
+                      stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
+        toks = self.tokenizer.encode(prompt, bos=True)
+        out_q: "queue.Queue" = queue.Queue()
+        stops = set()
+        if stop_at_eos:
+            stops.add(self.cfg.eos_token_id)
+            eot = getattr(self.tokenizer, "eot_id", -1)
+            if eot is not None and eot >= 0:
+                stops.add(eot)
+
+        req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
+                      temperature=temperature, stop_tokens=frozenset(stops),
+                      on_token=out_q.put)
+        self._inbox.put((req, out_q))
+        return req, out_q
+
+    def complete(self, prompt: str, **kw) -> str:
+        req, out_q = self.submit_prompt(prompt, **kw)
+        parts = []
+        prev = req.prompt_tokens[-1] if req.prompt_tokens else self.cfg.bos_token_id
+        while True:
+            item = out_q.get()
+            if item is _SENTINEL:
+                break
+            if item not in req.stop_tokens:
+                parts.append(self.tokenizer.decode_one(prev, int(item)))
+            prev = int(item)
+        return b"".join(parts).decode("utf-8", errors="replace")
+
+
+def make_handler(engine: ServingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok",
+                                 "active": engine.sched.n_active,
+                                 "queued": len(engine.sched.queue)})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": "yalm-tpu", "object": "model",
+                    "meta": {"dim": engine.cfg.dim,
+                             "n_layers": engine.cfg.n_layers,
+                             "dtype": engine.cfg.weight_dtype,
+                             "context": engine.cfg.max_seq_len}}]})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/completions":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body["prompt"]
+                max_tokens = int(body.get("max_tokens", 128))
+                temperature = float(body.get("temperature", 1.0))
+                stream = bool(body.get("stream", False))
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+
+            req, out_q = engine.submit_prompt(
+                prompt, max_tokens=max_tokens, temperature=temperature)
+
+            if not stream:
+                text = []
+                prev = req.prompt_tokens[-1] if req.prompt_tokens else engine.cfg.bos_token_id
+                while True:
+                    item = out_q.get()
+                    if item is _SENTINEL:
+                        break
+                    if item not in req.stop_tokens:
+                        text.append(engine.tokenizer.decode_one(prev, int(item)))
+                    prev = int(item)
+                self._json(200, {
+                    "object": "text_completion",
+                    "model": "yalm-tpu",
+                    "choices": [{"index": 0,
+                                 "text": b"".join(text).decode("utf-8", errors="replace"),
+                                 "finish_reason": "stop"}],
+                    "usage": {"prompt_tokens": len(req.prompt_tokens),
+                              "completion_tokens": len(req.generated)},
+                })
+                return
+
+            # server-sent events, one data: line per token
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes) -> None:
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+            prev = req.prompt_tokens[-1] if req.prompt_tokens else engine.cfg.bos_token_id
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    break
+                if item in req.stop_tokens:
+                    prev = int(item)
+                    continue
+                piece = engine.tokenizer.decode_one(prev, int(item)).decode(
+                    "utf-8", errors="replace")
+                prev = int(item)
+                chunk(b"data: " + json.dumps(
+                    {"choices": [{"index": 0, "text": piece}]}).encode() + b"\n\n")
+            chunk(b"data: [DONE]\n\n")
+            chunk(b"")  # terminal chunk
+
+    return Handler
+
+
+def serve(engine: ServingEngine, host: str = "0.0.0.0", port: int = 8080
+          ) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    return httpd
+
+
+def main(argv=None) -> None:
+    import argparse
+    ap = argparse.ArgumentParser(description="yalm_tpu HTTP server")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("-T", "--context", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    engine = ServingEngine.from_checkpoint(args.checkpoint, context=args.context,
+                                           batch=args.batch)
+    httpd = serve(engine, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

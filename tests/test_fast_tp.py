@@ -28,7 +28,11 @@ def test_fast_tp_supported_gates():
     assert fast_tp_supported(cfg, 1)
     assert fast_tp_supported(cfg, 2)       # n_kv_heads = 2
     assert not fast_tp_supported(cfg, 4)   # tp > n_kv_heads
-    assert not fast_tp_supported(fast_config(n_experts=2, n_experts_active=1), 2)
+    moe = fast_config(n_experts=2, n_experts_active=1)
+    assert fast_tp_supported(moe, 2, ep=1)
+    assert fast_tp_supported(moe, 2, ep=2)     # experts shard over ep
+    assert not fast_tp_supported(moe, 2, ep=4)  # ep > n_experts
+    assert not fast_tp_supported(cfg, 2, ep=2)  # dense can't use ep
 
 
 @isolated
@@ -74,3 +78,31 @@ def test_engine_fast_tp_generates(tmp_path):
     toks_o = list(eng_o.generate([1, 7, 42], max_steps=10, temperature=0.0, seed=0))
     agree = sum(a == b for a, b in zip(toks_t, toks_o))
     assert agree >= len(toks_o) - 1, (toks_t, toks_o)
+
+
+@isolated
+def test_decode_step_fast_tp_moe_ep_matches_oracle(tmp_path):
+    """MoE fast-TP with experts sharded over ep: router replicated, only the
+    routed local experts run (lax.cond), psum over (ep, tp)."""
+    cfg = fast_config(n_experts=4, n_experts_active=2)
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=11)
+    weights = load_weights(read_yalm(path), cfg)
+
+    mesh = make_mesh(MeshConfig(ep=2, tp=2), devices=jax.devices()[:4])
+    sweights = shard_weights(weights, cfg, mesh)
+    scache = shard_cache(KVCache.init(cfg, jnp.bfloat16), cfg, mesh)
+
+    tp_step = jax.jit(make_decode_step_fast_tp(cfg, mesh), donate_argnums=(3,))
+    cache_o = KVCache.init(cfg, jnp.bfloat16)
+
+    tok = jnp.int32(5)
+    for pos in range(12):
+        lo, cache_o = decode_step(cfg, weights, tok, jnp.int32(pos), cache_o,
+                                  output_logits=True, compute_dtype=jnp.bfloat16)
+        lt, scache = tp_step(sweights, tok, jnp.int32(pos), scache)
+        lo, lt = np.asarray(lo), np.asarray(lt)
+        assert np.argmax(lo) == np.argmax(lt), f"argmax diverged at pos {pos}"
+        scale = max(1.0, float(np.abs(lo).max()))
+        assert float(np.abs(lo - lt).max()) / scale < 0.05, f"diverged at {pos}"
+        tok = jnp.int32(int(np.argmax(lo)))

@@ -75,12 +75,12 @@ class Engine:
                 fast = fast_supported(cfg)
             else:
                 from .parallel.fast_tp import fast_tp_supported
-                fast = fast_tp_supported(cfg, mesh.shape["tp"])
+                fast = fast_tp_supported(cfg, mesh.shape["tp"], mesh.shape.get("ep", 1))
         if fast and mesh is None and not fast_supported(cfg):
             raise ValueError("fast path unavailable for this config")
         if fast and mesh is not None:
             from .parallel.fast_tp import fast_tp_supported
-            if not fast_tp_supported(cfg, mesh.shape["tp"]):
+            if not fast_tp_supported(cfg, mesh.shape["tp"], mesh.shape.get("ep", 1)):
                 raise ValueError("fast TP path unavailable for this config/mesh")
         self.fast = bool(fast)
         # single-chip fast uses the concatenated FastWeights layout; the TP
@@ -197,7 +197,7 @@ class Engine:
                 fast = fast_supported(cfg)
             else:
                 from .parallel.fast_tp import fast_tp_supported
-                fast = fast_tp_supported(cfg, mesh.shape["tp"])
+                fast = fast_tp_supported(cfg, mesh.shape["tp"], mesh.shape.get("ep", 1))
         if fast and mesh is None:
             # concat on the host so HBM never holds two weight copies
             weights = load_fast_weights(yf, cfg, device_put=put)

@@ -40,9 +40,17 @@ from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
 from .sharding import cache_pspecs, weight_pspecs
 
 
-def fast_tp_supported(cfg: ModelConfig, tp: int) -> bool:
-    """Dense models whose LOCAL shard shapes still fit the kernel tiling."""
-    if cfg.is_moe or tp < 1:
+def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
+    """Models whose LOCAL shard shapes still fit the kernel tiling.
+
+    Dense: experts absent, ep must be 1. MoE: experts shard over `ep`,
+    expert-internal dims over `tp`."""
+    if tp < 1 or ep < 1:
+        return False
+    if cfg.is_moe:
+        if cfg.n_experts % ep:
+            return False
+    elif ep != 1:
         return False
     if cfg.n_kv_heads % tp or cfg.n_heads % tp or cfg.hidden_dim % tp \
             or cfg.vocab_size % tp:
@@ -55,18 +63,31 @@ def fast_tp_supported(cfg: ModelConfig, tp: int) -> bool:
         (cfg.dim, cfg.hidden_dim // tp),
         (cfg.vocab_size // tp, cfg.dim),
     ]
+    if cfg.is_moe:
+        pairs.append((cfg.n_experts, cfg.dim))
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
 
 
 def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh):
     """Build a jittable (weights, token, pos, cache) -> (logits, cache) step
-    that runs the Pallas fast path on every `tp` shard via shard_map."""
+    that runs the Pallas fast path on every `tp` shard via shard_map.
+
+    MoE models additionally use the mesh's `ep` axis for expert parallelism:
+    the router is computed replicated, each device evaluates only its LOCAL
+    experts that the router selected (jax.lax.cond skips the weight stream
+    for unselected local experts entirely — the data-dependent-skip property
+    the reference gets from host control flow, src/infer.cpp:355-384), and
+    one psum over ('ep','tp') assembles the FFN delta. Attention and dense
+    projections are replicated over `ep` and sharded over `tp` as usual.
+    """
     tp = mesh.shape["tp"]
-    assert fast_tp_supported(cfg, tp), (cfg, tp)
+    ep = mesh.shape.get("ep", 1)
+    assert fast_tp_supported(cfg, tp, ep), (cfg, tp, ep)
     L = cfg.max_seq_len
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     Hq_l, Hk_l = Hq // tp, Hk // tp          # local head counts
     V_l = cfg.vocab_size // tp
+    E_l = cfg.n_experts // ep if cfg.is_moe else 0
     act = silu if cfg.act_type == "silu" else gelu
 
     w_specs = weight_pspecs(cfg)
@@ -114,9 +135,32 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh):
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(lw.rms_ffn, i, keepdims=False),
                           cfg.norm_eps)
-            h1 = gemv_l(xb2, lw.w1, i)
-            h3 = gemv_l(xb2, lw.w3, i)
-            x = x + jax.lax.psum(gemv_l(act(h1) * h3, lw.w2, i), "tp")
+            if cfg.is_moe:
+                from ..ops.core import moe_gate
+                from ..ops.pallas.gemv import gemv_le
+                # replicated router (moegate is replicated on the mesh)
+                router = gemv_l(xb2, lw.moegate, i)
+                gates, idx = moe_gate(router, cfg.n_experts_active)
+                e0 = jax.lax.axis_index("ep") * E_l
+                delta = jnp.zeros((cfg.dim,), jnp.float32)
+                for le in range(E_l):
+                    ge = e0 + le
+                    gate = jnp.sum(jnp.where(idx == ge, gates, 0.0))
+                    routed = jnp.any(idx == ge)
+
+                    def run(xb2=xb2, le=le):
+                        h1 = gemv_le(xb2, lw.w1, i, jnp.int32(le))
+                        h3 = gemv_le(xb2, lw.w3, i, jnp.int32(le))
+                        return gemv_le(act(h1) * h3, lw.w2, i, jnp.int32(le))
+
+                    delta = delta + gate * jax.lax.cond(
+                        routed, run, lambda: jnp.zeros((cfg.dim,), jnp.float32))
+                # FFN delta assembles across experts (ep) AND hidden shards (tp)
+                x = x + jax.lax.psum(delta, ("ep", "tp"))
+            else:
+                h1 = gemv_l(xb2, lw.w1, i)
+                h3 = gemv_l(xb2, lw.w3, i)
+                x = x + jax.lax.psum(gemv_l(act(h1) * h3, lw.w2, i), "tp")
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(

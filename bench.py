@@ -61,12 +61,19 @@ def _synth_fast_weights(cfg, seed=0):
     key = jax.random.PRNGKey(seed)
 
     def mk(k, *shape, scale=0.02):
+        # hierarchical fold_in (tensor id, then chunk) keeps the random
+        # streams disjoint across tensors; chunked rows keep the bf16
+        # temporaries small without a dispatch per row
+        tkey = jax.random.fold_in(key, k)
+        rows = shape[0]
+        chunk = max(1, min(rows, (64 << 20) // max(1, int(np.prod(shape[1:])) * 2)))
         parts = []
-        for i in range(shape[0]):
-            sub = jax.random.normal(jax.random.fold_in(key, k * 4096 + i),
-                                    shape[1:], jnp.bfloat16) * scale
+        for c, i in enumerate(range(0, rows, chunk)):
+            n = min(chunk, rows - i)
+            sub = jax.random.normal(jax.random.fold_in(tkey, c),
+                                    (n,) + shape[1:], jnp.bfloat16) * scale
             parts.append(sub.astype(wdt))
-        return jnp.stack(parts)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     nl = cfg.n_layers
     return FastWeights(
@@ -161,8 +168,12 @@ def bench_batched(cfg, weights, batch: int, steps: int) -> None:
     import jax.numpy as jnp
     from functools import partial
     from yalm_tpu.models.cache import KVCache
-    from yalm_tpu.models.fast import decode_step_fast_batched
+    from yalm_tpu.models.fast import decode_step_fast_batched, fast_batched_supported
     from yalm_tpu.sampler import sample
+
+    if batch % 8 or not fast_batched_supported(cfg):
+        raise SystemExit(f"YALM_BENCH_BATCH={batch} needs batch % 8 == 0 and a "
+                         f"fast-batched-supported config (dense, head_dim % 128 == 0)")
 
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
     def blk(w, cache, tokens, pos0, key, n):

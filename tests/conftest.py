@@ -56,10 +56,13 @@ def isolated(fn):
                 cwd=os.path.dirname(os.path.dirname(__file__)))
             if r.returncode == 0:
                 return
-            if r.returncode == 1:  # real assertion/test failure
+            # retry ONLY on signal exits (segfault/abort); anything else —
+            # test failure (1), collection error (2), usage (4), no tests
+            # (5) — is a real problem to surface immediately with output
+            if not (r.returncode < 0 or r.returncode in (134, 139)):
                 raise AssertionError(
-                    f"{nodeid} failed in subprocess:\n{r.stdout[-4000:]}")
-            # signal exit (segfault et al.): retry
-        raise AssertionError(f"{nodeid} crashed in 4/4 subprocess attempts")
+                    f"{nodeid} failed in subprocess (exit {r.returncode}):\n"
+                    f"{r.stdout[-4000:]}\n{r.stderr[-2000:]}")
+        raise AssertionError(f"{nodeid} crashed (signal) in 4/4 subprocess attempts")
 
     return wrapper

@@ -106,10 +106,13 @@ class Engine:
         if self.fast and mesh is not None:
             from .parallel.fast_tp import make_decode_step_fast_tp
             _tp_step = make_decode_step_fast_tp(cfg, mesh)
+            _tp_hydrate = make_decode_step_fast_tp(cfg, mesh, output_logits=False)
 
             def _step(w, token, pos, cache, output_logits=True):
-                logits, cache = _tp_step(w, token, pos, cache)
-                return (logits if output_logits else None), cache
+                if not output_logits:
+                    _, cache = _tp_hydrate(w, token, pos, cache)
+                    return None, cache
+                return _tp_step(w, token, pos, cache)
 
             def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode):
                 # prefill stays on the auto-sharded oracle path (batched
@@ -198,16 +201,18 @@ class Engine:
             else:
                 from .parallel.fast_tp import fast_tp_supported
                 fast = fast_tp_supported(cfg, mesh.shape["tp"], mesh.shape.get("ep", 1))
-        if fast and mesh is None:
-            # concat on the host so HBM never holds two weight copies
-            weights = load_fast_weights(yf, cfg, device_put=put)
-        else:
-            weights = load_weights(yf, cfg, device_put=put)
-        tok = Tokenizer.from_yalm(yf)
-        eng = cls(cfg, weights, tok, mesh=mesh, fast=fast, **kw)
-        if device is not None and mesh is None:
-            eng.cache = jax.device_put(eng.cache, device)
-        yf.close()  # weights were copied to device; release the mapping
+        try:
+            if fast and mesh is None:
+                # concat on the host so HBM never holds two weight copies
+                weights = load_fast_weights(yf, cfg, device_put=put)
+            else:
+                weights = load_weights(yf, cfg, device_put=put)
+            tok = Tokenizer.from_yalm(yf)
+            eng = cls(cfg, weights, tok, mesh=mesh, fast=fast, **kw)
+            if device is not None and mesh is None:
+                eng.cache = jax.device_put(eng.cache, device)
+        finally:
+            yf.close()  # weights were copied to device; release the mapping
         return eng
 
     # ------------------------------------------------------------------

@@ -64,31 +64,10 @@ def _attn_kernel(scal_ref, q_ref, k_ref, v_ref, o_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
 
     kv_len = scal_ref[1]
-    slot = s * block_s + jax.lax.broadcasted_iota(jnp.int32, (p_rows, block_s), 1)
-    valid = slot < kv_len  # (P, BS) — same mask for every kv head
-
-    for h in range(n_kv_heads):
-        r0 = h * p_rows
-        qh = q_ref[r0:r0 + p_rows, :]                      # (P, D) f32, pre-scaled
-        kh = k_ref[0, :, h, :]                             # (BS, D) cache dtype
-        vh = v_ref[0, :, h, :]
-        sh = jax.lax.dot_general(
-            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        sh = jnp.where(valid, sh, _NEG_INF)                # (P, BS)
-
-        m_prev = m_ref[r0:r0 + p_rows, 0:1]                # (P, 1)
-        l_prev = l_ref[r0:r0 + p_rows, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(sh - m_new)                            # (P, BS)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        ob = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        oacc_ref[r0:r0 + p_rows, :] = oacc_ref[r0:r0 + p_rows, :] * alpha + ob
-        m_ref[r0:r0 + p_rows, 0:1] = m_new
-        l_ref[r0:r0 + p_rows, 0:1] = l_new
+    slot_idx = s * block_s + jax.lax.broadcasted_iota(
+        jnp.int32, (p_rows, block_s), 1)
+    _flash_heads(q_ref[...], k_ref, v_ref, 0, slot_idx < kv_len,
+                 m_ref, l_ref, oacc_ref, n_kv_heads, p_rows)
 
     @pl.when(s == n_blocks - 1)
     def _():
@@ -174,6 +153,113 @@ def attention_supported(cfg) -> bool:
             and cfg.max_seq_len % 8 == 0 and cfg.max_seq_len >= 8)
 
 
+
+
+def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
+                 Hk: int, P: int):
+    """One KV block's online-softmax update for every kv head (shared by all
+    fused attention kernels; accumulators live in VMEM scratch refs)."""
+    for h in range(Hk):
+        r0 = h * P  # python-static row offset, P is a sublane multiple
+        qh = q_rot[r0:r0 + P, :]
+        kh = kbuf[slot, :, h, :]
+        vh = vbuf[slot, :, h, :]
+        sh = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        sh = jnp.where(valid, sh, _NEG_INF)
+        m_prev = m_ref[r0:r0 + P, 0:1]
+        l_prev = l_ref[r0:r0 + P, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(sh - m_new)
+        ob = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_ref[r0:r0 + P, 0:1] = m_new
+        l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
+
+
+def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
+                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     sem, rowsem, *, S, block_s, Hk, P, kv_sinks, theta,
+                     rotary_dim, kv_pos, kv_len, kv_sink, pos):
+    """The whole fused step: in-kernel RoPE, kv-row write, sink rotation,
+    and double-buffered flash attention. `idx` is the HBM index prefix for
+    this lane's cache (e.g. (layer,) or (b, layer))."""
+    D = q_in.shape[-1]
+    n_blocks = S // block_s
+
+    # RoPE fused in: rotate q (pre-softmax-scaled) and the new k row at the
+    # current position (reference fused_rope_and_cache_update,
+    # src/infer.cu:642-677)
+    q_rot = _rot_lanes(q_in.astype(jnp.float32), theta, rotary_dim,
+                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+    k_rot = _rot_lanes(knew_in.astype(jnp.float32).reshape(Hk, D),
+                       theta, rotary_dim, pos.astype(jnp.float32))
+    newbuf[...] = k_rot.astype(newbuf.dtype)
+    kw = pltpu.make_async_copy(newbuf, ko_hbm.at[(*idx, kv_pos)], rowsem)
+    kw.start()
+    kw.wait()
+    newbuf[...] = vnew_in.astype(newbuf.dtype)
+    vw = pltpu.make_async_copy(newbuf, vo_hbm.at[(*idx, kv_pos)], rowsem)
+    vw.start()
+    vw.wait()
+
+    # sink-key re-rotation (only once past the window; StreamingLLM)
+    @pl.when(kv_sink > 0)
+    def _():
+        rd = pltpu.make_async_copy(ko_hbm.at[(*idx, slice(0, kv_sinks))],
+                                   rowbuf, rowsem)
+        rd.start()
+        rd.wait()
+        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+        rowbuf[...] = _rot_lanes(rows, theta, rotary_dim, 1.0).reshape(
+            kv_sinks, Hk, D).astype(rowbuf.dtype)
+        wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
+                                   rowsem)
+        wr.start()
+        wr.wait()
+
+    # flash attention over the (now-updated) ring buffer
+    def kv_dma(slot, blk, buf, hbm):
+        return pltpu.make_async_copy(
+            hbm.at[(*idx, pl.ds(blk * block_s, block_s))],
+            buf.at[slot], sem.at[slot])
+
+    kv_dma(0, 0, kbuf, ko_hbm).start()
+    kv_dma(0, 0, vbuf, vo_hbm).start()
+
+    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # only stream blocks that hold live history: slots >= kv_len are masked
+    # out anyway, so their DMA would be pure waste
+    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
+
+    def block_step(sblk, _):
+        slot = sblk % 2
+
+        @pl.when(sblk + 1 < n_act)
+        def _():
+            kv_dma((sblk + 1) % 2, sblk + 1, kbuf, ko_hbm).start()
+            kv_dma((sblk + 1) % 2, sblk + 1, vbuf, vo_hbm).start()
+
+        kv_dma(slot, sblk, kbuf, ko_hbm).wait()
+        kv_dma(slot, sblk, vbuf, vo_hbm).wait()
+
+        slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (P, block_s), 1)
+        _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+                     m_ref, l_ref, acc_ref, Hk, P)
+        return 0
+
+    jax.lax.fori_loop(0, n_act, block_step, 0)
+    o_out[...] = acc_ref[...] / l_ref[:, 0:1]
+
+
 # ---------------------------------------------------------------------------
 # Batched fused attention step (continuous-batching tick)
 # ---------------------------------------------------------------------------
@@ -194,92 +280,13 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     kv_pos, kv_len, kv_sink, pos = (scal_ref[1 + b], scal_ref[1 + B + b],
                                     scal_ref[1 + 2 * B + b],
                                     scal_ref[1 + 3 * B + b])
-    Hk, P = n_kv_heads, p_rows
-    D = q_ref.shape[-1]
-    n_blocks = S // block_s
-
-    # RoPE fused in: rotate this lane's q (pre-scaled) and new k row
-    q_rot = _rot_lanes(q_ref[0].astype(jnp.float32), theta, rotary_dim,
-                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
-    k_rot = _rot_lanes(knew_ref[0].astype(jnp.float32), theta, rotary_dim,
-                       pos.astype(jnp.float32))
-    newbuf[...] = k_rot.astype(newbuf.dtype)
-    kw = pltpu.make_async_copy(newbuf, ko_hbm.at[b, layer, kv_pos], rowsem)
-    kw.start()
-    kw.wait()
-    newbuf[...] = vnew_ref[0].astype(newbuf.dtype)
-    vw = pltpu.make_async_copy(newbuf, vo_hbm.at[b, layer, kv_pos], rowsem)
-    vw.start()
-    vw.wait()
-
-    @pl.when(kv_sink > 0)
-    def _():
-        rd = pltpu.make_async_copy(ko_hbm.at[b, layer, 0:kv_sinks], rowbuf, rowsem)
-        rd.start()
-        rd.wait()
-        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-        rowbuf[...] = _rot1_lanes(rows, theta, rotary_dim).reshape(
-            kv_sinks, Hk, D).astype(rowbuf.dtype)
-        wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[b, layer, 0:kv_sinks], rowsem)
-        wr.start()
-        wr.wait()
-
-    def kv_dma(slot, blk, buf, hbm):
-        return pltpu.make_async_copy(
-            hbm.at[b, layer, pl.ds(blk * block_s, block_s)],
-            buf.at[slot], sem.at[slot])
-
-    kv_dma(0, 0, kbuf, ko_hbm).start()
-    kv_dma(0, 0, vbuf, vo_hbm).start()
-
-    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    # only stream blocks that hold live history: slots >= kv_len are masked
-    # out anyway, so their DMA would be pure waste (the window is 4096 but a
-    # fresh sequence has kv_len ~ 1)
-    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
-
-    def block_step(s, _):
-        slot = s % 2
-
-        @pl.when(s + 1 < n_act)
-        def _():
-            kv_dma((s + 1) % 2, s + 1, kbuf, ko_hbm).start()
-            kv_dma((s + 1) % 2, s + 1, vbuf, vo_hbm).start()
-
-        kv_dma(slot, s, kbuf, ko_hbm).wait()
-        kv_dma(slot, s, vbuf, vo_hbm).wait()
-
-        slot_idx = s * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (P, block_s), 1)
-        valid = slot_idx < kv_len
-
-        for h in range(Hk):
-            r0 = h * P
-            qh = q_rot[r0:r0 + P, :]
-            kh = kbuf[slot, :, h, :]
-            vh = vbuf[slot, :, h, :]
-            sh = jax.lax.dot_general(
-                qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            sh = jnp.where(valid, sh, _NEG_INF)
-            m_prev = m_ref[r0:r0 + P, 0:1]
-            l_prev = l_ref[r0:r0 + P, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(sh - m_new)
-            ob = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            m_ref[r0:r0 + P, 0:1] = m_new
-            l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
-        return 0
-
-    jax.lax.fori_loop(0, n_act, block_step, 0)
-    o_ref[0] = acc_ref[...] / l_ref[:, 0:1]
+    _fused_attn_body((b, layer), q_ref[0], knew_ref[0], vnew_ref[0],
+                     ko_hbm, vo_hbm, o_ref.at[0],
+                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
+                     P=p_rows, kv_sinks=kv_sinks, theta=theta,
+                     rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
+                     kv_sink=kv_sink, pos=pos)
 
 
 @functools.partial(jax.jit,
@@ -463,98 +470,16 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                       sem, rowsem, *,
                       S: int, block_s: int, n_kv_heads: int, p_rows: int,
                       kv_sinks: int, theta: float, rotary_dim: int):
-    layer, kv_pos, kv_len, kv_sink = (scal_ref[0], scal_ref[1],
-                                      scal_ref[2], scal_ref[3])
-    pos = scal_ref[4]
-    Hk, P = n_kv_heads, p_rows
-    D = q_ref.shape[-1]
-    n_blocks = S // block_s
-
-    # -- 0. RoPE fused in: rotate q (pre-softmax-scaled) and the new k row
-    # at the current position (reference fused_rope_and_cache_update,
-    # src/infer.cu:642-677)
-    q_rot = _rot_lanes(q_ref[...].astype(jnp.float32), theta, rotary_dim,
-                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
-
-    # -- 1. write this step's k/v row at kv_pos (in place) -----------------
-    k_rot = _rot_lanes(knew_ref[...].astype(jnp.float32).reshape(Hk, D),
-                       theta, rotary_dim, pos.astype(jnp.float32))
-    newbuf[...] = k_rot.astype(newbuf.dtype)
-    kw = pltpu.make_async_copy(newbuf, ko_hbm.at[layer, kv_pos], rowsem)
-    kw.start()
-    kw.wait()
-    newbuf[...] = vnew_ref[...].astype(newbuf.dtype)
-    vw = pltpu.make_async_copy(newbuf, vo_hbm.at[layer, kv_pos], rowsem)
-    vw.start()
-    vw.wait()
-
-    # -- 2. sink-key re-rotation (only once past the window) ---------------
-    @pl.when(kv_sink > 0)
-    def _():
-        rd = pltpu.make_async_copy(ko_hbm.at[layer, 0:kv_sinks], rowbuf, rowsem)
-        rd.start()
-        rd.wait()
-        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-        rowbuf[...] = _rot1_lanes(rows, theta, rotary_dim).reshape(
-            kv_sinks, Hk, D).astype(rowbuf.dtype)
-        wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[layer, 0:kv_sinks], rowsem)
-        wr.start()
-        wr.wait()
-
-    # -- 3. flash attention over the (now-updated) ring buffer -------------
-    def kv_dma(slot, blk, buf, hbm):
-        return pltpu.make_async_copy(
-            hbm.at[layer, pl.ds(blk * block_s, block_s)],
-            buf.at[slot], sem.at[slot])
-
-    kv_dma(0, 0, kbuf, ko_hbm).start()
-    kv_dma(0, 0, vbuf, vo_hbm).start()
-
-    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
-
-    def block_step(s, _):
-        slot = s % 2
-
-        @pl.when(s + 1 < n_act)
-        def _():
-            kv_dma((s + 1) % 2, s + 1, kbuf, ko_hbm).start()
-            kv_dma((s + 1) % 2, s + 1, vbuf, vo_hbm).start()
-
-        kv_dma(slot, s, kbuf, ko_hbm).wait()
-        kv_dma(slot, s, vbuf, vo_hbm).wait()
-
-        slot_idx = s * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (P, block_s), 1)
-        valid = slot_idx < kv_len
-
-        for h in range(Hk):
-            r0 = h * P  # python-static row offset, P is a sublane multiple
-            qh = q_rot[r0:r0 + P, :]
-            kh = kbuf[slot, :, h, :]
-            vh = vbuf[slot, :, h, :]
-            sh = jax.lax.dot_general(
-                qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            sh = jnp.where(valid, sh, _NEG_INF)
-            m_prev = m_ref[r0:r0 + P, 0:1]
-            l_prev = l_ref[r0:r0 + P, 0:1]
-            m_new = jnp.maximum(m_prev, jnp.max(sh, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(sh - m_new)
-            ob = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            m_ref[r0:r0 + P, 0:1] = m_new
-            l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
-        return 0
-
-    jax.lax.fori_loop(0, n_act, block_step, 0)
-    o_ref[...] = acc_ref[...] / l_ref[:, 0:1]
+    layer, kv_pos, kv_len, kv_sink, pos = (scal_ref[0], scal_ref[1],
+                                           scal_ref[2], scal_ref[3],
+                                           scal_ref[4])
+    _fused_attn_body((layer,), q_ref[...], knew_ref[...], vnew_ref[...],
+                     ko_hbm, vo_hbm, o_ref,
+                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
+                     P=p_rows, kv_sinks=kv_sinks, theta=theta,
+                     rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
+                     kv_sink=kv_sink, pos=pos)
 
 
 def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,

@@ -68,7 +68,8 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
 
 
-def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh):
+def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
+                             output_logits: bool = True):
     """Build a jittable (weights, token, pos, cache) -> (logits, cache) step
     that runs the Pallas fast path on every `tp` shard via shard_map.
 
@@ -165,6 +166,9 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh):
 
         x, k_new, v_new = jax.lax.fori_loop(
             0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+        if not output_logits:
+            # hydrate-only steps skip the lm_head stream + logits gather
+            return jnp.zeros((1,), jnp.float32), KVCache(k=k_new, v=v_new)
         x = rmsnorm(x, w.final_norm, cfg.norm_eps)
         # vocab-sharded logits -> gathered so the sampler sees the full row
         logits = jax.lax.all_gather(gemv(x, w.lm_head), "tp").reshape(-1)

@@ -100,46 +100,41 @@ class Scheduler:
         cd = compute_dtype
 
         if self.fast:
-            @partial(jax.jit, donate_argnums=(3,))
-            def _tick(w, tokens, positions, cache, key, temps):
-                """One batched Pallas decode+sample tick over all B slots:
-                each weight tile streams HBM once and serves every lane."""
-                logits, cache = decode_step_fast_batched(
-                    cfg, w, tokens, positions, cache)
-                keys = jax.random.split(key, tokens.shape[0])
-                nxt = jax.vmap(sample)(logits, keys, temps)
-                return nxt, cache
+            def _batched_logits(w, tokens, positions, cache):
+                """Batched Pallas tick: each weight tile streams HBM once and
+                serves every lane."""
+                return decode_step_fast_batched(cfg, w, tokens, positions, cache)
 
-            @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
-            def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
-                lane = KVCache(k=cache.k[slot], v=cache.v[slot])
-                out, lane = prefill_fast(cfg, w, tokens, pos0, valid_len, lane,
-                                         logits_mode=logits_mode)
-                cache = KVCache(k=cache.k.at[slot].set(lane.k),
-                                v=cache.v.at[slot].set(lane.v))
-                return out, cache
+            def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
+                return prefill_fast(cfg, w, tokens, pos0, valid_len, lane,
+                                    logits_mode=logits_mode)
         else:
-            @partial(jax.jit, donate_argnums=(3,))
-            def _tick(w, tokens, positions, cache, key, temps):
-                """One batched decode+sample tick over all B slots."""
+            def _batched_logits(w, tokens, positions, cache):
                 def one(tok, pos, c):
-                    logits, c = decode_step(cfg, w, tok, pos, c,
-                                            output_logits=True, compute_dtype=cd)
-                    return logits, c
-                logits, cache = jax.vmap(one, in_axes=(0, 0, 0))(tokens, positions, cache)
-                keys = jax.random.split(key, tokens.shape[0])
-                nxt = jax.vmap(sample)(logits, keys, temps)
-                return nxt, cache
+                    return decode_step(cfg, w, tok, pos, c,
+                                       output_logits=True, compute_dtype=cd)
+                return jax.vmap(one, in_axes=(0, 0, 0))(tokens, positions, cache)
 
-            @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
-            def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
-                """Chunk-prefill one slot's cache lane in place."""
-                lane = KVCache(k=cache.k[slot], v=cache.v[slot])
-                out, lane = prefill(cfg, w, tokens, pos0, valid_len, lane,
-                                    logits_mode=logits_mode, compute_dtype=cd)
-                cache = KVCache(k=cache.k.at[slot].set(lane.k),
-                                v=cache.v.at[slot].set(lane.v))
-                return out, cache
+            def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
+                return prefill(cfg, w, tokens, pos0, valid_len, lane,
+                               logits_mode=logits_mode, compute_dtype=cd)
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def _tick(w, tokens, positions, cache, key, temps):
+            """One batched decode+sample tick over all B slots."""
+            logits, cache = _batched_logits(w, tokens, positions, cache)
+            keys = jax.random.split(key, tokens.shape[0])
+            nxt = jax.vmap(sample)(logits, keys, temps)
+            return nxt, cache
+
+        @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
+        def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
+            """Chunk-prefill one slot's cache lane in place."""
+            lane = KVCache(k=cache.k[slot], v=cache.v[slot])
+            out, lane = _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode)
+            cache = KVCache(k=cache.k.at[slot].set(lane.k),
+                            v=cache.v.at[slot].set(lane.v))
+            return out, cache
 
         self._tick = _tick
         self._prefill_slot = _prefill_slot

@@ -73,10 +73,26 @@ class ServingEngine:
                     moved = True
             except queue.Empty:
                 pass
-            if self.sched.queue or self.sched.n_active:
-                self.sched.step()
-            elif not moved:
-                time.sleep(0.005)  # idle
+            try:
+                if self.sched.queue or self.sched.n_active:
+                    self.sched.step()
+                elif not moved:
+                    time.sleep(0.005)  # idle
+            except Exception as e:  # noqa: BLE001 — the driver must survive
+                # A bad request (or a transient device error) must not kill
+                # the only thread that ticks the scheduler: fail everything
+                # in flight with a sentinel and keep serving.
+                import sys, traceback
+                traceback.print_exc(file=sys.stderr)
+                for slot in self.sched.slots:
+                    if slot.request is not None:
+                        slot.request.done = True
+                        slot.request = None
+                for req in self.sched.queue:
+                    req.done = True
+                self.sched.queue.clear()
+                for r, q_ in self._watch:
+                    r.done = True
             # completion sentinels (done is set by the scheduler after the
             # final token's on_token fired, so ordering here is safe)
             still = []
@@ -95,7 +111,13 @@ class ServingEngine:
     def submit_prompt(self, prompt: str, *, max_tokens: int = 128,
                       temperature: float = 1.0,
                       stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
+        if not isinstance(prompt, str):
+            raise ValueError(f"prompt must be a string, got {type(prompt).__name__}")
         toks = self.tokenizer.encode(prompt, bos=True)
+        if len(toks) > self.cfg.max_seq_len:
+            raise ValueError(
+                f"prompt is {len(toks)} tokens; the context window is "
+                f"{self.cfg.max_seq_len}")
         out_q: "queue.Queue" = queue.Queue()
         stops = set()
         if stop_at_eos:
@@ -165,12 +187,11 @@ def make_handler(engine: ServingEngine):
                 max_tokens = int(body.get("max_tokens", 128))
                 temperature = float(body.get("temperature", 1.0))
                 stream = bool(body.get("stream", False))
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                req, out_q = engine.submit_prompt(
+                    prompt, max_tokens=max_tokens, temperature=temperature)
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
-
-            req, out_q = engine.submit_prompt(
-                prompt, max_tokens=max_tokens, temperature=temperature)
 
             if not stream:
                 text = []

@@ -333,9 +333,11 @@ def prefill_fast(
     """Chunked prefill over FastWeights (bf16 compute; same semantics and
     preconditions as the oracle `prefill`, models/transformer.py).
 
-    Prefill is MXU-batched (T tokens per weight read), so plain XLA matmuls
-    over the concatenated projections are the right tool — the Pallas GEMV
-    machinery only pays off at batch 1.
+    Dense models run the same layer-indexed Pallas GEMMs as decode (one
+    weight-byte stream per chunk, amortized over T tokens — lax.scan's
+    per-layer weight slices plus XLA's fp8 dequant materialization measured
+    ~3x the traffic); attention stays a batched XLA einsum, which is
+    MXU-shaped at chunk width. MoE prefill keeps the scan/gather path.
     """
     T = tokens.shape[0]
     L = cfg.max_seq_len
@@ -360,32 +362,82 @@ def prefill_fast(
 
     x = fw.embed[tokens].astype(jnp.float32)  # (T, dim)
 
-    def layer_fn(x, layer):
-        rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, *extra = layer
-        xb = rmsnorm(x, rms_a, cfg.norm_eps)
-        qkv = clip(proj(xb, wqkv))                               # (T, q+2kv)
-        q = qkv[:, : cfg.q_dim]
-        k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-        v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+    def attend_chunk_bf16(q4, kc, vc):
+        """Chunk attention with bf16 dots + f32 softmax — the decode kernels'
+        numerics. The oracle's f32 formulation costs ~2.3x the chunk time at
+        7B (f32 MXU rate + materialized f32 score tensors)."""
+        scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
+                            kc.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) / math.sqrt(D)
+        att = jax.nn.softmax(
+            jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+        return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
+                          vc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
 
-        q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_theta, cfg.rotary_dim)
-        k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_theta, cfg.rotary_dim)
-        v = v.reshape(T, Hk, D)
+    if not cfg.is_moe:
+        def layer_body(i, carry):
+            x, k_all, v_all = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                         cfg.norm_eps)
+            qkv = clip(gemm_l(xb, fw.wqkv, i))                   # (T, q+2kv)
+            q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
+                           cfg.rope_theta, cfg.rotary_dim)
+            k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+                           .reshape(T, Hk, D), positions,
+                           cfg.rope_theta, cfg.rotary_dim)
+            v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
-        old_k = jax.lax.dynamic_slice(kc, (pos0, 0, 0), (T, Hk, D))
-        old_v = jax.lax.dynamic_slice(vc, (pos0, 0, 0), (T, Hk, D))
-        vmask = valid[:, None, None]
-        kc = jax.lax.dynamic_update_slice(
-            kc, jnp.where(vmask, k.astype(kc.dtype), old_k), (pos0, 0, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
+            old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk, D))
+            old_v = jax.lax.dynamic_slice(v_all, (i, pos0, 0, 0), (1, T, Hk, D))
+            vmask = valid[:, None, None]
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, jnp.where(vmask, k.astype(k_all.dtype), old_k[0])[None],
+                (i, pos0, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, jnp.where(vmask, v.astype(v_all.dtype), old_v[0])[None],
+                (i, pos0, 0, 0))
 
-        mixed = attend_chunk(q.reshape(T, Hk, qpk, D), kc, vc, att_mask)
-        x = x + proj(mixed.reshape(T, cfg.q_dim), wo)
+            kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
+            mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
+            x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i)
 
-        xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
-        if cfg.is_moe:
-            moegate = extra[0]
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
+                          cfg.norm_eps)
+            h13 = gemm_l(xb2, fw.w13, i)
+            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+            x = x + gemm_l(h, fw.w2, i)
+            return (x, k_all, v_all)
+
+        x, k_new, v_new = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+        new_cache = KVCache(k=k_new, v=v_new)
+    else:
+        def layer_fn(x, layer):
+            rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate = layer
+            xb = rmsnorm(x, rms_a, cfg.norm_eps)
+            qkv = clip(proj(xb, wqkv))                           # (T, q+2kv)
+            q = qkv[:, : cfg.q_dim]
+            k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+            v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+
+            q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_theta, cfg.rotary_dim)
+            k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_theta, cfg.rotary_dim)
+            v = v.reshape(T, Hk, D)
+
+            old_k = jax.lax.dynamic_slice(kc, (pos0, 0, 0), (T, Hk, D))
+            old_v = jax.lax.dynamic_slice(vc, (pos0, 0, 0), (T, Hk, D))
+            vmask = valid[:, None, None]
+            kc = jax.lax.dynamic_update_slice(
+                kc, jnp.where(vmask, k.astype(kc.dtype), old_k), (pos0, 0, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
+
+            mixed = attend_chunk(q.reshape(T, Hk, qpk, D), kc, vc, att_mask)
+            x = x + proj(mixed.reshape(T, cfg.q_dim), wo)
+
+            xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
 
             def one_tok(r):
                 gates, idx = moe_gate(proj(r, moegate), cfg.n_experts_active)
@@ -398,18 +450,13 @@ def prefill_fast(
                 return jnp.sum(gates[:, None] * deltas, axis=0)
 
             x = x + jax.vmap(one_tok)(xb2)
-        else:
-            h13 = proj(xb2, w13)
-            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + proj(h, w2)
-        return x, (kc, vc)
+            return x, (kc, vc)
 
-    extras = (fw.moegate,) if cfg.is_moe else ()
-    x, (k_new, v_new) = jax.lax.scan(
-        layer_fn, x,
-        (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
-         cache.k, cache.v) + extras)
-    new_cache = KVCache(k=k_new, v=v_new)
+        x, (k_new, v_new) = jax.lax.scan(
+            layer_fn, x,
+            (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
+             cache.k, cache.v, fw.moegate))
+        new_cache = KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":
         return None, new_cache

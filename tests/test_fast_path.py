@@ -23,22 +23,13 @@ from yalm_tpu.ops.pallas.attention import attend_one_l, attend_step_l
 from yalm_tpu.ops.core import rope_rotate_cached
 from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
 
-from conftest import isolated
 
 
 def fast_config(**overrides):
-    """Smallest config satisfying the kernels' tiling rules (head_dim 128).
-
-    qkv_clip stays at the default (inf) here: adding clamp ops to a decode
-    program at these shapes trips a nondeterministic segfault in jaxlib
-    0.9.0's CPU backend (heap corruption; crash sites vary between XLA
-    execution and trace-time keystr). Clip *semantics* are covered at
-    crash-free small shapes by test_model.test_qkv_clip — the fast path
-    shares the same single jnp.clip line.
-    """
+    """Smallest config satisfying the kernels' tiling rules (head_dim 128)."""
     defaults = dict(dim=256, hidden_dim=512, head_dim=128, n_layers=2,
                     n_heads=4, n_kv_heads=2, vocab_size=512, max_seq_len=32,
-                    rotary_dim=128)
+                    rotary_dim=128, qkv_clip=30.0)
     defaults.update(overrides)
     return tiny_config(**defaults)
 
@@ -170,7 +161,6 @@ def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
 # Whole-step parity: fast path vs oracle across the ring boundary
 # ---------------------------------------------------------------------------
 
-@isolated
 def test_decode_step_fast_matches_oracle(tmp_path):
     cfg = fast_config()
     assert fast_supported(cfg)
@@ -199,7 +189,6 @@ def test_decode_step_fast_matches_oracle(tmp_path):
                                np.asarray(cache_f.k, np.float32), rtol=3e-2, atol=3e-2)
 
 
-@isolated
 def test_decode_step_fast_hydrate_mode(tmp_path):
     cfg = fast_config()
     path = str(tmp_path / "m.yalm")
@@ -247,7 +236,6 @@ def moe_fast_config(**overrides):
     return fast_config(**defaults)
 
 
-@isolated
 def test_decode_step_fast_moe_matches_oracle(tmp_path):
     cfg = moe_fast_config()
     assert fast_supported(cfg)
@@ -270,7 +258,6 @@ def test_decode_step_fast_moe_matches_oracle(tmp_path):
         tok = jnp.int32(int(np.argmax(lo)))
 
 
-@isolated
 def test_engine_fast_moe_from_checkpoint(tmp_path):
     from yalm_tpu.engine import Engine
 
@@ -287,7 +274,6 @@ def test_engine_fast_moe_from_checkpoint(tmp_path):
 # Batched decode tick
 # ---------------------------------------------------------------------------
 
-@isolated
 def test_batched_decode_matches_per_lane(tmp_path):
     """decode_step_fast_batched == B independent decode_step_fast lanes."""
     from yalm_tpu.models.fast import decode_step_fast_batched
@@ -331,7 +317,6 @@ def test_batched_decode_matches_per_lane(tmp_path):
                                    rtol=2e-2, atol=2e-2)
 
 
-@isolated
 def test_scheduler_fast_matches_oracle_scheduler(tmp_path):
     from yalm_tpu.scheduler import Request, Scheduler
 
@@ -364,7 +349,6 @@ def test_scheduler_fast_matches_oracle_scheduler(tmp_path):
 # Engine integration
 # ---------------------------------------------------------------------------
 
-@isolated
 def test_engine_fast_matches_oracle_engine(tmp_path):
     from yalm_tpu.engine import Engine
 
@@ -386,7 +370,6 @@ def test_engine_fast_matches_oracle_engine(tmp_path):
     assert agree >= len(toks_f) - 1, (toks_f, toks_o)
 
 
-@isolated
 def test_engine_fast_perplexity(tmp_path):
     from yalm_tpu.engine import Engine
 

@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from conftest import isolated
 
 from yalm_tpu.codec.format import read_yalm
 from yalm_tpu.models import KVCache, decode_step, load_weights
@@ -35,7 +34,6 @@ def test_fast_tp_supported_gates():
     assert not fast_tp_supported(cfg, 2, ep=2)  # dense can't use ep
 
 
-@isolated
 def test_decode_step_fast_tp_matches_oracle(tmp_path):
     cfg = fast_config()
     path = str(tmp_path / "m.yalm")
@@ -62,7 +60,6 @@ def test_decode_step_fast_tp_matches_oracle(tmp_path):
         tok = jnp.int32(int(np.argmax(lo)))
 
 
-@isolated
 def test_engine_fast_tp_generates(tmp_path):
     from yalm_tpu.engine import Engine
 
@@ -80,7 +77,6 @@ def test_engine_fast_tp_generates(tmp_path):
     assert agree >= len(toks_o) - 1, (toks_t, toks_o)
 
 
-@isolated
 def test_decode_step_fast_tp_moe_ep_matches_oracle(tmp_path):
     """MoE fast-TP with experts sharded over ep: router replicated, only the
     routed local experts run (lax.cond), psum over (ep, tp)."""

@@ -48,6 +48,7 @@ class ModelConfig:
     n_experts_active: int = 0     # top-k active experts
     weight_dtype: str = "fp16"    # "fp32" | "fp16" | "bf16" | "fp8"
     tie_word_embeddings: bool = False
+    has_qkv_bias: bool = False    # Qwen2-style attention projection biases
 
     def __post_init__(self):
         if self.rotary_dim == 0:
@@ -106,6 +107,7 @@ class ModelConfig:
             n_experts_active=int(md.get("n_experts_active", "0")),
             weight_dtype=md["dtype"],
             tie_word_embeddings=md.get("tie_word_embeddings", "0") in ("1", "true", "True"),
+            has_qkv_bias=md.get("has_qkv_bias", "0") in ("1", "true", "True"),
         )
 
     def to_metadata(self) -> dict[str, str]:
@@ -134,6 +136,8 @@ class ModelConfig:
             md["n_experts_active"] = str(self.n_experts_active)
         if self.tie_word_embeddings:
             md["tie_word_embeddings"] = "1"
+        if self.has_qkv_bias:
+            md["has_qkv_bias"] = "1"
         return md
 
     # -- analytic bandwidth model -----------------------------------------

@@ -50,8 +50,10 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
     head_dim = config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"]
     if config.get("hidden_act") not in ("gelu", "silu"):
         raise ValueError(f"unsupported hidden_act {config.get('hidden_act')}")
-    if config.get("attention_bias", False) or config.get("mlp_bias", False):
-        raise ValueError("attention/mlp bias not supported")
+    # Qwen2 uses QKV biases without declaring attention_bias in its config;
+    # their presence is detected from the safetensors in load_weights.
+    if config.get("mlp_bias", False):
+        raise ValueError("mlp bias not supported")
 
     def eos_id(v):
         # Some configs carry a list of EOS ids; keep the first like HF does.
@@ -190,6 +192,17 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             permute_reverse(f32(weights[f"{p}.self_attn.k_proj.weight"]), n_kv_heads, rotary_dim))
         tensors[f"{p}.attn.wv.weight"] = conv(weights[f"{p}.self_attn.v_proj.weight"])
         tensors[f"{p}.attn.wo.weight"] = conv(weights[f"{p}.self_attn.o_proj.weight"])
+        if f"{p}.self_attn.q_proj.bias" in weights:
+            # Qwen2-style attention biases; q/k get the same un-permutation
+            # as their weight rows (a bias is a 1-column weight), kept f32
+            md["has_qkv_bias"] = "1"
+            tensors[f"{p}.attn.wq.bias"] = permute_reverse(
+                f32(weights[f"{p}.self_attn.q_proj.bias"])[:, None],
+                n_heads, rotary_dim)[:, 0]
+            tensors[f"{p}.attn.wk.bias"] = permute_reverse(
+                f32(weights[f"{p}.self_attn.k_proj.bias"])[:, None],
+                n_kv_heads, rotary_dim)[:, 0]
+            tensors[f"{p}.attn.wv.bias"] = f32(weights[f"{p}.self_attn.v_proj.bias"])
         tensors[f"{p}.mlp.norm.weight"] = f32(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:

@@ -60,6 +60,7 @@ class FastWeights(NamedTuple):
     final_norm: jax.Array  # (dim,) f32
     lm_head: jax.Array     # (vocab, dim)
     moegate: Optional[jax.Array] = None  # (n_layers, n_experts, dim)
+    bqkv: Optional[jax.Array] = None     # (n_layers, q_dim + 2*kv_dim) f32
 
     @classmethod
     def from_weights(cls, w: Weights, cfg: ModelConfig) -> "FastWeights":
@@ -76,6 +77,8 @@ class FastWeights(NamedTuple):
             final_norm=w.final_norm,
             lm_head=w.lm_head,
             moegate=lw.moegate,
+            bqkv=(jnp.concatenate([lw.bq, lw.bk, lw.bv], axis=1)
+                  if lw.bq is not None else None),
         )
 
 
@@ -94,7 +97,9 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeigh
         arr = t[name]
         if tuple(arr.shape) != shape:
             raise ValueError(f"tensor {name}: expected {shape}, got {arr.shape}")
-        return arr
+        # copy out of the mmap — jnp.asarray may alias it on CPU and the
+        # mapping dies with the YalmFile (see weights.load_weights)
+        return arr.copy()
 
     def stack(fmt, shape):
         return np.stack([get(fmt.format(l), shape) for l in range(cfg.n_layers)])
@@ -118,8 +123,14 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeigh
                          ("model.layers.{}.mlp.w3.weight", (h, d))])
         w2 = stack("model.layers.{}.mlp.w2.weight", (d, h))
         moegate = None
+    bqkv = None
+    if cfg.has_qkv_bias:
+        bqkv = device_put(stack_cat([("model.layers.{}.attn.wq.bias", (q,)),
+                                     ("model.layers.{}.attn.wk.bias", (kd,)),
+                                     ("model.layers.{}.attn.wv.bias", (kd,))]))
     return FastWeights(
         embed=embed,
+        bqkv=bqkv,
         rms_att=device_put(stack("model.layers.{}.attn.norm.weight", (d,))),
         rms_ffn=device_put(stack("model.layers.{}.mlp.norm.weight", (d,))),
         wqkv=device_put(stack_cat([("model.layers.{}.attn.wq.weight", (q, d)),
@@ -194,12 +205,15 @@ def decode_step_fast(
         # rmsnorm fused into the projection kernel (saves the XLA op and an
         # activation round-trip); residual adds fused into wo/w2 likewise
         if fuse_norm:
-            qkv = clip(gemv_l(x, fw.wqkv, i, norm_w=fw.rms_att,
-                              norm_eps=cfg.norm_eps))
+            qkv = gemv_l(x, fw.wqkv, i, norm_w=fw.rms_att,
+                         norm_eps=cfg.norm_eps)
         else:
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                          cfg.norm_eps)
-            qkv = clip(gemv_l(xb, fw.wqkv, i))
+            qkv = gemv_l(xb, fw.wqkv, i)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+        qkv = clip(qkv)
         q = qkv[: cfg.q_dim]
         k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
         v = qkv[cfg.q_dim + cfg.kv_dim:]
@@ -290,7 +304,10 @@ def decode_step_fast_batched(
         x, k_all, v_all = carry
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                      cfg.norm_eps)
-        qkv = clip(gemm_l(xb, fw.wqkv, i))             # (B, q+2kv)
+        qkv = gemm_l(xb, fw.wqkv, i)                   # (B, q+2kv)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+        qkv = clip(qkv)
         q = qkv[:, : cfg.q_dim]
         k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
         v = qkv[:, cfg.q_dim + cfg.kv_dim:]
@@ -380,7 +397,10 @@ def prefill_fast(
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                          cfg.norm_eps)
-            qkv = clip(gemm_l(xb, fw.wqkv, i))                   # (T, q+2kv)
+            qkv = gemm_l(xb, fw.wqkv, i)                         # (T, q+2kv)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv)
             q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
                            cfg.rope_theta, cfg.rotary_dim)
             k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
@@ -415,9 +435,12 @@ def prefill_fast(
         new_cache = KVCache(k=k_new, v=v_new)
     else:
         def layer_fn(x, layer):
-            rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate = layer
+            rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate, *extra = layer
             xb = rmsnorm(x, rms_a, cfg.norm_eps)
-            qkv = clip(proj(xb, wqkv))                           # (T, q+2kv)
+            qkv = proj(xb, wqkv)                                 # (T, q+2kv)
+            if cfg.has_qkv_bias:
+                qkv = qkv + extra[0]
+            qkv = clip(qkv)
             q = qkv[:, : cfg.q_dim]
             k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
             v = qkv[:, cfg.q_dim + cfg.kv_dim:]
@@ -452,10 +475,11 @@ def prefill_fast(
             x = x + jax.vmap(one_tok)(xb2)
             return x, (kc, vc)
 
+        bias_extra = (fw.bqkv,) if cfg.has_qkv_bias else ()
         x, (k_new, v_new) = jax.lax.scan(
             layer_fn, x,
             (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
-             cache.k, cache.v, fw.moegate))
+             cache.k, cache.v, fw.moegate) + bias_extra)
         new_cache = KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":

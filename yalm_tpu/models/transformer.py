@@ -59,6 +59,20 @@ def _clip(x: jax.Array, limit: float) -> jax.Array:
     return jnp.clip(x, -limit, limit)
 
 
+def _qkv(xb: jax.Array, lw: LayerWeights, cfg: ModelConfig, compute_dtype):
+    """Q/K/V projections with optional Qwen2-style biases (added pre-clip,
+    matching HF Linear semantics)."""
+    q = _proj(xb, lw.wq, compute_dtype)
+    k = _proj(xb, lw.wk, compute_dtype)
+    v = _proj(xb, lw.wv, compute_dtype)
+    if lw.bq is not None:
+        q = q + lw.bq
+        k = k + lw.bk
+        v = v + lw.bv
+    return (_clip(q, cfg.qkv_clip), _clip(k, cfg.qkv_clip),
+            _clip(v, cfg.qkv_clip))
+
+
 def _ffn(xb: jax.Array, w1: jax.Array, w2: jax.Array, w3: jax.Array,
          act: str, compute_dtype) -> jax.Array:
     """GLU feed-forward: w2(act(w1 x) * w3 x) (reference src/infer.cpp:355-377)."""
@@ -125,9 +139,7 @@ def decode_step(
         lw, kc, vc = layer
         # -- attention ----------------------------------------------------
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
-        q = _clip(_proj(xb, lw.wq, compute_dtype), cfg.qkv_clip)
-        k = _clip(_proj(xb, lw.wk, compute_dtype), cfg.qkv_clip)
-        v = _clip(_proj(xb, lw.wv, compute_dtype), cfg.qkv_clip)
+        q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
         q = apply_rope(q.reshape(cfg.n_heads, cfg.head_dim), pos, cfg.rope_theta, cfg.rotary_dim)
         k = apply_rope(k.reshape(cfg.n_kv_heads, cfg.head_dim), pos, cfg.rope_theta, cfg.rotary_dim)
@@ -224,9 +236,7 @@ def prefill(
     def layer_fn(x, layer):
         lw, kc, vc = layer
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
-        q = _clip(_proj(xb, lw.wq, compute_dtype), cfg.qkv_clip)
-        k = _clip(_proj(xb, lw.wk, compute_dtype), cfg.qkv_clip)
-        v = _clip(_proj(xb, lw.wv, compute_dtype), cfg.qkv_clip)
+        q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
         q = apply_rope(q.reshape(T, cfg.n_heads, cfg.head_dim), positions,
                        cfg.rope_theta, cfg.rotary_dim)

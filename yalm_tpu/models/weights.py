@@ -33,6 +33,9 @@ class LayerWeights(NamedTuple):
     w2: jax.Array        # (n_layers, [n_experts,] dim, hidden_dim)
     w3: jax.Array        # (n_layers, [n_experts,] hidden_dim, dim)
     moegate: Optional[jax.Array]  # (n_layers, n_experts, dim) or None
+    bq: Optional[jax.Array] = None  # (n_layers, q_dim) f32 — Qwen2-style biases
+    bk: Optional[jax.Array] = None  # (n_layers, kv_dim) f32
+    bv: Optional[jax.Array] = None  # (n_layers, kv_dim) f32
 
 
 class Weights(NamedTuple):
@@ -60,7 +63,13 @@ def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weig
     def get(name: str, shape: tuple[int, ...]) -> np.ndarray:
         if name not in t:
             raise KeyError(f"missing tensor: {name}")
-        return _expect(t[name], shape, name)
+        # COPY out of the checkpoint mmap: on the CPU backend jnp.asarray
+        # zero-copy aliases aligned numpy arrays, so a view into the mmap
+        # becomes a dangling pointer once the YalmFile is closed/GC'd —
+        # the source of seemingly-random segfaults and garbage weights.
+        # (Stacked tensors are implicitly copied by np.stack; this covers
+        # the directly-loaded ones.)
+        return _expect(t[name], shape, name).copy()
 
     d, h, kd, q = cfg.dim, cfg.hidden_dim, cfg.kv_dim, cfg.q_dim
     ffn_shape1 = (cfg.n_experts, h, d) if cfg.is_moe else (h, d)
@@ -80,6 +89,9 @@ def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weig
         w2=stacked("model.layers.{}.mlp.w2.weight", ffn_shape2),
         w3=stacked("model.layers.{}.mlp.w3.weight", ffn_shape1),
         moegate=stacked("model.layers.{}.moegate.weight", (cfg.n_experts, d)) if cfg.is_moe else None,
+        bq=stacked("model.layers.{}.attn.wq.bias", (q,)) if cfg.has_qkv_bias else None,
+        bk=stacked("model.layers.{}.attn.wk.bias", (kd,)) if cfg.has_qkv_bias else None,
+        bv=stacked("model.layers.{}.attn.wv.bias", (kd,)) if cfg.has_qkv_bias else None,
     )
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
     if "model.output.weight" in t:

@@ -118,9 +118,14 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(lw.rms_att, i, keepdims=False),
                          cfg.norm_eps)
             # column-parallel q/k/v: this shard computes its heads only
-            q = clip(gemv_l(xb, lw.wq, i))
-            k = clip(gemv_l(xb, lw.wk, i))
-            v = clip(gemv_l(xb, lw.wv, i))
+            q = gemv_l(xb, lw.wq, i)
+            k = gemv_l(xb, lw.wk, i)
+            v = gemv_l(xb, lw.wv, i)
+            if lw.bq is not None:  # Qwen2-style biases, sharded with the rows
+                q = q + jax.lax.dynamic_index_in_dim(lw.bq, i, keepdims=False)
+                k = k + jax.lax.dynamic_index_in_dim(lw.bk, i, keepdims=False)
+                v = v + jax.lax.dynamic_index_in_dim(lw.bv, i, keepdims=False)
+            q, k, v = clip(q), clip(k), clip(v)
 
             # attention is fully local: the cache shard holds this device's
             # kv heads; the fused kernel ropes q/k and updates it in place

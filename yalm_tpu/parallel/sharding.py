@@ -40,6 +40,9 @@ def weight_pspecs(cfg: ModelConfig) -> Weights:
         w2=P(None, *e, None, "tp"),
         w3=P(None, *e, "tp", None),
         moegate=P(None, None, None) if cfg.is_moe else None,
+        bq=P(None, "tp") if cfg.has_qkv_bias else None,
+        bk=P(None, "tp") if cfg.has_qkv_bias else None,
+        bv=P(None, "tp") if cfg.has_qkv_bias else None,
     )
     return Weights(
         embed=P("tp", None),

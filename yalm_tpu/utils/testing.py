@@ -72,6 +72,10 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
         tensors[f"{p}.attn.wk.weight"] = w(cfg.kv_dim, cfg.dim)
         tensors[f"{p}.attn.wv.weight"] = w(cfg.kv_dim, cfg.dim)
         tensors[f"{p}.attn.wo.weight"] = w(cfg.dim, cfg.q_dim)
+        if cfg.has_qkv_bias:
+            tensors[f"{p}.attn.wq.bias"] = w(cfg.q_dim, scale=0.05).astype(np.float32)
+            tensors[f"{p}.attn.wk.bias"] = w(cfg.kv_dim, scale=0.05).astype(np.float32)
+            tensors[f"{p}.attn.wv.bias"] = w(cfg.kv_dim, scale=0.05).astype(np.float32)
         tensors[f"{p}.mlp.norm.weight"] = np.ones(cfg.dim, np.float32)
         if cfg.is_moe:
             tensors[f"{p}.moegate.weight"] = w(cfg.n_experts, cfg.dim)
@@ -98,8 +102,10 @@ def synth_hf_dir(path: str, cfg: ModelConfig, seed: int = 0) -> None:
     os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(seed)
 
+    arch = ("MixtralForCausalLM" if cfg.is_moe
+            else "Qwen2ForCausalLM" if cfg.has_qkv_bias else "LlamaForCausalLM")
     config = {
-        "architectures": ["MixtralForCausalLM" if cfg.is_moe else "LlamaForCausalLM"],
+        "architectures": [arch],
         "hidden_size": cfg.dim,
         "intermediate_size": cfg.hidden_dim,
         "head_dim": cfg.head_dim,
@@ -143,6 +149,10 @@ def synth_hf_dir(path: str, cfg: ModelConfig, seed: int = 0) -> None:
         tensors[f"{p}.self_attn.k_proj.weight"] = w(cfg.kv_dim, cfg.dim)
         tensors[f"{p}.self_attn.v_proj.weight"] = w(cfg.kv_dim, cfg.dim)
         tensors[f"{p}.self_attn.o_proj.weight"] = w(cfg.dim, cfg.q_dim)
+        if cfg.has_qkv_bias:
+            tensors[f"{p}.self_attn.q_proj.bias"] = w(cfg.q_dim)
+            tensors[f"{p}.self_attn.k_proj.bias"] = w(cfg.kv_dim)
+            tensors[f"{p}.self_attn.v_proj.bias"] = w(cfg.kv_dim)
         tensors[f"{p}.post_attention_layernorm.weight"] = np.ones(cfg.dim, np.float32)
         if cfg.is_moe:
             tensors[f"{p}.block_sparse_moe.gate.weight"] = w(cfg.n_experts, cfg.dim)

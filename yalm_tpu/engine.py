@@ -83,6 +83,13 @@ class Engine:
             if not fast_tp_supported(cfg, mesh.shape["tp"], mesh.shape.get("ep", 1)):
                 raise ValueError("fast TP path unavailable for this config/mesh")
         self.fast = bool(fast)
+        if self.fast:
+            # Mosaic has no f16: fp16 weights/caches become bf16 (identical
+            # numerics to the kernels' own per-tile bf16 rounding)
+            from .models.weights import upcast_f16_for_tpu
+            weights = upcast_f16_for_tpu(weights)
+            if kv_dtype == jnp.float16:
+                kv_dtype = self.kv_dtype = jnp.bfloat16
         # single-chip fast uses the concatenated FastWeights layout; the TP
         # fast path keeps the oracle Weights layout (per-matrix kernels keep
         # every shard's rows contiguous under the Megatron split)

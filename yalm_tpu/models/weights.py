@@ -51,6 +51,19 @@ def _expect(arr: np.ndarray, shape: tuple[int, ...], name: str) -> np.ndarray:
     return arr
 
 
+def upcast_f16_for_tpu(tree):
+    """Convert float16 leaves to bfloat16.
+
+    Mosaic has no f16 support at all ("Unsupported type in mosaic dialect"),
+    and the fast-path kernels already round every operand through bf16 for
+    the MXU — so converting fp16 checkpoints to bf16 at load is numerically
+    identical to what the kernels would compute per-tile, and is required
+    for them to compile. Non-f16 leaves pass through untouched.
+    """
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float16 else a, tree)
+
+
 def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weights:
     """Shape-check and stack every tensor (reference src/model.cpp:104-132, 347-378).
 

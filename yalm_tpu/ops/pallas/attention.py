@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gemv import _emulate
+from .gemv import _bf16, _emulate
 
 _NEG_INF = -1e30
 
@@ -165,7 +165,7 @@ def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
         kh = kbuf[slot, :, h, :]
         vh = vbuf[slot, :, h, :]
         sh = jax.lax.dot_general(
-            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            qh.astype(jnp.bfloat16), _bf16(kh),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         sh = jnp.where(valid, sh, _NEG_INF)
         m_prev = m_ref[r0:r0 + P, 0:1]
@@ -174,7 +174,7 @@ def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(sh - m_new)
         ob = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), _bf16(vh),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         m_ref[r0:r0 + P, 0:1] = m_new
         l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)

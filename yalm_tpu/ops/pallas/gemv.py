@@ -58,6 +58,14 @@ def _emulate() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _bf16(x: jax.Array) -> jax.Array:
+    """Cast to bf16 for the MXU; Mosaic has no direct f16->bf16 cast, so
+    fp16 weights/caches take a widening hop through f32."""
+    if x.dtype == jnp.float16:
+        x = x.astype(jnp.float32)
+    return x.astype(jnp.bfloat16)
+
+
 def _gemv_ref(x: jax.Array, w: jax.Array) -> jax.Array:
     """jnp emulation with the kernel's exact numerics: bf16 inputs to the
     dot, f32 accumulation."""
@@ -82,7 +90,7 @@ def _kernel(x_ref, w_ref, o_ref, acc_ref, *, n_k: int, stacked: bool):
     # VPU dequant (fp8/f16 -> bf16), then a skinny MXU dot:
     # (1, BK) x (BN, BK)^T -> (1, BN)
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        x_ref[...].astype(jnp.bfloat16), _bf16(w),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(j == n_k - 1)
@@ -208,7 +216,7 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
             ms = jnp.mean(xv * xv, axis=-1, keepdims=True)
             xv = xv * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0].astype(jnp.float32)
         acc_ref[...] += jax.lax.dot_general(
-            xv.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+            xv.astype(jnp.bfloat16), _bf16(w_ref[0]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
         @pl.when(j == n_k - 1)
@@ -265,7 +273,7 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         acc_ref[...] += jax.lax.dot_general(
-            x_ref[...].astype(jnp.bfloat16), w_ref[0, 0].astype(jnp.bfloat16),
+            x_ref[...].astype(jnp.bfloat16), _bf16(w_ref[0, 0]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
         @pl.when(j == n_k - 1)
@@ -335,7 +343,7 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         acc_ref[...] += jax.lax.dot_general(
-            x_ref[...].astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
+            x_ref[...].astype(jnp.bfloat16), _bf16(w_ref[0]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
         @pl.when(j == n_k - 1)

@@ -88,6 +88,11 @@ class Scheduler:
         if fast and (not fast_batched_supported(cfg) or batch % 8 != 0):
             raise ValueError("fast scheduler needs a supported config and batch % 8 == 0")
         self.fast = bool(fast)
+        if self.fast:
+            from .models.weights import upcast_f16_for_tpu
+            weights = upcast_f16_for_tpu(weights)  # Mosaic has no f16
+            if kv_dtype == jnp.float16:
+                kv_dtype = jnp.bfloat16
         if self.fast and isinstance(weights, Weights):
             weights = FastWeights.from_weights(weights, cfg)
         self.weights = weights

@@ -1,0 +1,109 @@
+"""TPU integration smoke matrix: every dtype x path on REAL kernels.
+
+The CPU test suite runs the kernels' jnp emulation (plus small
+interpret-mode kernel tests), which cannot catch Mosaic lowering gaps —
+e.g. fp16 being entirely unsupported in the mosaic dialect was invisible
+on CPU. This script drives the real kernels on the attached TPU across
+the dtype/path matrix. Run it after kernel changes:
+
+    python tools/tpu_smoke.py            # ~5 minutes (compiles dominate)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    from yalm_tpu.engine import Engine
+    from yalm_tpu.scheduler import Request, Scheduler
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+    assert jax.devices()[0].platform == "tpu", "attach a TPU first"
+    tmp = tempfile.mkdtemp(prefix="tpu_smoke_")
+    failures = []
+
+    def check(name, fn):
+        try:
+            fn()
+            print(f"  OK   {name}", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures.append((name, e))
+            print(f"  FAIL {name}: {str(e)[:200]}", flush=True)
+
+    base = dict(dim=256, hidden_dim=512, head_dim=128, n_layers=2, n_heads=4,
+                n_kv_heads=2, vocab_size=512, max_seq_len=64, rotary_dim=128,
+                qkv_clip=30.0)
+
+    # --- dtype sweep through the single-stream fast engine ---------------
+    for wdt in ("fp32", "fp16", "bf16", "fp8"):
+        cfg = tiny_config(**base, weight_dtype=wdt)
+        path = f"{tmp}/{wdt}.yalm"
+        synth_checkpoint(path, cfg, seed=0)
+
+        def run(path=path):
+            eng = Engine.from_checkpoint(path, fast=True)
+            assert eng.fast
+            toks = list(eng.generate([1, 7], max_steps=6, temperature=0.0))
+            assert len(toks) == 6
+        check(f"engine fast decode+prefill [{wdt}]", run)
+
+    # --- QKV bias (Qwen2) ------------------------------------------------
+    cfg = tiny_config(**base, weight_dtype="fp8", has_qkv_bias=True)
+    path = f"{tmp}/bias.yalm"
+    synth_checkpoint(path, cfg, seed=1)
+    check("engine fast with qkv bias [fp8]",
+          lambda: list(Engine.from_checkpoint(path, fast=True)
+                       .generate([1, 7], max_steps=4, temperature=0.0)))
+
+    # --- MoE routed-expert kernels ---------------------------------------
+    mcfg = tiny_config(**base, weight_dtype="fp8", n_experts=4, n_experts_active=2)
+    mpath = f"{tmp}/moe.yalm"
+    synth_checkpoint(mpath, mcfg, seed=2)
+    check("engine fast MoE [fp8]",
+          lambda: list(Engine.from_checkpoint(mpath, fast=True)
+                       .generate([1, 7], max_steps=4, temperature=0.0)))
+
+    # --- batched scheduler tick ------------------------------------------
+    def run_sched():
+        cfg = tiny_config(**base, weight_dtype="fp8")
+        p = f"{tmp}/sched.yalm"
+        synth_checkpoint(p, cfg, seed=3)
+        w = load_weights(read_yalm(p), cfg)
+        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16)
+        assert s.fast
+        reqs = [s.submit(Request(prompt_tokens=[1, 4 + i], max_new_tokens=4,
+                                 temperature=0.0)) for i in range(3)]
+        s.run()
+        assert all(len(r.generated) == 4 for r in reqs)
+    check("scheduler batched tick [fp8, B=8]", run_sched)
+
+    # --- shard_map fast-TP at tp=1 on the single chip --------------------
+    def run_tp():
+        from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+        cfg = tiny_config(**base, weight_dtype="bf16")
+        p = f"{tmp}/tp.yalm"
+        synth_checkpoint(p, cfg, seed=4)
+        mesh = make_mesh(MeshConfig(tp=1), devices=jax.devices()[:1])
+        eng = Engine.from_checkpoint(p, mesh=mesh, kv_dtype=jnp.bfloat16)
+        assert eng.fast
+        toks = list(eng.generate([1, 7], max_steps=4, temperature=0.0))
+        assert len(toks) == 4
+    check("fast-TP shard_map tp=1 [bf16]", run_tp)
+
+    print(f"\n{len(failures)} failures" if failures else "\nALL OK", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

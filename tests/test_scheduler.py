@@ -81,3 +81,31 @@ def test_interleaved_admission(setup):
     sched.run()
     assert r1.generated == refs[(1, 5)]
     assert r2.generated == refs[(1, 8)]
+
+
+def test_long_prompt_ring_admission(tmp_path):
+    """Prompts longer than the context window hydrate through the ring +
+    sinks per-token (previously rejected with NotImplementedError)."""
+    import numpy as np
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.engine import Engine
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.scheduler import Request, Scheduler
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+    cfg = tiny_config(max_seq_len=32)
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=0)
+    weights = load_weights(read_yalm(path), cfg)
+
+    prompt = list(np.random.default_rng(0).integers(3, cfg.vocab_size, 50))
+    sched = Scheduler(cfg, weights, batch=2)
+    req = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=5,
+                               temperature=0.0))
+    sched.run()
+    assert len(req.generated) == 5
+
+    # matches the single-stream engine bit-for-bit (same ring semantics)
+    eng = Engine.from_checkpoint(path, fast=False)
+    toks = list(eng.generate(prompt, max_steps=5, temperature=0.0))
+    assert toks == req.generated, (toks, req.generated)

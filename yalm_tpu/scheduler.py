@@ -105,6 +105,8 @@ class Scheduler:
         cd = compute_dtype
 
         if self.fast:
+            from .models.fast import decode_step_fast
+
             def _batched_logits(w, tokens, positions, cache):
                 """Batched Pallas tick: each weight tile streams HBM once and
                 serves every lane."""
@@ -113,6 +115,10 @@ class Scheduler:
             def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
                 return prefill_fast(cfg, w, tokens, pos0, valid_len, lane,
                                     logits_mode=logits_mode)
+
+            def _lane_step(w, token, pos, lane, output_logits):
+                return decode_step_fast(cfg, w, token, pos, lane,
+                                        output_logits=output_logits)
         else:
             def _batched_logits(w, tokens, positions, cache):
                 def one(tok, pos, c):
@@ -123,6 +129,10 @@ class Scheduler:
             def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
                 return prefill(cfg, w, tokens, pos0, valid_len, lane,
                                logits_mode=logits_mode, compute_dtype=cd)
+
+            def _lane_step(w, token, pos, lane, output_logits):
+                return decode_step(cfg, w, token, pos, lane,
+                                   output_logits=output_logits, compute_dtype=cd)
 
         @partial(jax.jit, donate_argnums=(3,))
         def _tick(w, tokens, positions, cache, key, temps):
@@ -141,8 +151,20 @@ class Scheduler:
                             v=cache.v.at[slot].set(lane.v))
             return out, cache
 
+        @partial(jax.jit, static_argnames=("output_logits",), donate_argnums=(4,))
+        def _hydrate_slot(w, token, pos, slot, cache, output_logits):
+            """Ring-regime per-token hydration of one slot's lane (prompts
+            longer than the context window, like the engine's per-token
+            fallback, engine.prefill_tokens)."""
+            lane = KVCache(k=cache.k[slot], v=cache.v[slot])
+            logits, lane = _lane_step(w, token, pos, lane, output_logits)
+            cache = KVCache(k=cache.k.at[slot].set(lane.k),
+                            v=cache.v.at[slot].set(lane.v))
+            return logits, cache
+
         self._tick = _tick
         self._prefill_slot = _prefill_slot
+        self._hydrate_slot = _hydrate_slot
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> Request:
@@ -167,11 +189,7 @@ class Scheduler:
             while i < n:
                 room = L - pos
                 if room <= 0:
-                    # ring regime for extremely long prompts: feed one at a
-                    # time through the batched tick machinery would be wasteful;
-                    # use chunk=1 prefill (still correct — ring handled by
-                    # decode-style step below)
-                    break
+                    break  # ring regime: per-token hydration below
                 take = min(n - i, PREFILL_BUCKETS[-1], room)
                 bucket = _bucket_for(take)
                 if bucket > room:
@@ -186,10 +204,17 @@ class Scheduler:
                     logits = out
                 pos += take
                 i += take
-            if i < n:
-                raise NotImplementedError(
-                    "prompts longer than the context window are not yet "
-                    "admitted to the batched scheduler; use Engine")
+            # prompts longer than the context window: per-token ring-regime
+            # hydration of this slot's lane (sinks + ring, like the engine)
+            while i < n:
+                last = i + 1 >= n
+                out, self.cache = self._hydrate_slot(
+                    self.weights, jnp.int32(toks[i]), jnp.int32(pos), b,
+                    self.cache, output_logits=last)
+                if last:
+                    logits = out
+                pos += 1
+                i += 1
             # sample the first generated token
             self._key, sub = jax.random.split(self._key)
             first = int(sample(logits, sub, jnp.float32(req.temperature)))

@@ -113,11 +113,9 @@ class ServingEngine:
                       stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
         if not isinstance(prompt, str):
             raise ValueError(f"prompt must be a string, got {type(prompt).__name__}")
+        # prompts longer than the window are fine: the scheduler hydrates
+        # them through the sliding-window ring + attention sinks
         toks = self.tokenizer.encode(prompt, bos=True)
-        if len(toks) > self.cfg.max_seq_len:
-            raise ValueError(
-                f"prompt is {len(toks)} tokens; the context window is "
-                f"{self.cfg.max_seq_len}")
         out_q: "queue.Queue" = queue.Queue()
         stops = set()
         if stop_at_eos:

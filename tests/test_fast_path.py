@@ -207,8 +207,7 @@ def test_fast_supported_gates():
     assert not fast_supported(tiny_config())          # head_dim 16
     assert fast_supported(fast_config(n_experts=2, n_experts_active=1))
     assert fast_supported(fast_config())
-    # the batched tick has no MoE routing path yet
-    assert not fast_batched_supported(fast_config(n_experts=2, n_experts_active=1))
+    assert fast_batched_supported(fast_config(n_experts=2, n_experts_active=1))
     assert fast_batched_supported(fast_config())
 
 
@@ -313,6 +312,32 @@ def test_batched_decode_matches_per_lane(tmp_path):
     for b in range(B):
         lf, lanes[b] = decode_step_fast(cfg, fw, jnp.int32(toks[b]),
                                         jnp.int32(positions[b]), lanes[b])
+        np.testing.assert_allclose(np.asarray(blogits[b]), np.asarray(lf),
+                                   rtol=2e-2, atol=2e-2)
+
+
+def test_batched_moe_matches_per_lane(tmp_path):
+    """Batched MoE tick (all-experts stream, per-lane gate masks) == B
+    independent single-lane MoE fast steps."""
+    from yalm_tpu.models.fast import decode_step_fast_batched
+
+    cfg = fast_config(n_experts=4, n_experts_active=2)
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=12)
+    weights = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(weights, cfg)
+
+    B = 8
+    rng = np.random.default_rng(1)
+    bcache = KVCache.init(cfg, jnp.bfloat16, batch=B)
+    lanes = [KVCache.init(cfg, jnp.bfloat16) for _ in range(B)]
+    toks = rng.integers(3, cfg.vocab_size, B).astype(np.int32)
+    positions = np.zeros(B, np.int32)
+    blogits, bcache = decode_step_fast_batched(
+        cfg, fw, jnp.asarray(toks), jnp.asarray(positions), bcache)
+    for b in range(B):
+        lf, lanes[b] = decode_step_fast(cfg, fw, jnp.int32(toks[b]),
+                                        jnp.int32(0), lanes[b])
         np.testing.assert_allclose(np.asarray(blogits[b]), np.asarray(lf),
                                    rtol=2e-2, atol=2e-2)
 

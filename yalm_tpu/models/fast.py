@@ -38,8 +38,8 @@ from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
                                     attention_supported)
 from ..ops.core import moe_gate
-from ..ops.pallas.gemv import (gemm, gemm_l, gemv, gemv_l, gemv_le,
-                               gemv_supported)
+from ..ops.pallas.gemv import (gemm, gemm_l, gemm_le, gemv, gemv_l,
+                               gemv_le, gemv_supported)
 from .cache import KVCache
 from .weights import Weights
 
@@ -160,9 +160,8 @@ def fast_supported(cfg: ModelConfig) -> bool:
 
 
 def fast_batched_supported(cfg: ModelConfig) -> bool:
-    """The batched tick additionally lacks an MoE routing path (per-lane
-    expert indices need a gather-style kernel; scheduler falls back)."""
-    return fast_supported(cfg) and not cfg.is_moe
+    """Batched tick support (dense and MoE)."""
+    return fast_supported(cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "output_logits"))
@@ -320,9 +319,25 @@ def decode_step_fast_batched(
 
         xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                       cfg.norm_eps)
-        h13 = gemm_l(xb2, fw.w13, i)
-        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-        x = x + gemm_l(h, fw.w2, i)
+        if cfg.is_moe:
+            # batched MoE: with B lanes routing independently, essentially
+            # every expert is active for someone — stream ALL experts' bytes
+            # once per tick and mask per-lane gates (amortized over B, this
+            # matches the routed-only traffic of the single-stream path)
+            router = gemm_l(xb2, fw.moegate, i)          # (B, E)
+            gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
+                router, cfg.n_experts_active)            # (B, k) each
+            delta = jnp.zeros_like(x)
+            for e in range(cfg.n_experts):
+                gate_e = jnp.sum(jnp.where(idx == e, gates, 0.0), axis=-1)
+                h13 = gemm_le(xb2, fw.w13, i, e)
+                h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+                delta = delta + gate_e[:, None] * gemm_le(h, fw.w2, i, e)
+            x = x + delta
+        else:
+            h13 = gemm_l(xb2, fw.w13, i)
+            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+            x = x + gemm_l(h, fw.w2, i)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(

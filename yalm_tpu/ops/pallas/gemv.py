@@ -311,6 +311,73 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
+            expert: jax.Array, *, block_n: int = 0, block_k: int = 0,
+            interpret: bool | None = None) -> jax.Array:
+    """y[B, N] = x[B, K] @ W_all[layer, expert]^T — batched gemv_le.
+
+    Used by the batched MoE tick: tiles stream straight from the selected
+    (layer, expert) bytes, so no expert-stack slices ever materialize.
+    """
+    B, K = x.shape
+    L, E, N, Kw = w_all.shape
+    assert K == Kw, (x.shape, w_all.shape)
+    if interpret is None and _emulate():
+        w = w_all[layer, expert]
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), _bf16(w),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    if not block_n or not block_k:
+        block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
+    n_n, n_k = N // block_n, K // block_k
+    if interpret is None:
+        interpret = False
+
+    def kern(sc_ref, x_ref, w_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), _bf16(w_ref[0, 0]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_k - 1)
+        def _():
+            o_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((B, block_k), lambda i, j, sc: (0, j)),
+            pl.BlockSpec((1, 1, block_n, block_k),
+                         lambda i, j, sc: (sc[0], sc[1], i, j)),
+        ],
+        out_specs=pl.BlockSpec((B, block_n), lambda i, j, sc: (0, i)),
+        scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K * w_all.dtype.itemsize + B * (K + N) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(layer, jnp.int32),
+                 jnp.asarray(expert, jnp.int32)]),
+      x.astype(jnp.float32), w_all)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
            block_n: int = 0, block_k: int = 0,
            interpret: bool | None = None) -> jax.Array:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .codec.format import YalmFile, read_yalm
+from .codec.format import read_yalm
 from .config import ModelConfig
 from .models.cache import KVCache
 from .models.fast import (FastWeights, decode_step_fast, fast_supported,

@@ -23,9 +23,6 @@ the oracle and the fast path.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -34,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
 from ..models.weights import Weights
-from ..ops.core import apply_rope, gelu, silu, rmsnorm
+from ..ops.core import gelu, silu, rmsnorm
 from ..ops.pallas.attention import attend_step_l, attention_supported
 from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
 from .sharding import cache_pspecs, weight_pspecs

@@ -16,7 +16,6 @@ collectives map onto the fastest (ICI-adjacent) device dimension.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import numpy as np

@@ -23,9 +23,8 @@ programs (batched tick, per-slot prefill).
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,13 +21,10 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
-
 import jax.numpy as jnp
 
 from .codec.format import read_yalm
 from .config import ModelConfig
-from .models.fast import fast_batched_supported
 from .models.weights import load_weights
 from .scheduler import Request, Scheduler
 from .tokenizer import Tokenizer

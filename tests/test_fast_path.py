@@ -331,13 +331,28 @@ def test_batched_moe_matches_per_lane(tmp_path):
     rng = np.random.default_rng(1)
     bcache = KVCache.init(cfg, jnp.bfloat16, batch=B)
     lanes = [KVCache.init(cfg, jnp.bfloat16) for _ in range(B)]
+    # mixed per-lane positions, including past the window (ring + sinks)
+    positions = np.array([0, 1, 7, 15, 31, 33, 40, 36], np.int32)
+    for step in range(int(positions.max())):
+        toks = rng.integers(3, cfg.vocab_size, B).astype(np.int32)
+        live = step < positions
+        pos_now = np.minimum(step, positions - 1).astype(np.int32)
+        _, bcache2 = decode_step_fast_batched(cfg, fw, jnp.asarray(toks),
+                                              jnp.asarray(pos_now), bcache)
+        bcache = KVCache(
+            k=jnp.where(live[:, None, None, None, None], bcache2.k, bcache.k),
+            v=jnp.where(live[:, None, None, None, None], bcache2.v, bcache.v))
+        for b in range(B):
+            if live[b]:
+                _, lanes[b] = decode_step_fast(cfg, fw, jnp.int32(toks[b]),
+                                               jnp.int32(step), lanes[b],
+                                               output_logits=False)
     toks = rng.integers(3, cfg.vocab_size, B).astype(np.int32)
-    positions = np.zeros(B, np.int32)
     blogits, bcache = decode_step_fast_batched(
         cfg, fw, jnp.asarray(toks), jnp.asarray(positions), bcache)
     for b in range(B):
         lf, lanes[b] = decode_step_fast(cfg, fw, jnp.int32(toks[b]),
-                                        jnp.int32(0), lanes[b])
+                                        jnp.int32(positions[b]), lanes[b])
         np.testing.assert_allclose(np.asarray(blogits[b]), np.asarray(lf),
                                    rtol=2e-2, atol=2e-2)
 

@@ -88,6 +88,34 @@ def main() -> int:
         assert all(len(r.generated) == 4 for r in reqs)
     check("scheduler batched tick [fp8, B=8]", run_sched)
 
+    # --- batched MoE tick (gemm_le + router gemm_l, N=n_experts) ---------
+    def run_sched_moe():
+        cfg = tiny_config(**base, weight_dtype="fp8", n_experts=4,
+                          n_experts_active=2)
+        p = f"{tmp}/schedmoe.yalm"
+        synth_checkpoint(p, cfg, seed=5)
+        w = load_weights(read_yalm(p), cfg)
+        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16)
+        assert s.fast
+        req = s.submit(Request(prompt_tokens=[1, 5, 9], max_new_tokens=4,
+                               temperature=0.0))
+        s.run()
+        assert len(req.generated) == 4
+    check("scheduler batched MoE tick [fp8, B=8]", run_sched_moe)
+
+    # --- odd-size exact-fit prefill chunks (full-dim activation blocks) --
+    def run_odd_prefill():
+        cfg = tiny_config(dim=256, hidden_dim=512, head_dim=128, n_layers=2,
+                          n_heads=4, n_kv_heads=2, vocab_size=512,
+                          max_seq_len=328, rotary_dim=128, weight_dtype="fp8")
+        p = f"{tmp}/oddt.yalm"
+        synth_checkpoint(p, cfg, seed=6)
+        eng = Engine.from_checkpoint(p, fast=True)
+        prompt = list(np.random.default_rng(0).integers(3, cfg.vocab_size, 300))
+        toks = list(eng.generate(prompt, max_steps=8, temperature=0.0))
+        assert len(toks) == 8
+    check("odd-T exact-fit prefill [fp8]", run_odd_prefill)
+
     # --- shard_map fast-TP at tp=1 on the single chip --------------------
     def run_tp():
         from yalm_tpu.parallel.mesh import MeshConfig, make_mesh

@@ -192,6 +192,13 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             permute_reverse(f32(weights[f"{p}.self_attn.k_proj.weight"]), n_kv_heads, rotary_dim))
         tensors[f"{p}.attn.wv.weight"] = conv(weights[f"{p}.self_attn.v_proj.weight"])
         tensors[f"{p}.attn.wo.weight"] = conv(weights[f"{p}.self_attn.o_proj.weight"])
+        for unsupported in (f"{p}.self_attn.o_proj.bias",
+                            f"{p}.mlp.gate_proj.bias",
+                            f"{p}.mlp.up_proj.bias",
+                            f"{p}.mlp.down_proj.bias"):
+            if unsupported in weights:
+                raise ValueError(f"{unsupported}: o_proj/mlp biases are not "
+                                 "supported (only Qwen2-style q/k/v biases)")
         if f"{p}.self_attn.q_proj.bias" in weights:
             # Qwen2-style attention biases; q/k get the same un-permutation
             # as their weight rows (a bias is a 1-column weight), kept f32

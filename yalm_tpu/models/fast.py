@@ -17,10 +17,11 @@ exactly one copy of the weight bytes through HBM:
   via dynamic_update_slice on the full stacked buffer — donated by the
   engine, so updates are in-place.
 
-MoE routing stays data-dependent but HBM-exact: the router picks top-k
-experts and `gemv_le` streams only the routed experts' bytes (layer AND
-expert ride the scalar-prefetch channel). The batched tick is dense-only
-for now (see fast_batched_supported).
+MoE routing stays data-dependent but HBM-exact: single-stream decode
+streams only the routed experts' bytes via `gemv_le` (layer AND expert ride
+the scalar-prefetch channel); the batched tick streams every expert once
+per step (with B lanes routing independently that is the routed-traffic
+optimum) and masks per-lane gates.
 """
 
 from __future__ import annotations

@@ -58,10 +58,39 @@ def upcast_f16_for_tpu(tree):
     and the fast-path kernels already round every operand through bf16 for
     the MXU — so converting fp16 checkpoints to bf16 at load is numerically
     identical to what the kernels would compute per-tile, and is required
-    for them to compile. Non-f16 leaves pass through untouched.
+    for them to compile. Non-f16 leaves pass through untouched; identical
+    leaves (tied embeddings) convert once and stay shared. Prefer the
+    host-side cast in `f16_to_bf16_put` at load time — this device-side
+    version transiently holds both copies of each converted leaf.
     """
-    return jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float16 else a, tree)
+    memo: dict[int, jax.Array] = {}
+
+    def conv(a):
+        if a.dtype != jnp.float16:
+            return a
+        key = id(a)
+        if key not in memo:
+            memo[key] = a.astype(jnp.bfloat16)
+        return memo[key]
+
+    return jax.tree.map(conv, tree)
+
+
+def f16_to_bf16_put(device_put=jnp.asarray):
+    """Wrap a device_put so float16 host arrays upload as bfloat16.
+
+    The cast happens on the HOST (numpy view -> bf16 ndarray), so device HBM
+    only ever holds the bf16 copy — a 7B fp16 checkpoint would otherwise
+    transiently need ~2x its size during a device-side cast.
+    """
+    import ml_dtypes
+
+    def put(a):
+        if a.dtype == np.float16:
+            a = a.astype(np.float32).astype(ml_dtypes.bfloat16)
+        return device_put(a)
+
+    return put
 
 
 def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weights:

@@ -42,9 +42,9 @@ def _emulate() -> bool:
     """Off-TPU the kernels default to a numerics-matched jnp emulation.
 
     The Pallas interpreter is exercised explicitly (interpret=True) by the
-    kernel parity tests; embedding interpreted kernels inside large looped
-    programs segfaults nondeterministically in jax 0.9.0's CPU interpreter,
-    so whole-model CPU runs use the emulation path instead.
+    kernel parity tests; whole-model CPU runs use the emulation path because
+    it is much faster than interpreting every kernel and numerically
+    identical by construction.
 
     YALM_PALLAS_EMULATE=1/0 overrides the backend check — needed when a TPU
     plugin owns the default backend but the computation targets a virtual
@@ -386,7 +386,9 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     The continuous-batching tick decodes B tokens against the same weights;
     streaming each weight tile once and multiplying an (B, bk) activation
     block amortizes the HBM traffic over the whole batch (same roofline as
-    batch 1, ~B× the tokens). B must be a sublane multiple (pad slots to 8).
+    batch 1, ~B× the tokens). Any B works — the activation block spans the
+    full batch dim, which Mosaic accepts regardless of alignment (verified
+    on hardware with odd prefill chunk sizes).
     """
     B, K = x.shape
     L, N, Kw = w_all.shape

@@ -36,9 +36,16 @@ class ServingEngine:
     """Owns the scheduler + driver thread; thread-safe submission."""
 
     def __init__(self, cfg: ModelConfig, weights, tokenizer: Tokenizer, *,
-                 batch: int = 8, kv_dtype=jnp.bfloat16, fast: bool | str = "auto"):
+                 batch: int = 8, kv_dtype=jnp.bfloat16, fast: bool | str = "auto",
+                 max_prompt_tokens: int | None = None):
         self.cfg = cfg
         self.tokenizer = tokenizer
+        # ring-regime hydration beyond the window is one decode step per
+        # token and runs BETWEEN ticks, stalling other streams — bound it
+        # so one oversized request can't freeze the batch (0 disables)
+        if max_prompt_tokens is None:
+            max_prompt_tokens = 2 * cfg.max_seq_len
+        self.max_prompt_tokens = max_prompt_tokens
         self.sched = Scheduler(cfg, weights, batch=batch, kv_dtype=kv_dtype,
                                compute_dtype=jnp.bfloat16, fast=fast)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
@@ -110,9 +117,14 @@ class ServingEngine:
                       stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
         if not isinstance(prompt, str):
             raise ValueError(f"prompt must be a string, got {type(prompt).__name__}")
-        # prompts longer than the window are fine: the scheduler hydrates
-        # them through the sliding-window ring + attention sinks
+        # prompts longer than the window are fine (sliding-window ring +
+        # sinks), but per-token hydration beyond it stalls other streams —
+        # enforce the serving-policy cap
         toks = self.tokenizer.encode(prompt, bos=True)
+        if self.max_prompt_tokens and len(toks) > self.max_prompt_tokens:
+            raise ValueError(
+                f"prompt is {len(toks)} tokens; this server caps prompts at "
+                f"{self.max_prompt_tokens} (--max-prompt-tokens)")
         out_q: "queue.Queue" = queue.Queue()
         stops = set()
         if stop_at_eos:
@@ -252,10 +264,13 @@ def main(argv=None) -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("-T", "--context", type=int, default=0)
+    ap.add_argument("--max-prompt-tokens", type=int, default=None,
+                    help="reject prompts longer than this (default 2x window; 0 disables)")
     args = ap.parse_args(argv)
 
     engine = ServingEngine.from_checkpoint(args.checkpoint, context=args.context,
-                                           batch=args.batch)
+                                           batch=args.batch,
+                                           max_prompt_tokens=args.max_prompt_tokens)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

@@ -39,6 +39,7 @@ from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
                                     attention_supported)
 from ..ops.core import moe_gate
+from ..ops.pallas.ffn import ffn_l
 from ..ops.pallas.gemv import (gemm, gemm_l, gemm_le, gemv, gemv_l,
                                gemv_le, gemv_supported)
 from .cache import KVCache
@@ -231,9 +232,10 @@ def decode_step_fast(
 
         # -- FFN --------------------------------------------------------------
         if fuse_norm and not cfg.is_moe:
-            h13 = gemv_l(x, fw.w13, i, norm_w=fw.rms_ffn, norm_eps=cfg.norm_eps)
-            h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-            x = gemv_l(h, fw.w2, i, residual=x)
+            # whole FFN (norm + w13 stream + GLU + w2 stream + residual) in
+            # one kernel: no pipeline drain between the two weight sweeps
+            x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                      norm_eps=cfg.norm_eps, act=cfg.act_type)
             return (x, k_all, v_all)
         xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                       cfg.norm_eps)

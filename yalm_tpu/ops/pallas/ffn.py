@@ -1,0 +1,171 @@
+"""Fully-fused dense FFN kernel: norm + w13-stream + GLU + w2-stream + residual.
+
+One Pallas call per layer replaces the two gemv_l calls (w13, w2) plus the
+XLA GLU in between. Beyond the launch saving, the payoff is pipeline
+continuity: with both weight streams inside one kernel there is no Mosaic
+pipeline drain between the w13 sweep and the w2 sweep — the w2 prefetch
+starts while the last w13 tiles are still in flight (manual double-buffered
+DMA, the same pattern as the fused attention kernel).
+
+The GLU intermediate (2*hidden f32) lives entirely in VMEM; nothing but the
+(dim,) output touches HBM besides the weight bytes themselves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gemv import _bf16, _emulate, _gemv_ref, pick_blocks
+
+
+def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
+                w13buf, w2buf, h_ref, sem, *,
+                H: int, K: int, D: int, bn1: int, bn2: int,
+                norm_eps: float, act: str):
+    layer = scal_ref[0]
+    n1 = (2 * H) // bn1
+    n2 = D // bn2
+
+    # RMS-normalize x in-kernel (x is the raw residual stream)
+    xv = x_ref[...].astype(jnp.float32)
+    ms = jnp.mean(xv * xv, axis=-1, keepdims=True)
+    xb = (xv * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0].astype(jnp.float32)
+          ).astype(jnp.bfloat16)
+
+    def w13_dma(slot, blk):
+        return pltpu.make_async_copy(
+            w13_hbm.at[layer, pl.ds(blk * bn1, bn1)], w13buf.at[slot],
+            sem.at[slot])
+
+    def w2_dma(slot, blk):
+        return pltpu.make_async_copy(
+            w2_hbm.at[layer, pl.ds(blk * bn2, bn2)], w2buf.at[slot],
+            sem.at[2 + slot])
+
+    # -- phase 1: h13 = W13 @ xb, tiles double-buffered -------------------
+    w13_dma(0, 0).start()
+
+    def p1(blk, _):
+        slot = blk % 2
+
+        @pl.when(blk + 1 < n1)
+        def _():
+            w13_dma((blk + 1) % 2, blk + 1).start()
+
+        # start the FIRST w2 tile as soon as the LAST w13 tile is in flight:
+        # no pipeline drain between the two weight streams
+        @pl.when(blk + 1 == n1)
+        def _():
+            w2_dma(0, 0).start()
+
+        w13_dma(slot, blk).wait()
+        h_ref[:, pl.ds(blk * bn1, bn1)] = jax.lax.dot_general(
+            xb, _bf16(w13buf[slot]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n1, p1, 0)
+
+    # -- GLU in VMEM ------------------------------------------------------
+    h1 = h_ref[:, :H]
+    h3 = h_ref[:, H:]
+    if act == "silu":
+        g = h1 * jax.nn.sigmoid(h1)
+    else:
+        g = 0.5 * h1 * (1.0 + jnp.tanh(0.797885 * (h1 + 0.044715 * h1 * h1 * h1)))
+    hb = (g * h3).astype(jnp.bfloat16)   # (1, H)
+
+    # -- phase 2: out = W2 @ h + residual ---------------------------------
+    def p2(blk, _):
+        slot = blk % 2
+
+        @pl.when(blk + 1 < n2)
+        def _():
+            w2_dma((blk + 1) % 2, blk + 1).start()
+
+        w2_dma(slot, blk).wait()
+        y = jax.lax.dot_general(
+            hb, _bf16(w2buf[slot]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[:, pl.ds(blk * bn2, bn2)] = y + res_ref[:, pl.ds(blk * bn2, bn2)]
+        return 0
+
+    jax.lax.fori_loop(0, n2, p2, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("norm_eps", "act", "interpret"))
+def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
+          w2_all: jax.Array, layer: jax.Array, *,
+          norm_eps: float, act: str,
+          interpret: bool | None = None) -> jax.Array:
+    """x + W2[layer] @ glu(W13[layer] @ rmsnorm(x, norm_w[layer])).
+
+    x: (dim,) f32 residual stream; returns the updated residual stream.
+    w13_all: (L, 2*hidden, dim); w2_all: (L, dim, hidden).
+    """
+    L, H2, K = w13_all.shape
+    H = H2 // 2
+    _, D, _ = w2_all.shape
+    assert x.shape == (K,) and D == K, (x.shape, w13_all.shape, w2_all.shape)
+    if interpret is None and _emulate():
+        nw = jax.lax.dynamic_index_in_dim(norm_w, layer, keepdims=False)
+        xv = x.astype(jnp.float32)
+        ms = jnp.mean(xv * xv)
+        xb = xv * jax.lax.rsqrt(ms + norm_eps) * nw.astype(jnp.float32)
+        h13 = _gemv_ref(xb, jax.lax.dynamic_index_in_dim(w13_all, layer, keepdims=False))
+        h1, h3 = h13[:H], h13[H:]
+        if act == "silu":
+            g = h1 * jax.nn.sigmoid(h1)
+        else:
+            g = 0.5 * h1 * (1.0 + jnp.tanh(0.797885 * (h1 + 0.044715 * h1 ** 3)))
+        return x + _gemv_ref((g * h3), jax.lax.dynamic_index_in_dim(w2_all, layer, keepdims=False))
+    if interpret is None:
+        interpret = False
+
+    bn1, _ = pick_blocks(H2, K, w13_all.dtype.itemsize)
+    bn2, _ = pick_blocks(D, H, w2_all.dtype.itemsize)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, K), lambda i, sc: (0, 0)),
+            pl.BlockSpec((1, 1, K), lambda i, sc: (sc[0], 0, 0)),
+            pl.BlockSpec((1, D), lambda i, sc: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, D), lambda i, sc: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bn1, K), w13_all.dtype),
+            pltpu.VMEM((2, bn2, H), w2_all.dtype),
+            pltpu.VMEM((1, H2), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_ffn_kernel, H=H, K=K, D=D, bn1=bn1, bn2=bn2,
+                          norm_eps=norm_eps, act=act),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (H2 * K + D * H),
+            bytes_accessed=(H2 * K) * w13_all.dtype.itemsize
+                           + (D * H) * w2_all.dtype.itemsize,
+            transcendentals=H,
+        ),
+        interpret=bool(interpret),
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      x.reshape(1, K).astype(jnp.float32),
+      norm_w.reshape(L, 1, K),
+      x.reshape(1, D).astype(jnp.float32),
+      w13_all, w2_all)
+    return out.reshape(D)

@@ -109,3 +109,26 @@ def test_long_prompt_ring_admission(tmp_path):
     eng = Engine.from_checkpoint(path, fast=False)
     toks = list(eng.generate(prompt, max_steps=5, temperature=0.0))
     assert toks == req.generated, (toks, req.generated)
+
+
+def test_scheduler_moe_fast_tick(tmp_path):
+    """MoE continuous batching: fast batched tick (all-experts gemm_le)."""
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.scheduler import Request, Scheduler
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+    import jax.numpy as jnp
+
+    cfg = tiny_config(dim=256, hidden_dim=512, head_dim=128, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=512, max_seq_len=64,
+                      rotary_dim=128, n_experts=4, n_experts_active=2,
+                      weight_dtype="fp8")
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=0)
+    weights = load_weights(read_yalm(path), cfg)
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    assert sched.fast
+    reqs = [sched.submit(Request(prompt_tokens=[1, 5 + i], max_new_tokens=5,
+                                 temperature=0.0)) for i in range(4)]
+    sched.run()
+    assert all(len(r.generated) == 5 for r in reqs)

@@ -105,3 +105,40 @@ def test_engine_complete_api(server):
     _, engine = server
     text = engine.complete("hello world", max_tokens=6, temperature=0.0)
     assert isinstance(text, str)
+
+
+def test_server_over_fast_path(tmp_path):
+    """The serving stack on top of the Pallas fast scheduler (emulated on
+    CPU) — exercises the whole fast serving pipeline end-to-end."""
+    import jax.numpy as jnp
+    from yalm_tpu.server import ServingEngine
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+    cfg = tiny_config(dim=256, hidden_dim=512, head_dim=128, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=512, max_seq_len=64,
+                      rotary_dim=128, weight_dtype="fp8")
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=0)
+    engine = ServingEngine.from_checkpoint(path, batch=8)
+    try:
+        assert engine.sched.fast
+        text = engine.complete("hello", max_tokens=5, temperature=0.0)
+        assert isinstance(text, str)
+    finally:
+        engine.close()
+
+
+def test_server_prompt_cap(tmp_path):
+    import jax.numpy as jnp
+    from yalm_tpu.server import ServingEngine
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, tiny_config(max_seq_len=32), seed=0)
+    engine = ServingEngine.from_checkpoint(path, batch=2)
+    try:
+        assert engine.max_prompt_tokens == 64
+        with pytest.raises(ValueError):
+            engine.submit_prompt("word " * 100)
+    finally:
+        engine.close()

@@ -49,6 +49,30 @@ def _bucket_for(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
+def chunk_schedule(n_tokens: int, pos: int, window: int):
+    """Yield (i, take, bucket) chunked-prefill steps while inside the window.
+
+    `take` tokens starting at offset i are fed at absolute position pos+...,
+    padded up to `bucket` (a compiled-once chunk size; shrunk to exact fit
+    when a padded chunk would cross the window edge, where
+    dynamic_update_slice would clamp the region start and shift valid rows).
+    Stops once the ring regime begins — callers hydrate the rest per-token.
+    Shared by Engine.prefill_tokens, Engine.perplexity, and Scheduler._admit.
+    """
+    i = 0
+    while i < n_tokens:
+        room = window - pos
+        if room <= 0:
+            return
+        take = min(n_tokens - i, PREFILL_BUCKETS[-1], room)
+        bucket = _bucket_for(take)
+        if bucket > room:
+            bucket = take
+        yield i, take, bucket
+        pos += take
+        i += take
+
+
 class Engine:
     """Single-sequence inference engine over one jitted model."""
 
@@ -237,7 +261,14 @@ class Engine:
         """Compile + run every specialization once (reference warms up with a
         single forward at pos 0, src/main.cpp:66-70; here each bucket/mode
         pair is its own program)."""
-        cache = KVCache.init(self.cfg, self.kv_dtype)
+        if self.mesh is not None:
+            # must match the real cache's sharding or every program compiles
+            # twice (once here for the unsharded layout, again on first use)
+            from .parallel.sharding import shard_cache
+            cache = shard_cache(KVCache.init(self.cfg, self.kv_dtype),
+                                self.cfg, self.mesh)
+        else:
+            cache = KVCache.init(self.cfg, self.kv_dtype)
         cache = self._step_hydrate(self.weights, jnp.int32(0), jnp.int32(0), cache)
         _, _, cache = self._step_sample(self.weights, jnp.int32(0), jnp.int32(0), cache,
                                         jax.random.PRNGKey(0), jnp.float32(1.0))
@@ -260,33 +291,21 @@ class Engine:
         holds the logits of the final token if want_logits.
         """
         cfg = self.cfg
-        L = cfg.max_seq_len
         toks = list(int(t) for t in tokens)
-        i = 0
         n = len(toks)
-        while i < n:
-            room = L - self.pos
-            if room <= 0:
-                break  # past the window: fall through to per-token path
-            take = min(n - i, PREFILL_BUCKETS[-1], room)
-            bucket = _bucket_for(take)
-            if bucket > room:
-                # A padded chunk crossing the window edge would make
-                # dynamic_update_slice clamp the region start and shift valid
-                # rows; use an exact-size chunk there (rare one-off compile).
-                bucket = take
-            chunk = toks[i : i + take]
+        i = 0
+        for i0, take, bucket in chunk_schedule(n, self.pos, cfg.max_seq_len):
             padded = np.zeros(bucket, np.int32)
-            padded[: len(chunk)] = chunk
-            last_chunk = i + take >= n
+            padded[:take] = toks[i0 : i0 + take]
+            last_chunk = i0 + take >= n
             mode = "last" if (want_logits and last_chunk) else "none"
             out, self.cache = self._prefill(
                 self.weights, jnp.asarray(padded), jnp.int32(self.pos),
-                jnp.int32(len(chunk)), self.cache, logits_mode=mode)
+                jnp.int32(take), self.cache, logits_mode=mode)
             if mode == "last":
                 self._last_logits = out
             self.pos += take
-            i += take
+            i = i0 + take
         # ring-buffer regime (pos >= L) or an odd tail: per-token hydration
         while i < n:
             tok = toks[i]
@@ -376,28 +395,20 @@ class Engine:
             raise ValueError("need at least 2 tokens for perplexity")
         logprobs: list[np.ndarray] = []
         cfg = self.cfg
-        L = cfg.max_seq_len
         i = 0
-        while i < n - 1:  # feed positions [0, n-2]; predictions for [1, n-1]
-            room = L - self.pos
-            if room <= 0:
-                break
-            take = min(n - 1 - i, PREFILL_BUCKETS[-1], room)
-            bucket = _bucket_for(take)
-            if bucket > room:
-                bucket = take  # exact-fit fallback near the window edge
+        # feed positions [0, n-2]; predictions for [1, n-1]
+        for i0, take, bucket in chunk_schedule(n - 1, self.pos, cfg.max_seq_len):
             padded = np.zeros(bucket, np.int32)
-            padded[:take] = toks[i : i + take]
+            padded[:take] = toks[i0 : i0 + take]
             all_logits, self.cache = self._prefill(
                 self.weights, jnp.asarray(padded), jnp.int32(self.pos),
                 jnp.int32(take), self.cache, logits_mode="all")
             targets = np.zeros(bucket, np.int32)
-            valid = min(take, n - 1 - i)
-            targets[:valid] = toks[i + 1 : i + 1 + valid]
-            lp = np.asarray(logprob_of(all_logits, jnp.asarray(targets)))[:valid]
+            targets[:take] = toks[i0 + 1 : i0 + 1 + take]
+            lp = np.asarray(logprob_of(all_logits, jnp.asarray(targets)))[:take]
             logprobs.append(lp)
             self.pos += take
-            i += take
+            i = i0 + take
         while i < n - 1:  # ring-buffer regime: per-token
             logits, self.cache = self._step_logits(
                 self.weights, jnp.int32(toks[i]), jnp.int32(self.pos), self.cache)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import KV_SINKS, ModelConfig
 from ..ops.attention import attend_chunk, attend_one
-from ..ops.core import act_fn, apply_rope, moe_gate, rmsnorm
+from ..ops.core import act_fn, apply_rope, moe_gate, rmsnorm, rope_rotate_cached
 from .cache import KVCache
 from .weights import LayerWeights, Weights
 
@@ -153,8 +153,8 @@ def decode_step(
         # f32 round-trip through the cache dtype matches the reference's
         # f16 read-rotate-write.
         sink_rows = kc[:KV_SINKS].astype(jnp.float32)
-        rotated = apply_rope(sink_rows, jnp.ones((KV_SINKS,)), cfg.rope_theta,
-                             cfg.rotary_dim).astype(kc.dtype)
+        rotated = rope_rotate_cached(sink_rows, cfg.rope_theta,
+                                     cfg.rotary_dim).astype(kc.dtype)
         sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
         kc = jax.lax.dynamic_update_slice(
             kc, jnp.where(sink_mask, rotated, kc[:KV_SINKS]), (0, 0, 0))

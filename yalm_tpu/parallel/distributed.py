@@ -47,10 +47,13 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
-        # single-process fallback (dev boxes, tests)
-        if num_processes not in (None, 1):
-            raise
-        if os.environ.get("YALM_REQUIRE_DISTRIBUTED"):
+        # Silently degrading a REAL multi-host job to single-process would
+        # hang the other hosts in collective init or shard over a fraction
+        # of the mesh. Only swallow the failure when auto-detection found no
+        # cluster at all (dev boxes, tests) AND the caller didn't opt out.
+        no_cluster = coordinator_address is None and num_processes is None \
+            and "coordinator" not in str(e).lower()
+        if not no_cluster or os.environ.get("YALM_REQUIRE_DISTRIBUTED"):
             raise RuntimeError(f"jax.distributed.initialize failed: {e}") from e
 
 
@@ -73,10 +76,15 @@ def make_hybrid_mesh(mcfg: MeshConfig, *, devices=None,
     for d in devices:
         per_host.setdefault(d.process_index, []).append(d)
     n_local = len(next(iter(per_host.values())))
-    if mcfg.tp > n_local and len(per_host) > 1 and mcfg.tp % n_local != 0:
-        raise ValueError(
-            f"tp={mcfg.tp} does not pack into hosts with {n_local} local devices; "
-            f"tp groups would straddle DCN unevenly")
+    if len(per_host) > 1:
+        # tp groups must tile exactly into hosts (or hosts into groups),
+        # else some group straddles DCN and every block's psum crosses it
+        ok = (mcfg.tp <= n_local and n_local % mcfg.tp == 0) or \
+             (mcfg.tp > n_local and mcfg.tp % n_local == 0)
+        if not ok:
+            raise ValueError(
+                f"tp={mcfg.tp} does not pack into hosts with {n_local} local "
+                f"devices; tp groups would straddle DCN")
     arr = np.asarray(devices).reshape(mcfg.dp, mcfg.ep, mcfg.tp)
     return Mesh(arr, AXES)
 

@@ -37,7 +37,7 @@ from .models.fast import (FastWeights, decode_step_fast_batched,
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
 from .sampler import sample
-from .engine import PREFILL_BUCKETS, _bucket_for
+from .engine import PREFILL_BUCKETS, chunk_schedule
 
 
 @dataclasses.dataclass
@@ -134,10 +134,15 @@ class Scheduler:
                                    output_logits=output_logits, compute_dtype=cd)
 
         @partial(jax.jit, donate_argnums=(3,))
-        def _tick(w, tokens, positions, cache, key, temps):
-            """One batched decode+sample tick over all B slots."""
+        def _tick(w, tokens, positions, cache, seeds, temps):
+            """One batched decode+sample tick over all B slots.
+
+            Sampling keys derive from (request seed, absolute position), so
+            a request's output is reproducible regardless of what other
+            traffic shares the batch."""
             logits, cache = _batched_logits(w, tokens, positions, cache)
-            keys = jax.random.split(key, tokens.shape[0])
+            keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
+                seeds, positions)
             nxt = jax.vmap(sample)(logits, keys, temps)
             return nxt, cache
 
@@ -167,6 +172,8 @@ class Scheduler:
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> Request:
+        if not request.prompt_tokens:
+            raise ValueError("prompt_tokens must be non-empty (include BOS)")
         self.queue.append(request)
         return request
 
@@ -181,28 +188,20 @@ class Scheduler:
                 continue
             req = self.queue.pop(0)
             toks = list(req.prompt_tokens)
-            L = self.cfg.max_seq_len
             pos = 0
             logits = None
             i, n = 0, len(toks)
-            while i < n:
-                room = L - pos
-                if room <= 0:
-                    break  # ring regime: per-token hydration below
-                take = min(n - i, PREFILL_BUCKETS[-1], room)
-                bucket = _bucket_for(take)
-                if bucket > room:
-                    bucket = take
+            for i0, take, bucket in chunk_schedule(n, 0, self.cfg.max_seq_len):
                 padded = np.zeros(bucket, np.int32)
-                padded[:take] = toks[i : i + take]
-                mode = "last" if i + take >= n else "none"
+                padded[:take] = toks[i0 : i0 + take]
+                mode = "last" if i0 + take >= n else "none"
                 out, self.cache = self._prefill_slot(
                     self.weights, jnp.asarray(padded), jnp.int32(pos),
                     jnp.int32(take), b, self.cache, logits_mode=mode)
                 if mode == "last":
                     logits = out
                 pos += take
-                i += take
+                i = i0 + take
             # prompts longer than the context window: per-token ring-regime
             # hydration of this slot's lane (sinks + ring, like the engine)
             while i < n:
@@ -214,8 +213,8 @@ class Scheduler:
                     logits = out
                 pos += 1
                 i += 1
-            # sample the first generated token
-            self._key, sub = jax.random.split(self._key)
+            # sample the first generated token (seeded per request)
+            sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), pos)
             first = int(sample(logits, sub, jnp.float32(req.temperature)))
             req._emit(first)
             slot.request = req
@@ -243,9 +242,10 @@ class Scheduler:
         temps = jnp.asarray(
             [s.request.temperature if s.request else 0.0 for s in self.slots],
             jnp.float32)
-        self._key, sub = jax.random.split(self._key)
+        seeds = jnp.asarray(
+            [s.request.seed if s.request else 0 for s in self.slots], jnp.int32)
         nxt, self.cache = self._tick(self.weights, tokens, positions,
-                                     self.cache, sub, temps)
+                                     self.cache, seeds, temps)
         nxt = np.asarray(nxt)
         for b, slot in enumerate(self.slots):
             if slot.free:

@@ -33,14 +33,19 @@ def _fence(x):
     return np.asarray(jax.tree.leaves(x)[0])
 
 
-def _devloop(fn, init, iters):
+def _devloop(fn, init, iters, *consts):
+    """Time an on-device loop. Loop-invariant arrays go in *consts: they
+    become jit ARGUMENTS (closing over concrete arrays bakes them into the
+    HLO as literals; threading them through the carry forces per-iteration
+    copies). Inside the traced function they are tracers, safe to close
+    over in the fori body."""
     @jax.jit
-    def run(carry):
-        return jax.lax.fori_loop(0, iters, lambda i, c: fn(i, c), carry)
-    out = run(init)
+    def run(consts, carry):
+        return jax.lax.fori_loop(0, iters, lambda i, c: fn(i, c, *consts), carry)
+    out = run(consts, init)
     _fence(out)
     t0 = time.perf_counter()
-    out = run(init)
+    out = run(consts, init)
     _fence(out)
     return (time.perf_counter() - t0) / iters
 
@@ -49,13 +54,13 @@ def bench_matmul(iters: int, dtype) -> None:
     w = (jax.random.normal(jax.random.PRNGKey(0), (HIDDEN, DIM), jnp.bfloat16) * 0.02).astype(dtype)
     x0 = jnp.ones((DIM,), jnp.float32)
 
-    def body(i, carry):
+    def body(i, carry, w):
         x, acc = carry
         y = jax.lax.dot_general(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                                 (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         return (x0 + y[:DIM] * 1e-12, acc + y[0])
 
-    dt = _devloop(body, (x0, jnp.float32(0)), iters)
+    dt = _devloop(body, (x0, jnp.float32(0)), iters, w)
     nbytes = HIDDEN * DIM * dtype.dtype.itemsize if hasattr(dtype, "dtype") else HIDDEN * DIM * jnp.dtype(dtype).itemsize
     print(f"matmul {HIDDEN}x{DIM} {jnp.dtype(dtype).name}: {dt*1e3:.3f} ms  "
           f"{nbytes/dt/1e9:.0f} GB/s")
@@ -68,12 +73,12 @@ def bench_mha(iters: int) -> None:
     q0 = jnp.ones((N_KV_HEADS, N_HEADS // N_KV_HEADS, HEAD_DIM), jnp.float32)
     valid = jnp.ones((SEQ,), bool)
 
-    def body(i, carry):
+    def body(i, carry, kb, vb):
         q, acc = carry
         out = attend_one(q, kb, vb, valid)
         return (q0 + out * 1e-12, acc + out[0, 0, 0])
 
-    dt = _devloop(body, (q0, jnp.float32(0)), iters)
+    dt = _devloop(body, (q0, jnp.float32(0)), iters, kb, vb)
     nbytes = 2 * SEQ * N_KV_HEADS * HEAD_DIM * 2
     print(f"mha decode (window {SEQ}): {dt*1e3:.3f} ms  {nbytes/dt/1e9:.0f} GB/s")
 
@@ -89,13 +94,13 @@ def bench_ffn(iters: int) -> None:
         return jax.lax.dot_general(x.astype(jnp.bfloat16), w,
                                    (((0,), (1,)), ((), ())), preferred_element_type=jnp.float32)
 
-    def body(i, carry):
+    def body(i, carry, w1, w2, w3):
         x, acc = carry
         h = act_fn("silu")(proj(x, w1)) * proj(x, w3)
         y = proj(h, w2)
         return (x0 + y * 1e-12, acc + y[0])
 
-    dt = _devloop(body, (x0, jnp.float32(0)), iters)
+    dt = _devloop(body, (x0, jnp.float32(0)), iters, w1, w2, w3)
     nbytes = 3 * HIDDEN * DIM * 2
     print(f"ffn (SwiGLU {DIM}->{HIDDEN}): {dt*1e3:.3f} ms  {nbytes/dt/1e9:.0f} GB/s")
 

@@ -320,9 +320,9 @@ def decode_step_fast_batched(
             kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
         x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i)
 
-        xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
-                      cfg.norm_eps)
         if cfg.is_moe:
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
+                          cfg.norm_eps)
             # batched MoE: with B lanes routing independently, essentially
             # every expert is active for someone — stream ALL experts' bytes
             # once per tick and mask per-lane gates (amortized over B, this
@@ -338,9 +338,10 @@ def decode_step_fast_batched(
                 delta = delta + gate_e[:, None] * gemm_le(h, fw.w2, i, e)
             x = x + delta
         else:
-            h13 = gemm_l(xb2, fw.w13, i)
-            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + gemm_l(h, fw.w2, i)
+            # one fused kernel for the whole batched FFN (norm + w13 + GLU
+            # + w2 + residual), weight stream shared by all lanes
+            x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                      norm_eps=cfg.norm_eps, act=cfg.act_type)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(

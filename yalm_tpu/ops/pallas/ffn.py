@@ -31,8 +31,8 @@ def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
     n1 = (2 * H) // bn1
     n2 = D // bn2
 
-    # RMS-normalize x in-kernel (x is the raw residual stream)
-    xv = x_ref[...].astype(jnp.float32)
+    # RMS-normalize each row in-kernel (x is the raw residual stream(s))
+    xv = x_ref[...].astype(jnp.float32)                  # (B, K)
     ms = jnp.mean(xv * xv, axis=-1, keepdims=True)
     xb = (xv * jax.lax.rsqrt(ms + norm_eps) * nw_ref[0].astype(jnp.float32)
           ).astype(jnp.bfloat16)
@@ -105,25 +105,37 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
           interpret: bool | None = None) -> jax.Array:
     """x + W2[layer] @ glu(W13[layer] @ rmsnorm(x, norm_w[layer])).
 
-    x: (dim,) f32 residual stream; returns the updated residual stream.
+    x: (dim,) or (B, dim) f32 residual stream(s); returns the updated
+    stream(s) with the same shape. The whole batch shares one weight
+    stream, exactly like gemm_l.
     w13_all: (L, 2*hidden, dim); w2_all: (L, dim, hidden).
     """
     L, H2, K = w13_all.shape
     H = H2 // 2
     _, D, _ = w2_all.shape
-    assert x.shape == (K,) and D == K, (x.shape, w13_all.shape, w2_all.shape)
+    squeeze = x.ndim == 1
+    x2 = x.reshape(-1, K)
+    B = x2.shape[0]
+    assert D == K, (x.shape, w13_all.shape, w2_all.shape)
     if interpret is None and _emulate():
         nw = jax.lax.dynamic_index_in_dim(norm_w, layer, keepdims=False)
-        xv = x.astype(jnp.float32)
-        ms = jnp.mean(xv * xv)
+        xv = x2.astype(jnp.float32)
+        ms = jnp.mean(xv * xv, axis=-1, keepdims=True)
         xb = xv * jax.lax.rsqrt(ms + norm_eps) * nw.astype(jnp.float32)
-        h13 = _gemv_ref(xb, jax.lax.dynamic_index_in_dim(w13_all, layer, keepdims=False))
-        h1, h3 = h13[:H], h13[H:]
+        w13 = jax.lax.dynamic_index_in_dim(w13_all, layer, keepdims=False)
+        h13 = jax.lax.dot_general(
+            xb.astype(jnp.bfloat16), w13.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        h1, h3 = h13[:, :H], h13[:, H:]
         if act == "silu":
             g = h1 * jax.nn.sigmoid(h1)
         else:
             g = 0.5 * h1 * (1.0 + jnp.tanh(0.797885 * (h1 + 0.044715 * h1 ** 3)))
-        return x + _gemv_ref((g * h3), jax.lax.dynamic_index_in_dim(w2_all, layer, keepdims=False))
+        w2 = jax.lax.dynamic_index_in_dim(w2_all, layer, keepdims=False)
+        out = x2 + jax.lax.dot_general(
+            (g * h3).astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return out.reshape(x.shape)
     if interpret is None:
         interpret = False
 
@@ -134,17 +146,17 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda i, sc: (0, 0)),
+            pl.BlockSpec((B, K), lambda i, sc: (0, 0)),
             pl.BlockSpec((1, 1, K), lambda i, sc: (sc[0], 0, 0)),
-            pl.BlockSpec((1, D), lambda i, sc: (0, 0)),
+            pl.BlockSpec((B, D), lambda i, sc: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda i, sc: (0, 0)),
+        out_specs=pl.BlockSpec((B, D), lambda i, sc: (0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, bn1, K), w13_all.dtype),
             pltpu.VMEM((2, bn2, H), w2_all.dtype),
-            pltpu.VMEM((1, H2), jnp.float32),
+            pltpu.VMEM((B, H2), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
@@ -152,20 +164,20 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
         functools.partial(_ffn_kernel, H=H, K=K, D=D, bn1=bn1, bn2=bn2,
                           norm_eps=norm_eps, act=act),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (H2 * K + D * H),
+            flops=2 * B * (H2 * K + D * H),
             bytes_accessed=(H2 * K) * w13_all.dtype.itemsize
                            + (D * H) * w2_all.dtype.itemsize,
-            transcendentals=H,
+            transcendentals=B * H,
         ),
         interpret=bool(interpret),
     )(jnp.asarray(layer, jnp.int32).reshape(1),
-      x.reshape(1, K).astype(jnp.float32),
+      x2.astype(jnp.float32),
       norm_w.reshape(L, 1, K),
-      x.reshape(1, D).astype(jnp.float32),
+      x2.astype(jnp.float32),
       w13_all, w2_all)
-    return out.reshape(D)
+    return out.reshape(x.shape)

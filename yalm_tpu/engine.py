@@ -232,6 +232,12 @@ class Engine:
             else:
                 from .parallel.fast_tp import fast_tp_supported
                 fast = fast_tp_supported(cfg, mesh.shape["tp"], mesh.shape.get("ep", 1))
+        if fast:
+            # fp16 -> bf16 on the HOST before upload (Mosaic has no f16);
+            # the device-side upcast_f16_for_tpu fallback would transiently
+            # hold ~2x the weight bytes in HBM
+            from .models.weights import f16_to_bf16_put
+            put = f16_to_bf16_put(put)
         try:
             if fast and mesh is None:
                 # concat on the host so HBM never holds two weight copies

@@ -207,7 +207,10 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     vw.start()
     vw.wait()
 
-    # sink-key re-rotation (only once past the window; StreamingLLM)
+    # sink-key re-rotation (only once past the window; StreamingLLM).
+    # Only the first kv_sink sink rows rotate — matching the jnp emulation's
+    # mask exactly; callers only ever pass 0 or kv_sinks today, but a partial
+    # value must not silently diverge between kernel and emulation.
     @pl.when(kv_sink > 0)
     def _():
         rd = pltpu.make_async_copy(ko_hbm.at[(*idx, slice(0, kv_sinks))],
@@ -215,7 +218,9 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
         rd.start()
         rd.wait()
         rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-        rowbuf[...] = _rot_lanes(rows, theta, rotary_dim, 1.0).reshape(
+        rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
+        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) < kv_sink * Hk
+        rowbuf[...] = jnp.where(sel, rot, rows).reshape(
             kv_sinks, Hk, D).astype(rowbuf.dtype)
         wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
                                    rowsem)
@@ -339,13 +344,13 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
             pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
             pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
@@ -563,13 +568,13 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pl.BlockSpec((Hk * P, D), lambda i, sc: (0, 0)),
             pl.BlockSpec((Hk, D), lambda i, sc: (0, 0)),
             pl.BlockSpec((Hk, D), lambda i, sc: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((Hk * P, D), lambda i, sc: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),

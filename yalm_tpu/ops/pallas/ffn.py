@@ -149,8 +149,8 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
             pl.BlockSpec((B, K), lambda i, sc: (0, 0)),
             pl.BlockSpec((1, 1, K), lambda i, sc: (sc[0], 0, 0)),
             pl.BlockSpec((B, D), lambda i, sc: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((B, D), lambda i, sc: (0, 0)),
         scratch_shapes=[

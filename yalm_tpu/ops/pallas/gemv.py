@@ -262,6 +262,7 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
+    assert n_n * block_n == N and n_k * block_k == K, (w_all.shape, block_n, block_k)
     if interpret is None:
         interpret = False
 
@@ -330,6 +331,7 @@ def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
+    assert n_n * block_n == N and n_k * block_k == K, (w_all.shape, block_n, block_k)
     if interpret is None:
         interpret = False
 
@@ -401,6 +403,7 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
+    assert n_n * block_n == N and n_k * block_k == K, (w_all.shape, block_n, block_k)
     if interpret is None:
         interpret = False
 

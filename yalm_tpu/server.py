@@ -56,12 +56,24 @@ class ServingEngine:
         self._thread.start()
 
     @classmethod
-    def from_checkpoint(cls, path: str, *, context: int = 0, **kw) -> "ServingEngine":
+    def from_checkpoint(cls, path: str, *, context: int = 0, batch: int = 8,
+                        **kw) -> "ServingEngine":
         yf = read_yalm(path)
         cfg = ModelConfig.from_metadata(yf.metadata, context=context)
-        weights = load_weights(yf, cfg)
+        # load straight into the layout the scheduler will use: fast path
+        # wants FastWeights (host-concatenated) with fp16 pre-cast to bf16 on
+        # the host, so device HBM only ever holds one copy
+        from .models.fast import fast_batched_supported, load_fast_weights
+        from .models.weights import f16_to_bf16_put
+        fast = kw.get("fast", "auto")
+        if fast == "auto":
+            fast = fast_batched_supported(cfg) and batch % 8 == 0
+        if fast:
+            weights = load_fast_weights(yf, cfg, device_put=f16_to_bf16_put())
+        else:
+            weights = load_weights(yf, cfg)
         tok = Tokenizer.from_yalm(yf)
-        eng = cls(cfg, weights, tok, **kw)
+        eng = cls(cfg, weights, tok, batch=batch, **kw)
         yf.close()
         return eng
 
@@ -113,7 +125,7 @@ class ServingEngine:
 
     # -- request API ----------------------------------------------------
     def submit_prompt(self, prompt: str, *, max_tokens: int = 128,
-                      temperature: float = 1.0,
+                      temperature: float = 1.0, seed: int | None = None,
                       stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
         if not isinstance(prompt, str):
             raise ValueError(f"prompt must be a string, got {type(prompt).__name__}")
@@ -133,9 +145,16 @@ class ServingEngine:
             if eot is not None and eot >= 0:
                 stops.add(eot)
 
+        if seed is None:
+            # per-request entropy by default: identical prompts at
+            # temperature>0 should not produce identical completions, and
+            # concurrent requests should not share correlated RNG streams.
+            # Determinism stays available by passing an explicit seed.
+            import os
+            seed = int.from_bytes(os.urandom(4), "little") & 0x7FFFFFFF
         req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
                       temperature=temperature, stop_tokens=frozenset(stops),
-                      on_token=out_q.put)
+                      seed=int(seed), on_token=out_q.put)
         self._inbox.put((req, out_q))
         return req, out_q
 
@@ -194,8 +213,12 @@ def make_handler(engine: ServingEngine):
                 max_tokens = int(body.get("max_tokens", 128))
                 temperature = float(body.get("temperature", 1.0))
                 stream = bool(body.get("stream", False))
+                seed = body.get("seed")
+                if seed is not None:
+                    seed = int(seed)
                 req, out_q = engine.submit_prompt(
-                    prompt, max_tokens=max_tokens, temperature=temperature)
+                    prompt, max_tokens=max_tokens, temperature=temperature,
+                    seed=seed)
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return

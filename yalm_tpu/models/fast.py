@@ -39,6 +39,7 @@ from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
                                     attention_supported)
 from ..ops.core import moe_gate
+from ..ops.pallas.block import attn_block_l, attn_block_supported
 from ..ops.pallas.ffn import ffn_l
 from ..ops.pallas.gemv import (gemm, gemm_l, gemm_le, gemv, gemv_l,
                                gemv_le, gemv_supported)
@@ -198,37 +199,48 @@ def decode_step_fast(
     from ..ops.pallas.gemv import pick_blocks
     fuse_norm = pick_blocks(fw.wqkv.shape[1], cfg.dim,
                             fw.wqkv.dtype.itemsize)[1] == cfg.dim
+    # the fully-fused attention block (norm + wqkv + attention + wo +
+    # residual in ONE kernel) brings a dense layer to 2 launches
+    use_block = fuse_norm and attn_block_supported(cfg, fw.wqkv.dtype.itemsize)
 
     def layer_body(i, carry):
         x, k_all, v_all = carry
 
         # -- attention ------------------------------------------------------
-        # rmsnorm fused into the projection kernel (saves the XLA op and an
-        # activation round-trip); residual adds fused into wo/w2 likewise
-        if fuse_norm:
-            qkv = gemv_l(x, fw.wqkv, i, norm_w=fw.rms_att,
-                         norm_eps=cfg.norm_eps)
+        if use_block:
+            x, k_all, v_all = attn_block_l(
+                x, fw.rms_att, fw.wqkv, fw.wo, k_all, v_all, i,
+                kv_pos, kv_len, kv_sink, pos,
+                n_heads=Hq, kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
+                qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv)
         else:
-            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
-                         cfg.norm_eps)
-            qkv = gemv_l(xb, fw.wqkv, i)
-        if fw.bqkv is not None:
-            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
-        qkv = clip(qkv)
-        q = qkv[: cfg.q_dim]
-        k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-        v = qkv[cfg.q_dim + cfg.kv_dim:]
+            # rmsnorm fused into the projection kernel (saves the XLA op and
+            # an activation round-trip); residual add fused into wo likewise
+            if fuse_norm:
+                qkv = gemv_l(x, fw.wqkv, i, norm_w=fw.rms_att,
+                             norm_eps=cfg.norm_eps)
+            else:
+                xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                             cfg.norm_eps)
+                qkv = gemv_l(xb, fw.wqkv, i)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv)
+            q = qkv[: cfg.q_dim]
+            k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+            v = qkv[cfg.q_dim + cfg.kv_dim:]
 
-        # One fused kernel: RoPE on q/k at `pos`, k/v write into ring slot
-        # kv_pos, sink-key re-rotation (StreamingLLM, reference
-        # src/infer.cpp:303-317), and flash attention — with the cache
-        # aliased in place (XLA never holds the buffer, so no relayouts or
-        # update copies).
-        mixed, k_all, v_all = attend_step_l(
-            q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
-            k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
-            kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
-        x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x)
+            # One fused kernel: RoPE on q/k at `pos`, k/v write into ring
+            # slot kv_pos, sink-key re-rotation (StreamingLLM, reference
+            # src/infer.cpp:303-317), and flash attention — with the cache
+            # aliased in place (XLA never holds the buffer, so no relayouts
+            # or update copies).
+            mixed, k_all, v_all = attend_step_l(
+                q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
+                k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
+                kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
+            x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x)
 
         # -- FFN --------------------------------------------------------------
         if fuse_norm and not cfg.is_moe:

@@ -1,0 +1,320 @@
+"""Fully-fused attention block: norm + wqkv GEMV + attention + wo + residual.
+
+ONE Pallas call per layer covers everything the reference spreads over five
+kernels (rmsnorm, fused_qkv_matmul_clip, fused_rope_and_cache_update +
+rotate_sink_tokens + the attn trio, fused_matmul_add_residuals —
+src/infer.cu:526-539, 290-336, 642-697, 338-524, 270-288). Together with
+`ffn_l` this brings a dense decode layer down to TWO kernel launches.
+
+Why it pays on TPU: batch-1 decode is pure weight streaming, and the cost
+that remains after the round-1 fusions is per-kernel fixed overhead —
+launch, pipeline fill/drain — multiplied by ~4 kernels x n_layers. Fusing
+the three weight streams (wqkv, KV cache, wo) into one kernel keeps the DMA
+engines busy across what used to be kernel boundaries:
+
+- wqkv tiles stream double-buffered (manual DMA like ffn_l) into a GEMV
+  against the in-kernel rmsnorm'd activation;
+- the fused attention body (ops/pallas/attention.py) writes the new KV row,
+  re-rotates sink keys, and flash-attends over the ring buffer with the
+  cache aliased in place;
+- the first wo tile is prefetched while the last wqkv tile is still in
+  flight, and the wo sweep streams against the flattened attention output,
+  adding the residual on the way out.
+
+The attention output lives in VMEM as (Hk*P, D) sublane-major rows (P =
+sublane-padded q-per-kv-head group); the wo GEMV needs it lane-major
+(1, q_dim). Mosaic has no sublane->lane reshape, so the flatten is a
+tile-mask-reduce: repeat the rows across Hq lane groups, keep entry
+(s, hq*D+d) only where s is hq's padded row, and sum out the sublane axis —
+all natively lowerable ops.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gemv import _bf16, _emulate, _gemv_ref, pick_blocks
+from .attention import _attn_step_ref, _fused_attn_body
+
+
+def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
+                       S: int, block_s: int, Hq: int, Hk: int, P: int, D: int,
+                       kv_sinks: int, theta: float, rotary_dim: int,
+                       norm_eps: float, qkv_clip: float,
+                       Nqkv: int, K: int, q_dim: int, bnq: int, bno: int,
+                       has_bias: bool):
+    refs = list(rest)
+    bias_ref = refs.pop(0) if has_bias else None
+    (wqkv_hbm, wo_hbm, k_hbm, v_hbm,
+     o_ref, ko_hbm, vo_hbm,
+     wqkvbuf, wobuf, qkv_ref,
+     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref, mixbuf,
+     wsem, sem, rowsem) = refs
+
+    layer, kv_pos, kv_len, kv_sink, pos = (scal_ref[0], scal_ref[1],
+                                           scal_ref[2], scal_ref[3],
+                                           scal_ref[4])
+    qpk = Hq // Hk
+    nq = Nqkv // bnq
+    no = K // bno  # wo output dim == K (the residual stream width)
+
+    # ---- in-kernel rmsnorm of the residual stream -----------------------
+    xv = x_ref[...].astype(jnp.float32)                       # (1, K)
+    ms = jnp.mean(xv * xv, axis=-1, keepdims=True)
+    xb = (xv * jax.lax.rsqrt(ms + norm_eps)
+          * nw_ref[0].astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def wqkv_dma(slot, blk):
+        return pltpu.make_async_copy(
+            wqkv_hbm.at[layer, pl.ds(blk * bnq, bnq)], wqkvbuf.at[slot],
+            wsem.at[slot])
+
+    def wo_dma(slot, blk):
+        return pltpu.make_async_copy(
+            wo_hbm.at[layer, pl.ds(blk * bno, bno)], wobuf.at[slot],
+            wsem.at[2 + slot])
+
+    # ---- phase 1: qkv = Wqkv[layer] @ xb, double-buffered ---------------
+    wqkv_dma(0, 0).start()
+
+    def p1(blk, _):
+        slot = blk % 2
+
+        @pl.when(blk + 1 < nq)
+        def _():
+            wqkv_dma((blk + 1) % 2, blk + 1).start()
+
+        # prefetch the first wo tile behind the last wqkv tile: the wo sweep
+        # starts hot even when the attention phase is short
+        @pl.when(blk + 1 == nq)
+        def _():
+            wo_dma(0, 0).start()
+
+        wqkv_dma(slot, blk).wait()
+        qkv_ref[:, pl.ds(blk * bnq, bnq)] = jax.lax.dot_general(
+            xb, _bf16(wqkvbuf[slot]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, nq, p1, 0)
+
+    qkv = qkv_ref[...]                                        # (1, Nqkv) f32
+    if has_bias:
+        qkv = qkv + bias_ref[0].astype(jnp.float32)
+    if not math.isinf(qkv_clip):
+        qkv = jnp.clip(qkv, -qkv_clip, qkv_clip)
+
+    # ---- split q/k/v out of the lane-major qkv row ----------------------
+    # q rows regrouped (kv-head-major, sublane-padded to P) for _flash_heads;
+    # all slices are static 128-multiple lane offsets.
+    zrow = jnp.zeros((1, D), jnp.float32)
+    qrows = []
+    for g in range(Hk):
+        for r in range(P):
+            hq = g * qpk + r
+            qrows.append(qkv[:, hq * D:(hq + 1) * D] if r < qpk else zrow)
+    q2 = jnp.concatenate(qrows, axis=0)                       # (Hk*P, D)
+    knew = jnp.concatenate(
+        [qkv[:, q_dim + h * D: q_dim + (h + 1) * D] for h in range(Hk)],
+        axis=0)                                               # (Hk, D)
+    kv_off = q_dim + Hk * D
+    vnew = jnp.concatenate(
+        [qkv[:, kv_off + h * D: kv_off + (h + 1) * D] for h in range(Hk)],
+        axis=0)                                               # (Hk, D)
+
+    # ---- phase 2: RoPE + cache write + sinks + flash attention ----------
+    _fused_attn_body((layer,), q2, knew, vnew, ko_hbm, vo_hbm, mixbuf,
+                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     sem, rowsem, S=S, block_s=block_s, Hk=Hk, P=P,
+                     kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+                     kv_pos=kv_pos, kv_len=kv_len, kv_sink=kv_sink, pos=pos)
+
+    # ---- flatten (Hk*P, D) sublane-major -> (1, q_dim) lane-major -------
+    mix = mixbuf[...]
+    tiled = pltpu.repeat(mix, Hq, 1)                          # (Hk*P, Hq*D)
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, tiled.shape, 0)
+    hq_idx = jax.lax.broadcasted_iota(jnp.int32, tiled.shape, 1) // D
+    target = (hq_idx // qpk) * P + (hq_idx % qpk)
+    mixl = jnp.sum(jnp.where(s_idx == target, tiled, 0.0),
+                   axis=0, keepdims=True)                     # (1, q_dim)
+    mixb = mixl.astype(jnp.bfloat16)
+
+    # ---- phase 3: out = Wo[layer] @ mix + residual ----------------------
+    def p3(blk, _):
+        slot = blk % 2
+
+        @pl.when(blk + 1 < no)
+        def _():
+            wo_dma((blk + 1) % 2, blk + 1).start()
+
+        wo_dma(slot, blk).wait()
+        y = jax.lax.dot_general(
+            mixb, _bf16(wobuf[slot]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[:, pl.ds(blk * bno, bno)] = y + x_ref[:, pl.ds(blk * bno, bno)]
+        return 0
+
+    jax.lax.fori_loop(0, no, p3, 0)
+
+
+def attn_block_supported(cfg, itemsize: int) -> bool:
+    """Both weight sweeps need full-K tiles (one contiguous HBM range per
+    tile) and the attention body needs lane-aligned heads."""
+    bnq, bkq = pick_blocks(cfg.q_dim + 2 * cfg.kv_dim, cfg.dim, itemsize)
+    bno, bko = pick_blocks(cfg.dim, cfg.q_dim, itemsize)
+    return (cfg.head_dim % 128 == 0
+            and cfg.max_seq_len % 8 == 0
+            and bkq == cfg.dim and bko == cfg.q_dim
+            and (cfg.q_dim + 2 * cfg.kv_dim) % bnq == 0
+            and cfg.dim % bno == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_heads", "kv_sinks", "theta",
+                                    "rotary_dim", "norm_eps", "qkv_clip",
+                                    "block_s", "interpret"))
+def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
+                 wo_all: jax.Array, k_all: jax.Array, v_all: jax.Array,
+                 layer: jax.Array, kv_pos: jax.Array, kv_len: jax.Array,
+                 kv_sink: jax.Array, pos: jax.Array, *,
+                 n_heads: int, kv_sinks: int, theta: float, rotary_dim: int,
+                 norm_eps: float, qkv_clip: float = float("inf"),
+                 bqkv_all: jax.Array | None = None,
+                 block_s: int = 0, interpret: bool | None = None
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x + Wo[layer] @ attend(rope(Wqkv[layer] @ rmsnorm(x))) in one kernel.
+
+    x: (dim,) f32 residual stream. norm_w: (L, dim). wqkv_all: (L, q_dim +
+    2*kv_dim, dim). wo_all: (L, dim, q_dim). k_all/v_all: (L, S, Hk, D)
+    ring-buffer caches, aliased in place. bqkv_all: optional (L, Nqkv) f32
+    qkv bias. Returns (updated stream (dim,), k_all, v_all).
+    """
+    L, S, Hk, D = k_all.shape
+    Lw, Nqkv, K = wqkv_all.shape
+    _, Dout, q_dim = wo_all.shape
+    Hq = n_heads
+    qpk = Hq // Hk
+    assert x.shape == (K,) and Dout == K and q_dim == Hq * D, (
+        x.shape, wqkv_all.shape, wo_all.shape, k_all.shape)
+    assert Nqkv == q_dim + 2 * Hk * D
+
+    if interpret is None and _emulate():
+        nw = jax.lax.dynamic_index_in_dim(norm_w, layer, keepdims=False)
+        xv = x.astype(jnp.float32)
+        ms = jnp.mean(xv * xv)
+        xb = xv * jax.lax.rsqrt(ms + norm_eps) * nw.astype(jnp.float32)
+        qkv = _gemv_ref(xb, jax.lax.dynamic_index_in_dim(
+            wqkv_all, layer, keepdims=False))
+        if bqkv_all is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(
+                bqkv_all, layer, keepdims=False).astype(jnp.float32)
+        if not math.isinf(qkv_clip):
+            qkv = jnp.clip(qkv, -qkv_clip, qkv_clip)
+        q2 = qkv[:q_dim].reshape(Hk * qpk, D)
+        knew = qkv[q_dim:q_dim + Hk * D].reshape(Hk, D)
+        vnew = qkv[q_dim + Hk * D:].reshape(Hk, D)
+        mix, k_all, v_all = _attn_step_ref(
+            q2, knew, vnew, k_all, v_all, layer, kv_pos, kv_len, kv_sink,
+            pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+        out = x + _gemv_ref(mix.reshape(q_dim), jax.lax.dynamic_index_in_dim(
+            wo_all, layer, keepdims=False))
+        return out, k_all, v_all
+
+    if not block_s:
+        block_s = S
+        for cand in (512, 256, 128, 64, 32, 16, 8):
+            if S % cand == 0:
+                block_s = cand
+                break
+    bnq, bkq = pick_blocks(Nqkv, K, wqkv_all.dtype.itemsize)
+    bno, bko = pick_blocks(K, q_dim, wo_all.dtype.itemsize)
+    assert bkq == K and bko == q_dim, "attn_block_l needs full-K weight tiles"
+    assert Nqkv % bnq == 0 and K % bno == 0
+    P = max(8, ((qpk + 7) // 8) * 8)
+    if interpret is None:
+        interpret = False
+
+    has_bias = bqkv_all is not None
+    extra_in, extra_specs = [], []
+    if has_bias:
+        extra_in.append(bqkv_all.reshape(L, 1, Nqkv).astype(jnp.float32))
+        extra_specs.append(
+            pl.BlockSpec((1, 1, Nqkv), lambda i, sc: (sc[0], 0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, K), lambda i, sc: (0, 0)),
+            pl.BlockSpec((1, 1, K), lambda i, sc: (sc[0], 0, 0)),
+        ] + extra_specs + [
+            pl.BlockSpec(memory_space=pl.ANY),   # wqkv
+            pl.BlockSpec(memory_space=pl.ANY),   # wo
+            pl.BlockSpec(memory_space=pl.ANY),   # k cache
+            pl.BlockSpec(memory_space=pl.ANY),   # v cache
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K), lambda i, sc: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bnq, K), wqkv_all.dtype),
+            pltpu.VMEM((2, bno, q_dim), wo_all.dtype),
+            pltpu.VMEM((1, Nqkv), jnp.float32),
+            pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
+            pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
+            pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, D), jnp.float32),
+            pltpu.VMEM((Hk * P, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    # operand numbering for aliasing includes the scalar-prefetch arg (0)
+    k_idx = 3 + (1 if has_bias else 0) + 2   # scal, x, nw, [bias], wqkv, wo
+    scal = jnp.stack([jnp.asarray(layer, jnp.int32),
+                      jnp.asarray(kv_pos, jnp.int32),
+                      jnp.asarray(kv_len, jnp.int32),
+                      jnp.asarray(kv_sink, jnp.int32),
+                      jnp.asarray(pos, jnp.int32)])
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel, S=S, block_s=block_s, Hq=Hq, Hk=Hk, P=P, D=D,
+            kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+            norm_eps=norm_eps, qkv_clip=qkv_clip, Nqkv=Nqkv, K=K,
+            q_dim=q_dim, bnq=bnq, bno=bno, has_bias=has_bias),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={k_idx: 1, k_idx + 1: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (Nqkv * K + K * q_dim) + 4 * S * Hk * P * D,
+            bytes_accessed=(Nqkv * K * wqkv_all.dtype.itemsize
+                            + K * q_dim * wo_all.dtype.itemsize
+                            + 2 * S * Hk * D * k_all.dtype.itemsize),
+            transcendentals=S * Hk * P,
+        ),
+        interpret=bool(interpret),
+    )(scal, x.reshape(1, K).astype(jnp.float32),
+      norm_w.reshape(L, 1, K), *extra_in,
+      wqkv_all, wo_all, k_all, v_all)
+    return out.reshape(K), k_out, v_out

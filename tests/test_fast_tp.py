@@ -14,9 +14,10 @@ import pytest
 
 from yalm_tpu.codec.format import read_yalm
 from yalm_tpu.models import KVCache, decode_step, load_weights
-from yalm_tpu.parallel.fast_tp import fast_tp_supported, make_decode_step_fast_tp
+from yalm_tpu.parallel.fast_tp import (fast_tp_supported, make_decode_step_fast_tp,
+                                        shard_fast_tp_weights)
 from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
-from yalm_tpu.parallel.sharding import shard_cache, shard_weights
+from yalm_tpu.parallel.sharding import shard_cache
 from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
 
 from test_fast_path import fast_config
@@ -41,7 +42,7 @@ def test_decode_step_fast_tp_matches_oracle(tmp_path):
     weights = load_weights(read_yalm(path), cfg)
 
     mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
-    sweights = shard_weights(weights, cfg, mesh)
+    sweights = shard_fast_tp_weights(weights, cfg, mesh)
     scache = shard_cache(KVCache.init(cfg, jnp.bfloat16), cfg, mesh)
 
     tp_step = jax.jit(make_decode_step_fast_tp(cfg, mesh), donate_argnums=(3,))
@@ -86,7 +87,7 @@ def test_decode_step_fast_tp_moe_ep_matches_oracle(tmp_path):
     weights = load_weights(read_yalm(path), cfg)
 
     mesh = make_mesh(MeshConfig(ep=2, tp=2), devices=jax.devices()[:4])
-    sweights = shard_weights(weights, cfg, mesh)
+    sweights = shard_fast_tp_weights(weights, cfg, mesh)
     scache = shard_cache(KVCache.init(cfg, jnp.bfloat16), cfg, mesh)
 
     tp_step = jax.jit(make_decode_step_fast_tp(cfg, mesh), donate_argnums=(3,))

@@ -81,9 +81,10 @@ def test_fast_path_bias_parity(tmp_path):
 
 def test_fast_tp_bias_parity(tmp_path):
     import jax
-    from yalm_tpu.parallel.fast_tp import make_decode_step_fast_tp
+    from yalm_tpu.parallel.fast_tp import (make_decode_step_fast_tp,
+                                           shard_fast_tp_weights)
     from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
-    from yalm_tpu.parallel.sharding import shard_cache, shard_weights
+    from yalm_tpu.parallel.sharding import shard_cache
 
     cfg = fast_config(has_qkv_bias=True)
     path = str(tmp_path / "m.yalm")
@@ -91,7 +92,7 @@ def test_fast_tp_bias_parity(tmp_path):
     weights = load_weights(read_yalm(path), cfg)
 
     mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
-    sw = shard_weights(weights, cfg, mesh)
+    sw = shard_fast_tp_weights(weights, cfg, mesh)
     sc = shard_cache(KVCache.init(cfg, jnp.bfloat16), cfg, mesh)
     step = jax.jit(make_decode_step_fast_tp(cfg, mesh), donate_argnums=(3,))
     cache_o = KVCache.init(cfg, jnp.bfloat16)

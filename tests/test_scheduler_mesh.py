@@ -1,0 +1,115 @@
+"""Continuous batching composed with the mesh (SURVEY §2.6 north star).
+
+A tp x dp sharded Scheduler must produce the SAME token streams as the
+single-device scheduler: lanes shard over dp, heads/hidden/kv-heads over
+tp, MoE experts over ep. Runs on the virtual 8-device CPU mesh (conftest);
+kernels take their jnp emulation inside shard_map, so what's validated is
+the sharded-tick collective structure + scheduler plumbing. The reference
+has neither batching nor a distributed layer (src/main.cpp:102-112,
+src/model.cpp:385-386).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yalm_tpu.codec.format import read_yalm
+from yalm_tpu.models import load_weights
+from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+from yalm_tpu.scheduler import Request, Scheduler
+from yalm_tpu.utils.testing import synth_checkpoint
+
+from test_fast_path import fast_config
+
+
+def _reqs(n, seed0=0):
+    return [Request(prompt_tokens=[1, 5 + i, 9], max_new_tokens=6,
+                    temperature=0.0, seed=seed0 + i) for i in range(n)]
+
+
+def _run(sched, reqs):
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    return [r.generated for r in reqs]
+
+
+def test_scheduler_tp_dp_matches_single_device(tmp_path):
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=21)
+    weights = load_weights(read_yalm(path), cfg)
+
+    ref = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    got_ref = _run(ref, _reqs(10))
+
+    mesh = make_mesh(MeshConfig(dp=4, tp=2), devices=jax.devices())
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16, mesh=mesh)
+    assert sched.fast
+    got = _run(sched, _reqs(10))
+
+    for i, (a, b) in enumerate(zip(got, got_ref)):
+        assert a == b, f"request {i}: mesh={a} single={b}"
+
+
+def test_moe_ep_batched_tick_matches_single_device(tmp_path):
+    """Batched MoE expert parallelism: experts shard over ep in the batched
+    tick (each shard streams only its LOCAL experts; psum over (ep, tp)).
+
+    Compares one tick's logits directly — greedy STREAMS can legitimately
+    diverge on router near-ties at psum-reordering (1e-3) numerics, so the
+    strong assertion is per-tick logits + argmax parity."""
+    from yalm_tpu.models import KVCache
+    from yalm_tpu.models.fast import FastWeights, decode_step_fast_batched
+    from yalm_tpu.parallel.fast_tp import (make_tick_fast_tp,
+                                           shard_fast_tp_weights)
+    from yalm_tpu.parallel.sharding import shard_cache
+
+    cfg = fast_config(n_experts=4, n_experts_active=2)
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=22)
+    weights = load_weights(read_yalm(path), cfg)
+
+    B = 8
+    toks = jnp.arange(2, 2 + B, dtype=jnp.int32)
+    pos = jnp.asarray([3, 0, 1, 5, 2, 0, 4, 1], jnp.int32)
+    fw1 = FastWeights.from_weights(weights, cfg)
+    l1, _ = decode_step_fast_batched(
+        cfg, fw1, toks, pos, KVCache.init(cfg, jnp.bfloat16, batch=B))
+
+    mesh = make_mesh(MeshConfig(dp=2, ep=2, tp=2), devices=jax.devices())
+    fw2 = shard_fast_tp_weights(weights, cfg, mesh)
+    cache2 = shard_cache(KVCache.init(cfg, jnp.bfloat16, batch=B), cfg, mesh,
+                         batched=True)
+    l2, _ = jax.jit(make_tick_fast_tp(cfg, mesh))(fw2, toks, pos, cache2)
+
+    l1, l2 = np.asarray(l1), np.asarray(l2)
+    np.testing.assert_allclose(l2, l1, rtol=2e-2, atol=2e-2)
+    assert (l1.argmax(-1) == l2.argmax(-1)).all()
+
+
+def test_scheduler_moe_ep_end_to_end(tmp_path):
+    """The ep x dp x tp MoE scheduler completes full requests."""
+    cfg = fast_config(n_experts=4, n_experts_active=2)
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=22)
+    weights = load_weights(read_yalm(path), cfg)
+    mesh = make_mesh(MeshConfig(dp=2, ep=2, tp=2), devices=jax.devices())
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16, mesh=mesh)
+    got = _run(sched, _reqs(6, seed0=40))
+    assert all(len(g) == 6 for g in got)
+    # deterministic per seed: resubmitting reproduces the same streams
+    sched2 = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16, mesh=mesh)
+    got2 = _run(sched2, _reqs(6, seed0=40))
+    assert got == got2
+
+
+def test_scheduler_mesh_rejects_bad_batch(tmp_path):
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=23)
+    weights = load_weights(read_yalm(path), cfg)
+    mesh = make_mesh(MeshConfig(dp=4, tp=2), devices=jax.devices())
+    with pytest.raises(ValueError):
+        Scheduler(cfg, weights, batch=6, kv_dtype=jnp.bfloat16, mesh=mesh)

@@ -115,16 +115,20 @@ class Engine:
             if kv_dtype == jnp.float16:
                 kv_dtype = self.kv_dtype = jnp.bfloat16
         # single-chip fast uses the concatenated FastWeights layout; the TP
-        # fast path keeps the oracle Weights layout (per-matrix kernels keep
-        # every shard's rows contiguous under the Megatron split)
+        # fast path uses the same layout in shard-major row order (see
+        # parallel/fast_tp.py) so per-shard kernels stay fully fused
         if self.fast and mesh is None and isinstance(weights, Weights):
             weights = FastWeights.from_weights(weights, cfg)
         if mesh is not None:
-            # tensor-parallel placement: weights sharded Megatron-style, KV
-            # cache by kv-head; jit then propagates shardings and inserts
-            # the collectives (see parallel/sharding.py)
             from .parallel.sharding import shard_cache, shard_weights
-            weights = shard_weights(weights, cfg, mesh)
+            if self.fast:
+                # a Weights input is rearranged shard-major; a FastWeights
+                # input must already BE shard-major (load_fast_weights(tp=))
+                from .parallel.fast_tp import shard_fast_tp_weights
+                weights = shard_fast_tp_weights(weights, cfg, mesh)
+            else:
+                # oracle path: Megatron NamedShardings on the Weights layout
+                weights = shard_weights(weights, cfg, mesh)
             self.cache = shard_cache(KVCache.init(cfg, kv_dtype), cfg, mesh)
         else:
             self.cache = KVCache.init(cfg, kv_dtype)
@@ -135,9 +139,11 @@ class Engine:
         cd = compute_dtype
 
         if self.fast and mesh is not None:
-            from .parallel.fast_tp import make_decode_step_fast_tp
+            from .parallel.fast_tp import (make_decode_step_fast_tp,
+                                           make_prefill_fast_tp)
             _tp_step = make_decode_step_fast_tp(cfg, mesh)
             _tp_hydrate = make_decode_step_fast_tp(cfg, mesh, output_logits=False)
+            _tp_prefill = make_prefill_fast_tp(cfg, mesh)
 
             def _step(w, token, pos, cache, output_logits=True):
                 if not output_logits:
@@ -146,10 +152,8 @@ class Engine:
                 return _tp_step(w, token, pos, cache)
 
             def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode):
-                # prefill stays on the auto-sharded oracle path (batched
-                # matmuls; NamedSharding inserts the same collectives)
-                return prefill(cfg, w, tokens, pos0, valid_len, cache,
-                               logits_mode=logits_mode, compute_dtype=cd)
+                return _tp_prefill(w, tokens, pos0, valid_len, cache,
+                                   logits_mode=logits_mode)
         elif self.fast:
             def _step(w, token, pos, cache, output_logits=True):
                 return decode_step_fast(cfg, w, token, pos, cache,
@@ -239,9 +243,11 @@ class Engine:
             from .models.weights import f16_to_bf16_put
             put = f16_to_bf16_put(put)
         try:
-            if fast and mesh is None:
-                # concat on the host so HBM never holds two weight copies
-                weights = load_fast_weights(yf, cfg, device_put=put)
+            if fast:
+                # concat on the host so HBM never holds two weight copies;
+                # shard-major row order when a mesh will shard it
+                tp = mesh.shape["tp"] if mesh is not None else 1
+                weights = load_fast_weights(yf, cfg, device_put=put, tp=tp)
             else:
                 weights = load_weights(yf, cfg, device_put=put)
             tok = Tokenizer.from_yalm(yf)

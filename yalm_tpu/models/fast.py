@@ -85,12 +85,17 @@ class FastWeights(NamedTuple):
         )
 
 
-def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeights:
+def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
+                      tp: int = 1) -> FastWeights:
     """Load a checkpoint straight into the decode layout.
 
     Concatenation happens on the host (numpy views into the mmap), so device
     HBM only ever holds ONE copy of the weights — FastWeights.from_weights
     on a loaded Weights would transiently double it.
+
+    tp > 1 produces the SHARD-MAJOR row order (wqkv rows grouped
+    [wq_s; wk_s; wv_s] per tensor-parallel shard, likewise w13/bqkv) that
+    `parallel.fast_tp`'s P(None, 'tp', None) placement expects.
     """
     import numpy as np
     t = yf.tensors
@@ -107,9 +112,24 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray) -> FastWeigh
     def stack(fmt, shape):
         return np.stack([get(fmt.format(l), shape) for l in range(cfg.n_layers)])
 
+    def cat_sm(parts, axis):
+        """Concat along `axis`; with tp > 1, interleave so each of tp
+        contiguous chunks holds every part's shard (shard-major)."""
+        if tp == 1:
+            return np.concatenate(parts, axis=axis)
+        sp = []
+        for p in parts:
+            n = p.shape[axis]
+            assert n % tp == 0, (p.shape, axis, tp)
+            sp.append(p.reshape(p.shape[:axis] + (tp, n // tp) + p.shape[axis + 1:]))
+        cat = np.concatenate(sp, axis=axis + 1)
+        return cat.reshape(cat.shape[:axis]
+                           + (cat.shape[axis] * cat.shape[axis + 1],)
+                           + cat.shape[axis + 2:])
+
     def stack_cat(fmts_shapes, axis=0):
         return np.stack([
-            np.concatenate([get(f.format(l), s) for f, s in fmts_shapes], axis=axis)
+            cat_sm([get(f.format(l), s) for f, s in fmts_shapes], axis)
             for l in range(cfg.n_layers)])
 
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))

@@ -187,7 +187,17 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                      rotary_dim, kv_pos, kv_len, kv_sink, pos):
     """The whole fused step: in-kernel RoPE, kv-row write, sink rotation,
     and double-buffered flash attention. `idx` is the HBM index prefix for
-    this lane's cache (e.g. (layer,) or (b, layer))."""
+    this lane's cache (e.g. (layer,) or (b, layer)).
+
+    All HBM cache WRITES (new k/v row, rotated sink keys) are issued
+    asynchronously and only drained at the end of the body: the flash loop
+    never waits on them because any block it fetches that overlaps the
+    written rows gets PATCHED in VMEM with the same values. Write-lands-
+    before-fetch and write-lands-after-fetch are therefore both correct,
+    and the serial DMA round-trips that used to precede the KV stream
+    (row-write wait + sink read-modify-write wait) are off the critical
+    path — they ride under the flash stream instead.
+    """
     D = q_in.shape[-1]
     n_blocks = S // block_s
 
@@ -198,14 +208,16 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                        pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
     k_rot = _rot_lanes(knew_in.astype(jnp.float32).reshape(Hk, D),
                        theta, rotary_dim, pos.astype(jnp.float32))
-    newbuf[...] = k_rot.astype(newbuf.dtype)
-    kw = pltpu.make_async_copy(newbuf, ko_hbm.at[(*idx, kv_pos)], rowsem)
+    kdt = k_rot.astype(newbuf.dtype)           # the exact bits HBM will hold
+    vdt = vnew_in.astype(newbuf.dtype).reshape(Hk, D)
+    newbuf[0] = kdt
+    kw = pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[(*idx, kv_pos)],
+                               rowsem.at[0])
     kw.start()
-    kw.wait()
-    newbuf[...] = vnew_in.astype(newbuf.dtype)
-    vw = pltpu.make_async_copy(newbuf, vo_hbm.at[(*idx, kv_pos)], rowsem)
+    newbuf[1] = vdt
+    vw = pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[(*idx, kv_pos)],
+                               rowsem.at[1])
     vw.start()
-    vw.wait()
 
     # sink-key re-rotation (only once past the window; StreamingLLM).
     # Only the first kv_sink sink rows rotate — matching the jnp emulation's
@@ -214,7 +226,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     @pl.when(kv_sink > 0)
     def _():
         rd = pltpu.make_async_copy(ko_hbm.at[(*idx, slice(0, kv_sinks))],
-                                   rowbuf, rowsem)
+                                   rowbuf, rowsem.at[2])
         rd.start()
         rd.wait()
         rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
@@ -222,12 +234,11 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
         sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) < kv_sink * Hk
         rowbuf[...] = jnp.where(sel, rot, rows).reshape(
             kv_sinks, Hk, D).astype(rowbuf.dtype)
-        wr = pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
-                                   rowsem)
-        wr.start()
-        wr.wait()
+        pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
+                              rowsem.at[2]).start()
 
-    # flash attention over the (now-updated) ring buffer
+    # flash attention over the ring buffer (fetches race the writes above;
+    # affected rows are patched after each fetch)
     def kv_dma(slot, blk, buf, hbm):
         return pltpu.make_async_copy(
             hbm.at[(*idx, pl.ds(blk * block_s, block_s))],
@@ -255,6 +266,27 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
         kv_dma(slot, sblk, kbuf, ko_hbm).wait()
         kv_dma(slot, sblk, vbuf, vo_hbm).wait()
 
+        # patch rows whose in-flight HBM writes may not have landed before
+        # this block's fetch read them
+        @pl.when((sblk == 0) & (kv_sink > 0))
+        def _():
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (block_s, Hk, D), 0)
+            patched = kbuf[slot]
+            for r in range(kv_sinks):
+                sel = (ridx == r) & (r < kv_sink)
+                patched = jnp.where(sel, rowbuf[r][None], patched)
+            kbuf[slot] = patched
+
+        row = kv_pos - sblk * block_s
+        @pl.when((row >= 0) & (row < block_s))
+        def _():
+            ridx = jax.lax.broadcasted_iota(
+                jnp.int32, (block_s, Hk, D), 0)
+            sel = ridx == row
+            kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
+            vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+
         slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (P, block_s), 1)
         _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
@@ -263,6 +295,15 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
 
     jax.lax.fori_loop(0, n_act, block_step, 0)
     o_out[...] = acc_ref[...] / l_ref[:, 0:1]
+
+    # drain the async cache writes before the kernel (or this lane) ends
+    kw.wait()
+    vw.wait()
+
+    @pl.when(kv_sink > 0)
+    def _():
+        pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
+                              rowsem.at[2]).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -356,12 +397,12 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
             pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
-            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((2, Hk, D), k_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
@@ -580,12 +621,12 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
             pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
-            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((2, Hk, D), k_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 

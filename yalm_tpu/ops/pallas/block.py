@@ -48,7 +48,7 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
                        kv_sinks: int, theta: float, rotary_dim: int,
                        norm_eps: float, qkv_clip: float,
                        Nqkv: int, K: int, q_dim: int, bnq: int, bno: int,
-                       has_bias: bool):
+                       has_bias: bool, add_residual: bool):
     refs = list(rest)
     bias_ref = refs.pop(0) if has_bias else None
     (wqkv_hbm, wo_hbm, k_hbm, v_hbm,
@@ -157,35 +157,45 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
         y = jax.lax.dot_general(
             mixb, _bf16(wobuf[slot]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        o_ref[:, pl.ds(blk * bno, bno)] = y + x_ref[:, pl.ds(blk * bno, bno)]
+        if add_residual:
+            y = y + x_ref[:, pl.ds(blk * bno, bno)]
+        o_ref[:, pl.ds(blk * bno, bno)] = y
         return 0
 
     jax.lax.fori_loop(0, no, p3, 0)
 
 
-def attn_block_supported(cfg, itemsize: int) -> bool:
+def attn_block_dims_supported(dim: int, q_dim: int, kv_dim: int,
+                              head_dim: int, max_seq_len: int,
+                              itemsize: int) -> bool:
     """Both weight sweeps need full-K tiles (one contiguous HBM range per
-    tile) and the attention body needs lane-aligned heads."""
-    bnq, bkq = pick_blocks(cfg.q_dim + 2 * cfg.kv_dim, cfg.dim, itemsize)
-    bno, bko = pick_blocks(cfg.dim, cfg.q_dim, itemsize)
-    return (cfg.head_dim % 128 == 0
-            and cfg.max_seq_len % 8 == 0
-            and bkq == cfg.dim and bko == cfg.q_dim
-            and (cfg.q_dim + 2 * cfg.kv_dim) % bnq == 0
-            and cfg.dim % bno == 0)
+    tile) and the attention body needs lane-aligned heads. Dims may be the
+    full model's or a tensor-parallel shard's."""
+    bnq, bkq = pick_blocks(q_dim + 2 * kv_dim, dim, itemsize)
+    bno, bko = pick_blocks(dim, q_dim, itemsize)
+    return (head_dim % 128 == 0
+            and max_seq_len % 8 == 0
+            and bkq == dim and bko == q_dim
+            and (q_dim + 2 * kv_dim) % bnq == 0
+            and dim % bno == 0)
+
+
+def attn_block_supported(cfg, itemsize: int) -> bool:
+    return attn_block_dims_supported(cfg.dim, cfg.q_dim, cfg.kv_dim,
+                                     cfg.head_dim, cfg.max_seq_len, itemsize)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_heads", "kv_sinks", "theta",
                                     "rotary_dim", "norm_eps", "qkv_clip",
-                                    "block_s", "interpret"))
+                                    "add_residual", "block_s", "interpret"))
 def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
                  wo_all: jax.Array, k_all: jax.Array, v_all: jax.Array,
                  layer: jax.Array, kv_pos: jax.Array, kv_len: jax.Array,
                  kv_sink: jax.Array, pos: jax.Array, *,
                  n_heads: int, kv_sinks: int, theta: float, rotary_dim: int,
                  norm_eps: float, qkv_clip: float = float("inf"),
-                 bqkv_all: jax.Array | None = None,
+                 bqkv_all: jax.Array | None = None, add_residual: bool = True,
                  block_s: int = 0, interpret: bool | None = None
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """x + Wo[layer] @ attend(rope(Wqkv[layer] @ rmsnorm(x))) in one kernel.
@@ -194,6 +204,11 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
     2*kv_dim, dim). wo_all: (L, dim, q_dim). k_all/v_all: (L, S, Hk, D)
     ring-buffer caches, aliased in place. bqkv_all: optional (L, Nqkv) f32
     qkv bias. Returns (updated stream (dim,), k_all, v_all).
+
+    add_residual=False returns only Wo @ mix — the row-parallel TP form
+    where each shard's partial product is psum'd before the caller adds the
+    residual (Megatron wo split; nothing comparable in the single-device
+    reference, src/model.cpp:385-386).
     """
     L, S, Hk, D = k_all.shape
     Lw, Nqkv, K = wqkv_all.shape
@@ -222,8 +237,10 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
         mix, k_all, v_all = _attn_step_ref(
             q2, knew, vnew, k_all, v_all, layer, kv_pos, kv_len, kv_sink,
             pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
-        out = x + _gemv_ref(mix.reshape(q_dim), jax.lax.dynamic_index_in_dim(
+        out = _gemv_ref(mix.reshape(q_dim), jax.lax.dynamic_index_in_dim(
             wo_all, layer, keepdims=False))
+        if add_residual:
+            out = x + out
         return out, k_all, v_all
 
     if not block_s:
@@ -271,14 +288,14 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
             pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
-            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((2, Hk, D), k_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
@@ -294,7 +311,8 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             _attn_block_kernel, S=S, block_s=block_s, Hq=Hq, Hk=Hk, P=P, D=D,
             kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
             norm_eps=norm_eps, qkv_clip=qkv_clip, Nqkv=Nqkv, K=K,
-            q_dim=q_dim, bnq=bnq, bno=bno, has_bias=has_bias),
+            q_dim=q_dim, bnq=bnq, bno=bno, has_bias=has_bias,
+            add_residual=add_residual),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, K), jnp.float32),

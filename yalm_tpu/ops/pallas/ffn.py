@@ -26,7 +26,7 @@ from .gemv import _bf16, _emulate, _gemv_ref, pick_blocks
 def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
                 w13buf, w2buf, h_ref, sem, *,
                 H: int, K: int, D: int, bn1: int, bn2: int,
-                norm_eps: float, act: str):
+                norm_eps: float, act: str, add_residual: bool):
     layer = scal_ref[0]
     n1 = (2 * H) // bn1
     n2 = D // bn2
@@ -92,16 +92,19 @@ def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
         y = jax.lax.dot_general(
             hb, _bf16(w2buf[slot]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        o_ref[:, pl.ds(blk * bn2, bn2)] = y + res_ref[:, pl.ds(blk * bn2, bn2)]
+        if add_residual:
+            y = y + res_ref[:, pl.ds(blk * bn2, bn2)]
+        o_ref[:, pl.ds(blk * bn2, bn2)] = y
         return 0
 
     jax.lax.fori_loop(0, n2, p2, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("norm_eps", "act", "interpret"))
+@functools.partial(jax.jit, static_argnames=("norm_eps", "act",
+                                             "add_residual", "interpret"))
 def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
           w2_all: jax.Array, layer: jax.Array, *,
-          norm_eps: float, act: str,
+          norm_eps: float, act: str, add_residual: bool = True,
           interpret: bool | None = None) -> jax.Array:
     """x + W2[layer] @ glu(W13[layer] @ rmsnorm(x, norm_w[layer])).
 
@@ -109,6 +112,10 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
     stream(s) with the same shape. The whole batch shares one weight
     stream, exactly like gemm_l.
     w13_all: (L, 2*hidden, dim); w2_all: (L, dim, hidden).
+
+    add_residual=False returns only the W2 product — the row-parallel TP
+    form (each shard's hidden slice yields a partial sum psum'd by the
+    caller before the residual add).
     """
     L, H2, K = w13_all.shape
     H = H2 // 2
@@ -132,9 +139,11 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
         else:
             g = 0.5 * h1 * (1.0 + jnp.tanh(0.797885 * (h1 + 0.044715 * h1 ** 3)))
         w2 = jax.lax.dynamic_index_in_dim(w2_all, layer, keepdims=False)
-        out = x2 + jax.lax.dot_general(
+        out = jax.lax.dot_general(
             (g * h3).astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if add_residual:
+            out = x2 + out
         return out.reshape(x.shape)
     if interpret is None:
         interpret = False
@@ -162,7 +171,8 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
     )
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, H=H, K=K, D=D, bn1=bn1, bn2=bn2,
-                          norm_eps=norm_eps, act=act),
+                          norm_eps=norm_eps, act=act,
+                          add_residual=add_residual),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -15,9 +15,21 @@ which is exactly the Megatron-LM communication pattern (2 collectives per
 block) riding ICI. The reference is single-device (src/model.cpp:385-386
 "TODO: support multiple CUDA devices"); this is its scale-out replacement.
 
-Uses the UNconcatenated `Weights` layout — per-matrix kernels keep each
-shard's rows contiguous, so the same `shard_weights` placement serves both
-the oracle and the fast path.
+Weight layout: the same `FastWeights` concatenation the single-chip path
+uses, but **shard-major** — wqkv rows are ordered [wq_0;wk_0;wv_0; wq_1;…]
+so a plain P(None, 'tp', None) hands every shard its own contiguous
+[q_s; k_s; v_s] stack (likewise [w1_s; w3_s] for w13). That keeps the
+per-shard kernel count identical to the single-chip fast path: ONE fused
+attention-block kernel (or one wqkv GEMV + fused attention + wo GEMV) and
+ONE fused FFN kernel per layer, with `add_residual=False` so the row-
+parallel partial products psum before the residual add.
+
+Three entry points:
+  make_decode_step_fast_tp — single-stream decode step (tp, + ep for MoE)
+  make_prefill_fast_tp     — chunked prefill on the same layout
+  make_tick_fast_tp        — continuous-batching tick over dp x ep x tp
+                             (lanes shard on dp, heads/hidden on tp,
+                             experts on ep)
 """
 
 from __future__ import annotations
@@ -26,15 +38,96 @@ import math
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
+from ..models.fast import FastWeights
 from ..models.weights import Weights
-from ..ops.core import gelu, silu, rmsnorm
-from ..ops.pallas.attention import attend_step_l, attention_supported
-from ..ops.pallas.gemv import gemv, gemv_l, gemv_supported
-from .sharding import cache_pspecs, weight_pspecs
+from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
+from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
+                                    attention_supported)
+from ..ops.pallas.block import attn_block_dims_supported, attn_block_l
+from ..ops.pallas.ffn import ffn_l
+from ..ops.pallas.gemv import (gemm, gemm_l, gemm_le, gemv, gemv_l, gemv_le,
+                               gemv_supported, pick_blocks)
+from .sharding import cache_pspecs
+
+
+# ---------------------------------------------------------------------------
+# Weight layout + placement
+# ---------------------------------------------------------------------------
+
+def _shard_major(parts, tp: int, axis: int):
+    """Interleave row-blocks so tp contiguous chunks each hold every part's
+    shard: [a, b, ...] -> [a_0; b_0; a_1; b_1; ...] along `axis`."""
+    import numpy as np
+    xp = np if isinstance(parts[0], np.ndarray) else jnp
+    split = []
+    for p in parts:
+        n = p.shape[axis]
+        assert n % tp == 0, (p.shape, axis, tp)
+        shape = p.shape[:axis] + (tp, n // tp) + p.shape[axis + 1:]
+        split.append(p.reshape(shape))
+    cat = xp.concatenate(split, axis=axis + 1)
+    out_shape = cat.shape[:axis] + (cat.shape[axis] * cat.shape[axis + 1],) \
+        + cat.shape[axis + 2:]
+    return cat.reshape(out_shape)
+
+
+def fast_tp_weights(w: Weights, cfg: ModelConfig, tp: int) -> FastWeights:
+    """Build the shard-major FastWeights layout from oracle Weights.
+
+    With tp=1 this is exactly FastWeights.from_weights. The interleave only
+    reorders rows of wqkv / w13 / bqkv; everything else is the single-chip
+    decode layout.
+    """
+    lw = w.layers
+    ffn_axis = 2 if cfg.is_moe else 1
+    return FastWeights(
+        embed=w.embed,
+        rms_att=lw.rms_att,
+        rms_ffn=lw.rms_ffn,
+        wqkv=_shard_major([lw.wq, lw.wk, lw.wv], tp, 1),
+        wo=lw.wo,
+        w13=_shard_major([lw.w1, lw.w3], tp, ffn_axis),
+        w2=lw.w2,
+        final_norm=w.final_norm,
+        lm_head=w.lm_head,
+        moegate=lw.moegate,
+        bqkv=(_shard_major([lw.bq, lw.bk, lw.bv], tp, 1)
+              if lw.bq is not None else None),
+    )
+
+
+def fast_weight_pspecs(cfg: ModelConfig) -> FastWeights:
+    """PartitionSpecs for the shard-major FastWeights layout."""
+    e = ("ep",) if cfg.is_moe else ()
+    return FastWeights(
+        embed=P("tp", None),
+        rms_att=P(None, None),
+        rms_ffn=P(None, None),
+        wqkv=P(None, "tp", None),
+        wo=P(None, None, "tp"),
+        w13=P(None, *e, "tp", None),
+        w2=P(None, *e, None, "tp"),
+        final_norm=P(None),
+        lm_head=P("tp", None),
+        moegate=P(None, None, None) if cfg.is_moe else None,
+        bqkv=P(None, "tp") if cfg.has_qkv_bias else None,
+    )
+
+
+def shard_fast_tp_weights(weights: Weights | FastWeights, cfg: ModelConfig,
+                          mesh: Mesh) -> FastWeights:
+    """Place (already shard-major) FastWeights on the mesh; a Weights input
+    is rearranged first."""
+    if isinstance(weights, Weights):
+        weights = fast_tp_weights(weights, cfg, mesh.shape["tp"])
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                             fast_weight_pspecs(cfg),
+                             is_leaf=lambda x: isinstance(x, P))
+    return jax.tree.map(jax.device_put, weights, shardings)
 
 
 def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
@@ -53,10 +146,9 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
             or cfg.vocab_size % tp:
         return False
     pairs = [
-        (cfg.q_dim // tp, cfg.dim),
-        (cfg.kv_dim // tp, cfg.dim),
+        ((cfg.q_dim + 2 * cfg.kv_dim) // tp, cfg.dim),
         (cfg.dim, cfg.q_dim // tp),
-        (cfg.hidden_dim // tp, cfg.dim),
+        (2 * cfg.hidden_dim // tp, cfg.dim),
         (cfg.dim, cfg.hidden_dim // tp),
         (cfg.vocab_size // tp, cfg.dim),
     ]
@@ -65,84 +157,122 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
 
 
+# ---------------------------------------------------------------------------
+# Shared per-shard building blocks
+# ---------------------------------------------------------------------------
+
+def _embed_psum(embed_local, tokens, V_l: int):
+    """Vocab-sharded embedding gather: local rows masked + psum over tp.
+    tokens may be scalar () or batched (B,)."""
+    shard0 = jax.lax.axis_index("tp") * V_l
+    loc = jnp.clip(tokens - shard0, 0, V_l - 1)
+    rows = embed_local[loc].astype(jnp.float32)
+    in_range = (tokens >= shard0) & (tokens < shard0 + V_l)
+    rows = jnp.where(in_range[..., None] if rows.ndim > 1 else in_range,
+                     rows, 0.0)
+    return jax.lax.psum(rows, "tp")
+
+
+def _clipper(cfg):
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+    return clip
+
+
+def _use_block(cfg, tp: int, itemsize: int) -> bool:
+    """Whether the fused attention-block kernel fits the LOCAL shard dims."""
+    return attn_block_dims_supported(
+        cfg.dim, cfg.q_dim // tp, cfg.kv_dim // tp, cfg.head_dim,
+        cfg.max_seq_len, itemsize)
+
+
+def _use_fused_ffn(cfg, tp: int, itemsize: int) -> bool:
+    h_l = cfg.hidden_dim // tp
+    return (pick_blocks(2 * h_l, cfg.dim, itemsize)[1] == cfg.dim
+            and pick_blocks(cfg.dim, h_l, itemsize)[1] == h_l)
+
+
+# ---------------------------------------------------------------------------
+# Single-stream decode step
+# ---------------------------------------------------------------------------
+
 def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                              output_logits: bool = True):
-    """Build a jittable (weights, token, pos, cache) -> (logits, cache) step
-    that runs the Pallas fast path on every `tp` shard via shard_map.
+    """Build a jittable (fast_weights, token, pos, cache) -> (logits, cache)
+    step that runs the Pallas fast path on every `tp` shard via shard_map.
 
-    MoE models additionally use the mesh's `ep` axis for expert parallelism:
-    the router is computed replicated, each device evaluates only its LOCAL
+    Per-shard kernel count matches the single-chip fast path: one fused
+    attention-block kernel + one fused FFN kernel per dense layer (with
+    add_residual=False so each row-parallel partial psums before the
+    residual add). MoE models additionally use the mesh's `ep` axis: the
+    router is computed replicated, each device evaluates only its LOCAL
     experts that the router selected (jax.lax.cond skips the weight stream
     for unselected local experts entirely — the data-dependent-skip property
     the reference gets from host control flow, src/infer.cpp:355-384), and
-    one psum over ('ep','tp') assembles the FFN delta. Attention and dense
-    projections are replicated over `ep` and sharded over `tp` as usual.
+    one psum over ('ep','tp') assembles the FFN delta.
     """
     tp = mesh.shape["tp"]
     ep = mesh.shape.get("ep", 1)
     assert fast_tp_supported(cfg, tp, ep), (cfg, tp, ep)
     L = cfg.max_seq_len
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    Hq_l, Hk_l = Hq // tp, Hk // tp          # local head counts
+    Hq_l, Hk_l = Hq // tp, Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
     V_l = cfg.vocab_size // tp
     E_l = cfg.n_experts // ep if cfg.is_moe else 0
     act = silu if cfg.act_type == "silu" else gelu
-
-    w_specs = weight_pspecs(cfg)
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg)
     c_specs = cache_pspecs(cfg)
 
-    def step(w: Weights, token, pos, cache: KVCache):
-        lw = w.layers
-
-        # vocab-sharded embedding row: local gather + psum assembles the row
-        shard0 = jax.lax.axis_index("tp") * V_l
-        local_idx = jnp.clip(token - shard0, 0, V_l - 1)
-        row = w.embed[local_idx].astype(jnp.float32)
-        row = jnp.where((token >= shard0) & (token < shard0 + V_l), row, 0.0)
-        x = jax.lax.psum(row, "tp")
+    def step(fw: FastWeights, token, pos, cache: KVCache):
+        itemsize = fw.wqkv.dtype.itemsize
+        use_block = _use_block(cfg, tp, itemsize)
+        fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
+        x = _embed_psum(fw.embed, token, V_l)
 
         kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
         kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
         kv_len = jnp.minimum(pos + 1, L)
 
-        def clip(a):
-            if math.isinf(cfg.qkv_clip):
-                return a
-            return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
-
         def layer_body(i, carry):
             x, k_all, v_all = carry
-            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(lw.rms_att, i, keepdims=False),
-                         cfg.norm_eps)
-            # column-parallel q/k/v: this shard computes its heads only
-            q = gemv_l(xb, lw.wq, i)
-            k = gemv_l(xb, lw.wk, i)
-            v = gemv_l(xb, lw.wv, i)
-            if lw.bq is not None:  # Qwen2-style biases, sharded with the rows
-                q = q + jax.lax.dynamic_index_in_dim(lw.bq, i, keepdims=False)
-                k = k + jax.lax.dynamic_index_in_dim(lw.bk, i, keepdims=False)
-                v = v + jax.lax.dynamic_index_in_dim(lw.bv, i, keepdims=False)
-            q, k, v = clip(q), clip(k), clip(v)
-
-            # attention is fully local: the cache shard holds this device's
-            # kv heads; the fused kernel ropes q/k and updates it in place
-            mixed, k_all, v_all = attend_step_l(
-                q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
-                v.reshape(Hk_l, D), k_all, v_all,
-                i, kv_pos, kv_len, kv_sink, pos,
-                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
-                rotary_dim=cfg.rotary_dim)
+            if use_block:
+                delta, k_all, v_all = attn_block_l(
+                    x, fw.rms_att, fw.wqkv, fw.wo, k_all, v_all, i,
+                    kv_pos, kv_len, kv_sink, pos,
+                    n_heads=Hq_l, kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                    rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
+                    qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv,
+                    add_residual=False)
+            else:
+                xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                    fw.rms_att, i, keepdims=False), cfg.norm_eps)
+                qkv = gemv_l(xb, fw.wqkv, i)
+                if fw.bqkv is not None:
+                    qkv = qkv + jax.lax.dynamic_index_in_dim(
+                        fw.bqkv, i, keepdims=False)
+                qkv = clip(qkv)
+                q = qkv[:q_l]
+                k = qkv[q_l:q_l + kv_l]
+                v = qkv[q_l + kv_l:]
+                mixed, k_all, v_all = attend_step_l(
+                    q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
+                    v.reshape(Hk_l, D), k_all, v_all,
+                    i, kv_pos, kv_len, kv_sink, pos,
+                    kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                    rotary_dim=cfg.rotary_dim)
+                delta = gemv_l(mixed.reshape(q_l), fw.wo, i)
             # row-parallel wo: partial sums -> ONE psum per block
-            x = x + jax.lax.psum(
-                gemv_l(mixed.reshape(Hq_l * D), lw.wo, i), "tp")
+            x = x + jax.lax.psum(delta, "tp")
 
-            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(lw.rms_ffn, i, keepdims=False),
-                          cfg.norm_eps)
             if cfg.is_moe:
-                from ..ops.core import moe_gate
-                from ..ops.pallas.gemv import gemv_le
-                # replicated router (moegate is replicated on the mesh)
-                router = gemv_l(xb2, lw.moegate, i)
+                xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                    fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+                # replicated router; only routed LOCAL experts stream bytes
+                router = gemv_l(xb2, fw.moegate, i)
                 gates, idx = moe_gate(router, cfg.n_experts_active)
                 e0 = jax.lax.axis_index("ep") * E_l
                 delta = jnp.zeros((cfg.dim,), jnp.float32)
@@ -152,18 +282,25 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     routed = jnp.any(idx == ge)
 
                     def run(xb2=xb2, le=le):
-                        h1 = gemv_le(xb2, lw.w1, i, jnp.int32(le))
-                        h3 = gemv_le(xb2, lw.w3, i, jnp.int32(le))
-                        return gemv_le(act(h1) * h3, lw.w2, i, jnp.int32(le))
+                        h13 = gemv_le(xb2, fw.w13, i, jnp.int32(le))
+                        h = act(h13[:h_l]) * h13[h_l:]
+                        return gemv_le(h, fw.w2, i, jnp.int32(le))
 
                     delta = delta + gate * jax.lax.cond(
                         routed, run, lambda: jnp.zeros((cfg.dim,), jnp.float32))
-                # FFN delta assembles across experts (ep) AND hidden shards (tp)
+                # FFN delta assembles across experts (ep) AND hidden (tp)
                 x = x + jax.lax.psum(delta, ("ep", "tp"))
+            elif fused_ffn:
+                d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                          norm_eps=cfg.norm_eps, act=cfg.act_type,
+                          add_residual=False)
+                x = x + jax.lax.psum(d, "tp")
             else:
-                h1 = gemv_l(xb2, lw.w1, i)
-                h3 = gemv_l(xb2, lw.w3, i)
-                x = x + jax.lax.psum(gemv_l(act(h1) * h3, lw.w2, i), "tp")
+                xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                    fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+                h13 = gemv_l(xb2, fw.w13, i)
+                h = act(h13[:h_l]) * h13[h_l:]
+                x = x + jax.lax.psum(gemv_l(h, fw.w2, i), "tp")
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -171,14 +308,256 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
         if not output_logits:
             # hydrate-only steps skip the lm_head stream + logits gather
             return jnp.zeros((1,), jnp.float32), KVCache(k=k_new, v=v_new)
-        x = rmsnorm(x, w.final_norm, cfg.norm_eps)
+        x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         # vocab-sharded logits -> gathered so the sampler sees the full row
-        logits = jax.lax.all_gather(gemv(x, w.lm_head), "tp").reshape(-1)
+        logits = jax.lax.all_gather(gemv(x, fw.lm_head), "tp").reshape(-1)
         return logits, KVCache(k=k_new, v=v_new)
 
     return shard_map(
         step, mesh=mesh,
         in_specs=(w_specs, P(), P(), c_specs),
         out_specs=(P(), c_specs),
+        check_vma=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill on the shard-major layout
+# ---------------------------------------------------------------------------
+
+def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
+    """Build prefill(fast_weights, tokens, pos0, valid_len, cache,
+    logits_mode) over the mesh: same chunk semantics as prefill_fast
+    (models/fast.py) with the Megatron collectives of the decode step.
+    """
+    tp = mesh.shape["tp"]
+    ep = mesh.shape.get("ep", 1)
+    assert fast_tp_supported(cfg, tp, ep)
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hq_l, Hk_l = Hq // tp, Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
+    V_l = cfg.vocab_size // tp
+    E_l = cfg.n_experts // ep if cfg.is_moe else 0
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg)
+    c_specs = cache_pspecs(cfg)
+
+    def body(fw: FastWeights, tokens, pos0, valid_len, cache: KVCache,
+             logits_mode: str):
+        T = tokens.shape[0]
+        x = _embed_psum(fw.embed, tokens, V_l)                 # (T, dim)
+        positions = pos0 + jnp.arange(T)
+        valid = jnp.arange(T) < valid_len
+        att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+
+        def attend_chunk_bf16(q4, kc, vc):
+            scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
+                                kc.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) / math.sqrt(D)
+            att = jax.nn.softmax(
+                jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+            return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
+                              vc.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        def layer_body(i, carry):
+            x, k_all, v_all = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_att, i, keepdims=False), cfg.norm_eps)
+            qkv = gemm_l(xb, fw.wqkv, i)                       # (T, local)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(
+                    fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv)
+            q = apply_rope(qkv[:, :q_l].reshape(T, Hq_l, D), positions,
+                           cfg.rope_theta, cfg.rotary_dim)
+            k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T, Hk_l, D),
+                           positions, cfg.rope_theta, cfg.rotary_dim)
+            v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
+
+            old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk_l, D))
+            old_v = jax.lax.dynamic_slice(v_all, (i, pos0, 0, 0), (1, T, Hk_l, D))
+            vmask = valid[:, None, None]
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, jnp.where(vmask, k.astype(k_all.dtype), old_k[0])[None],
+                (i, pos0, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, jnp.where(vmask, v.astype(v_all.dtype), old_v[0])[None],
+                (i, pos0, 0, 0))
+            kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
+            mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
+            x = x + jax.lax.psum(gemm_l(mixed.reshape(T, q_l), fw.wo, i), "tp")
+
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+            if cfg.is_moe:
+                # every LOCAL expert streams once per chunk; per-token gates
+                # masked (amortized over T this matches routed traffic)
+                router = gemm_l(xb2, fw.moegate, i)            # (T, E)
+                gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
+                    router, cfg.n_experts_active)
+                e0 = jax.lax.axis_index("ep") * E_l
+                delta = jnp.zeros_like(x)
+                for le in range(E_l):
+                    ge = e0 + le
+                    gate_e = jnp.sum(jnp.where(idx == ge, gates, 0.0), axis=-1)
+                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le))
+                    h = act(h13[:, :h_l]) * h13[:, h_l:]
+                    delta = delta + gate_e[:, None] * gemm_le(
+                        h, fw.w2, i, jnp.int32(le))
+                x = x + jax.lax.psum(delta, ("ep", "tp"))
+            else:
+                h13 = gemm_l(xb2, fw.w13, i)
+                h = act(h13[:, :h_l]) * h13[:, h_l:]
+                x = x + jax.lax.psum(gemm_l(h, fw.w2, i), "tp")
+            return (x, k_all, v_all)
+
+        x, k_new, v_new = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+        new_cache = KVCache(k=k_new, v=v_new)
+
+        if logits_mode == "none":
+            return jnp.zeros((1,), jnp.float32), new_cache
+        if logits_mode == "last":
+            x_last = jnp.take(x, valid_len - 1, axis=0)
+            x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
+            logits = jax.lax.all_gather(
+                gemv(x_last, fw.lm_head), "tp").reshape(-1)
+            return logits, new_cache
+        # "all"
+        xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        local = jax.lax.dot_general(
+            xn.astype(jnp.bfloat16), fw.lm_head.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        return logits, new_cache
+
+    fns = {
+        mode: shard_map(
+            (lambda m: lambda fw, t, p, vl, c: body(fw, t, p, vl, c, m))(mode),
+            mesh=mesh,
+            in_specs=(w_specs, P(), P(), P(), c_specs),
+            out_specs=(P(), c_specs),
+            check_vma=False)
+        for mode in ("none", "last", "all")
+    }
+
+    def prefill(fw, tokens, pos0, valid_len, cache, logits_mode="last"):
+        out, cache = fns[logits_mode](fw, tokens, pos0, valid_len, cache)
+        if logits_mode == "none":
+            return None, cache
+        return out, cache
+
+    return prefill
+
+
+# ---------------------------------------------------------------------------
+# Continuous-batching tick over dp x ep x tp
+# ---------------------------------------------------------------------------
+
+def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
+    """Build the batched decode tick (fast_weights, tokens, positions,
+    cache) -> (logits, cache) with lanes sharded on `dp`, heads/hidden on
+    `tp`, and experts on `ep` — the SURVEY §2.6 north-star composition of
+    continuous batching with the mesh (nothing comparable in the reference,
+    src/main.cpp:102-112).
+
+    Each dp group decodes its own B/dp lanes against the replicated-on-dp
+    weights; inside a group the math is the batched single-chip tick on the
+    tp-local shard. MoE streams every LOCAL expert once per tick (masked
+    per-lane gates) and psums over ('ep','tp') — expert parallelism in the
+    batched regime.
+    """
+    tp = mesh.shape["tp"]
+    ep = mesh.shape.get("ep", 1)
+    dp = mesh.shape.get("dp", 1)
+    assert fast_tp_supported(cfg, tp, ep), (cfg, tp, ep)
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hq_l, Hk_l = Hq // tp, Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
+    V_l = cfg.vocab_size // tp
+    E_l = cfg.n_experts // ep if cfg.is_moe else 0
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg)
+    c_specs = cache_pspecs(cfg, batched=True)
+
+    def tick(fw: FastWeights, tokens, positions, cache: KVCache):
+        B_l = tokens.shape[0]                      # local lanes (B / dp)
+        itemsize = fw.wqkv.dtype.itemsize
+        fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
+        x = _embed_psum(fw.embed, tokens, V_l)     # (B_l, dim)
+
+        kv_sink = jnp.where(positions >= L, KV_SINKS, 0)
+        kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
+        kv_len = jnp.minimum(positions + 1, L)
+
+        def layer_body(i, carry):
+            x, k_all, v_all = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_att, i, keepdims=False), cfg.norm_eps)
+            qkv = gemm_l(xb, fw.wqkv, i)           # (B_l, local)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(
+                    fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv)
+            q = qkv[:, :q_l]
+            k = qkv[:, q_l:q_l + kv_l]
+            v = qkv[:, q_l + kv_l:]
+            mixed, k_all, v_all = attend_step_batched_l(
+                q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
+                v.reshape(B_l, Hk_l, D), k_all, v_all, i,
+                kv_pos, kv_len, kv_sink, positions,
+                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                rotary_dim=cfg.rotary_dim)
+            x = x + jax.lax.psum(
+                gemm_l(mixed.reshape(B_l, q_l), fw.wo, i), "tp")
+
+            if cfg.is_moe:
+                xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                    fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+                router = gemm_l(xb2, fw.moegate, i)            # (B_l, E)
+                gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
+                    router, cfg.n_experts_active)
+                e0 = jax.lax.axis_index("ep") * E_l
+                delta = jnp.zeros_like(x)
+                for le in range(E_l):
+                    ge = e0 + le
+                    gate_e = jnp.sum(jnp.where(idx == ge, gates, 0.0), axis=-1)
+                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le))
+                    h = act(h13[:, :h_l]) * h13[:, h_l:]
+                    delta = delta + gate_e[:, None] * gemm_le(
+                        h, fw.w2, i, jnp.int32(le))
+                x = x + jax.lax.psum(delta, ("ep", "tp"))
+            elif fused_ffn:
+                d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                          norm_eps=cfg.norm_eps, act=cfg.act_type,
+                          add_residual=False)
+                x = x + jax.lax.psum(d, "tp")
+            else:
+                xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                    fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+                h13 = gemm_l(xb2, fw.w13, i)
+                h = act(h13[:, :h_l]) * h13[:, h_l:]
+                x = x + jax.lax.psum(gemm_l(h, fw.w2, i), "tp")
+            return (x, k_all, v_all)
+
+        x, k_new, v_new = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+        x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        local = gemm(x, fw.lm_head)                            # (B_l, V_l)
+        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        return logits, KVCache(k=k_new, v=v_new)
+
+    return shard_map(
+        tick, mesh=mesh,
+        in_specs=(w_specs, P("dp"), P("dp"), c_specs),
+        out_specs=(P("dp", None), c_specs),
         check_vma=False,
     )

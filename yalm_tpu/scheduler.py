@@ -79,12 +79,33 @@ class Scheduler:
         kv_dtype=jnp.float16,
         compute_dtype=jnp.float32,
         fast: bool | str = "auto",
+        mesh=None,
     ):
+        """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
+        shard over `dp`, heads/hidden/cache-kv-heads over `tp`, MoE experts
+        over `ep` — continuous batching COMPOSED with the mesh (SURVEY §2.6
+        north star; the reference is a single-device single stream,
+        src/main.cpp:102-112). Requires the fast path; `weights` may be the
+        oracle Weights (rearranged shard-major here) or a FastWeights
+        already in shard-major order (load_fast_weights(tp=...))."""
         self.cfg = cfg
-        if fast == "auto":
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.fast_tp import fast_tp_supported
+            tp = mesh.shape["tp"]
+            ep = mesh.shape.get("ep", 1)
+            dp = mesh.shape.get("dp", 1)
+            ok = fast_tp_supported(cfg, tp, ep) and batch % max(dp, 1) == 0
+            if fast == "auto":
+                fast = ok
+            if not (fast and ok):
+                raise ValueError(
+                    f"mesh scheduler requires the fast TP path and batch % dp == 0 "
+                    f"(got batch={batch}, mesh={dict(mesh.shape)})")
+        elif fast == "auto":
             # batched Pallas kernels need sublane-aligned batch
             fast = fast_batched_supported(cfg) and batch % 8 == 0
-        if fast and (not fast_batched_supported(cfg) or batch % 8 != 0):
+        if fast and mesh is None and (not fast_batched_supported(cfg) or batch % 8 != 0):
             raise ValueError("fast scheduler needs a supported config and batch % 8 == 0")
         self.fast = bool(fast)
         if self.fast:
@@ -92,18 +113,47 @@ class Scheduler:
             weights = upcast_f16_for_tpu(weights)  # Mosaic has no f16
             if kv_dtype == jnp.float16:
                 kv_dtype = jnp.bfloat16
-        if self.fast and isinstance(weights, Weights):
+        if self.fast and mesh is None and isinstance(weights, Weights):
             weights = FastWeights.from_weights(weights, cfg)
+        if mesh is not None:
+            from .parallel.fast_tp import shard_fast_tp_weights
+            from .parallel.sharding import shard_cache
+            weights = shard_fast_tp_weights(weights, cfg, mesh)
+            self.cache = shard_cache(KVCache.init(cfg, kv_dtype, batch=batch),
+                                     cfg, mesh, batched=True)
+        else:
+            self.cache = KVCache.init(cfg, kv_dtype, batch=batch)
         self.weights = weights
         self.B = batch
         self.kv_dtype = kv_dtype
-        self.cache = KVCache.init(cfg, kv_dtype, batch=batch)
         self.slots = [_Slot() for _ in range(batch)]
         self.queue: list[Request] = []
         self._key = jax.random.PRNGKey(0)
         cd = compute_dtype
 
-        if self.fast:
+        if self.fast and mesh is not None:
+            from .parallel.fast_tp import (make_decode_step_fast_tp,
+                                           make_prefill_fast_tp,
+                                           make_tick_fast_tp)
+            _tick_tp = make_tick_fast_tp(cfg, mesh)
+            _prefill_tp = make_prefill_fast_tp(cfg, mesh)
+            _step_tp = make_decode_step_fast_tp(cfg, mesh)
+            _hydrate_tp = make_decode_step_fast_tp(cfg, mesh,
+                                                   output_logits=False)
+
+            def _batched_logits(w, tokens, positions, cache):
+                return _tick_tp(w, tokens, positions, cache)
+
+            def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
+                return _prefill_tp(w, tokens, pos0, valid_len, lane,
+                                   logits_mode=logits_mode)
+
+            def _lane_step(w, token, pos, lane, output_logits):
+                if output_logits:
+                    return _step_tp(w, token, pos, lane)
+                _, lane = _hydrate_tp(w, token, pos, lane)
+                return None, lane
+        elif self.fast:
             from .models.fast import decode_step_fast
 
             def _batched_logits(w, tokens, positions, cache):

@@ -132,3 +132,64 @@ def test_scheduler_moe_fast_tick(tmp_path):
                                  temperature=0.0)) for i in range(4)]
     sched.run()
     assert all(len(r.generated) == 5 for r in reqs)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved admission: long prompts must not stall active decode lanes
+# ---------------------------------------------------------------------------
+
+def test_admission_interleaves_with_decode(tmp_path):
+    """While a beyond-window prompt admits (chunked prefill + bounded
+    ring-regime hydration), an already-active lane receives a token EVERY
+    tick, its stream is bit-identical to a solo run, and the long request's
+    first token arrives within the chunk-count bound."""
+    import math
+    from test_fast_path import fast_config
+
+    cfg = fast_config()          # window = 32
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=31)
+    weights = load_weights(read_yalm(path), cfg)
+    W = cfg.max_seq_len
+
+    def mk_a():
+        return Request(prompt_tokens=[1, 2, 3], max_new_tokens=40,
+                       temperature=0.0, seed=5)
+
+    # solo reference stream for request A
+    solo = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    a_solo = mk_a()
+    solo.submit(a_solo)
+    solo.run()
+
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    a = mk_a()
+    sched.submit(a)
+    for _ in range(3):
+        sched.step()
+    assert len(a.generated) >= 3
+
+    long_prompt = [1] + [5] * (W + 20)     # ring regime beyond the window
+    b = Request(prompt_tokens=long_prompt, max_new_tokens=4,
+                temperature=0.0, seed=7)
+    sched.submit(b)
+
+    ticks = 0
+    while not b.generated:
+        before = len(a.generated)
+        sched.step()
+        ticks += 1
+        if not a.done:
+            # the active lane produced a token on THIS tick too
+            assert len(a.generated) == before + 1
+        assert ticks < 100, "first token of the long request never arrived"
+
+    in_window_chunks = math.ceil(W / 256)   # bucketed prefill chunks
+    ring_ticks = math.ceil((len(long_prompt) - W)
+                           / Scheduler.RING_HYDRATE_PER_TICK)
+    assert ticks <= in_window_chunks + ring_ticks + 1, ticks
+
+    sched.run()
+    assert b.done and len(b.generated) == 4
+    # concurrent admission did not perturb A's stream
+    assert a.generated == a_solo.generated

@@ -82,7 +82,8 @@ def test_moe_ep_batched_tick_matches_single_device(tmp_path):
     fw2 = shard_fast_tp_weights(weights, cfg, mesh)
     cache2 = shard_cache(KVCache.init(cfg, jnp.bfloat16, batch=B), cfg, mesh,
                          batched=True)
-    l2, _ = jax.jit(make_tick_fast_tp(cfg, mesh))(fw2, toks, pos, cache2)
+    l2, _ = jax.jit(make_tick_fast_tp(cfg, mesh))(
+        fw2, toks, pos, cache2, jnp.ones((B,), jnp.int32))
 
     l1, l2 = np.asarray(l1), np.asarray(l2)
     np.testing.assert_allclose(l2, l1, rtol=2e-2, atol=2e-2)

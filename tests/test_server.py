@@ -129,6 +129,9 @@ def test_server_over_fast_path(tmp_path):
 
 
 def test_server_prompt_cap(tmp_path):
+    """The cap is a pure POLICY knob now (admission interleaves with decode,
+    so long prompts no longer stall the batch): disabled by default,
+    enforced when explicitly set."""
     import jax.numpy as jnp
     from yalm_tpu.server import ServingEngine
     from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
@@ -137,7 +140,12 @@ def test_server_prompt_cap(tmp_path):
     synth_checkpoint(path, tiny_config(max_seq_len=32), seed=0)
     engine = ServingEngine.from_checkpoint(path, batch=2)
     try:
-        assert engine.max_prompt_tokens == 64
+        assert engine.max_prompt_tokens == 0  # unlimited by default
+        engine.submit_prompt("word " * 100, max_tokens=1)  # accepted
+    finally:
+        engine.close()
+    engine = ServingEngine.from_checkpoint(path, batch=2, max_prompt_tokens=8)
+    try:
         with pytest.raises(ValueError):
             engine.submit_prompt("word " * 100)
     finally:

@@ -308,6 +308,7 @@ def decode_step_fast_batched(
     tokens: jax.Array,     # (B,) int32
     positions: jax.Array,  # (B,) int32 — per-lane absolute positions
     cache: KVCache,        # batched: (B, n_layers, S, Hk, D)
+    write_mask: Optional[jax.Array] = None,  # (B,) int32; 0 = read-only lane
 ) -> tuple[jax.Array, KVCache]:
     """One decode tick for B independent sequences sharing the weights.
 
@@ -348,7 +349,7 @@ def decode_step_fast_batched(
 
         mixed, k_all, v_all = attend_step_batched_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
-            k_all, v_all, i, kv_pos, kv_len, kv_sink, positions,
+            k_all, v_all, i, kv_pos, kv_len, kv_sink, positions, write_mask,
             kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
         x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i)
 

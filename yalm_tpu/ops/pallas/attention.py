@@ -184,7 +184,8 @@ def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
 def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                      kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
                      sem, rowsem, *, S, block_s, Hk, P, kv_sinks, theta,
-                     rotary_dim, kv_pos, kv_len, kv_sink, pos):
+                     rotary_dim, kv_pos, kv_len, kv_sink, pos,
+                     do_write=True):
     """The whole fused step: in-kernel RoPE, kv-row write, sink rotation,
     and double-buffered flash attention. `idx` is the HBM index prefix for
     this lane's cache (e.g. (layer,) or (b, layer)).
@@ -197,9 +198,16 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     and the serial DMA round-trips that used to precede the KV stream
     (row-write wait + sink read-modify-write wait) are off the critical
     path — they ride under the flash stream instead.
+
+    do_write (traced bool or python True) gates EVERY cache mutation: a
+    False lane computes attention read-only — the continuous-batching tick
+    uses this so lanes mid-admission (chunked prefill owns their cache) can
+    ride the batched step without corruption.
     """
     D = q_in.shape[-1]
     n_blocks = S // block_s
+    static_write = do_write is True
+    wr = jnp.bool_(True) if static_write else do_write
 
     # RoPE fused in: rotate q (pre-softmax-scaled) and the new k row at the
     # current position (reference fused_rope_and_cache_update,
@@ -210,20 +218,21 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                        theta, rotary_dim, pos.astype(jnp.float32))
     kdt = k_rot.astype(newbuf.dtype)           # the exact bits HBM will hold
     vdt = vnew_in.astype(newbuf.dtype).reshape(Hk, D)
-    newbuf[0] = kdt
-    kw = pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[(*idx, kv_pos)],
-                               rowsem.at[0])
-    kw.start()
-    newbuf[1] = vdt
-    vw = pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[(*idx, kv_pos)],
-                               rowsem.at[1])
-    vw.start()
+
+    @pl.when(wr)
+    def _():
+        newbuf[0] = kdt
+        pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[(*idx, kv_pos)],
+                              rowsem.at[0]).start()
+        newbuf[1] = vdt
+        pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[(*idx, kv_pos)],
+                              rowsem.at[1]).start()
 
     # sink-key re-rotation (only once past the window; StreamingLLM).
     # Only the first kv_sink sink rows rotate — matching the jnp emulation's
     # mask exactly; callers only ever pass 0 or kv_sinks today, but a partial
     # value must not silently diverge between kernel and emulation.
-    @pl.when(kv_sink > 0)
+    @pl.when((kv_sink > 0) & wr)
     def _():
         rd = pltpu.make_async_copy(ko_hbm.at[(*idx, slice(0, kv_sinks))],
                                    rowbuf, rowsem.at[2])
@@ -268,7 +277,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
 
         # patch rows whose in-flight HBM writes may not have landed before
         # this block's fetch read them
-        @pl.when((sblk == 0) & (kv_sink > 0))
+        @pl.when((sblk == 0) & (kv_sink > 0) & wr)
         def _():
             ridx = jax.lax.broadcasted_iota(
                 jnp.int32, (block_s, Hk, D), 0)
@@ -279,7 +288,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
             kbuf[slot] = patched
 
         row = kv_pos - sblk * block_s
-        @pl.when((row >= 0) & (row < block_s))
+        @pl.when((row >= 0) & (row < block_s) & wr)
         def _():
             ridx = jax.lax.broadcasted_iota(
                 jnp.int32, (block_s, Hk, D), 0)
@@ -297,10 +306,14 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     o_out[...] = acc_ref[...] / l_ref[:, 0:1]
 
     # drain the async cache writes before the kernel (or this lane) ends
-    kw.wait()
-    vw.wait()
+    @pl.when(wr)
+    def _():
+        pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[(*idx, kv_pos)],
+                              rowsem.at[0]).wait()
+        pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[(*idx, kv_pos)],
+                              rowsem.at[1]).wait()
 
-    @pl.when(kv_sink > 0)
+    @pl.when((kv_sink > 0) & wr)
     def _():
         pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
                               rowsem.at[2]).wait()
@@ -319,20 +332,21 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               p_rows: int, kv_sinks: int, theta: float,
                               rotary_dim: int):
     """Grid is (B,): one program per batch lane; scalars are per-lane arrays
-    laid out [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B]]."""
+    laid out [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B], write[B]]."""
     b = pl.program_id(0)
     B = pl.num_programs(0)
     layer = scal_ref[0]
     kv_pos, kv_len, kv_sink, pos = (scal_ref[1 + b], scal_ref[1 + B + b],
                                     scal_ref[1 + 2 * B + b],
                                     scal_ref[1 + 3 * B + b])
+    write = scal_ref[1 + 4 * B + b] != 0
     _fused_attn_body((b, layer), q_ref[0], knew_ref[0], vnew_ref[0],
                      ko_hbm, vo_hbm, o_ref.at[0],
                      kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
                      sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
                      P=p_rows, kv_sinks=kv_sinks, theta=theta,
                      rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
-                     kv_sink=kv_sink, pos=pos)
+                     kv_sink=kv_sink, pos=pos, do_write=write)
 
 
 @functools.partial(jax.jit,
@@ -342,7 +356,7 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                           k_all: jax.Array, v_all: jax.Array,
                           layer: jax.Array, kv_pos: jax.Array,
                           kv_len: jax.Array, kv_sink: jax.Array,
-                          pos: jax.Array, *,
+                          pos: jax.Array, write: jax.Array | None = None, *,
                           kv_sinks: int, theta: float, rotary_dim: int,
                           block_s: int = 0, interpret: bool | None = None
                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -352,19 +366,26 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     k_new/v_new: (B, Hk, D) f32 (k_new UNrotated)
     k_all/v_all: (B, n_layers, S, Hk, D); kv_pos/kv_len/kv_sink/pos: (B,) int32
     layer: () int32 (shared across the batch)
+    write: optional (B,) int32 — 0 disables ALL cache mutation for that lane
+    (read-only attention; used for lanes mid-admission whose cache the
+    chunked prefill owns). Default: every lane writes.
     returns (mix (B, Hk, qpk, D) f32, k_all, v_all)
     """
     B, L, S, Hk, D = k_all.shape
     _, _, qpk, _ = q.shape
+    if write is None:
+        write = jnp.ones((B,), jnp.int32)
     if interpret is None and _emulate():
-        def one(q1, kn1, vn1, k1, v1, kp, kl, ks, p1):
+        def one(q1, kn1, vn1, k1, v1, kp, kl, ks, p1, wr1):
             q2 = q1.astype(jnp.float32).reshape(Hk * qpk, D)
-            out, k1, v1 = _attn_step_ref(
+            out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kp, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
-            return out.reshape(Hk, qpk, D), k1, v1
+            keep = wr1 != 0
+            return (out.reshape(Hk, qpk, D),
+                    jnp.where(keep, k2, k1), jnp.where(keep, v2, v1))
         return jax.vmap(one)(q, k_new, v_new, k_all, v_all,
-                             kv_pos, kv_len, kv_sink, pos)
+                             kv_pos, kv_len, kv_sink, pos, write)
 
     if not block_s:
         block_s = S
@@ -412,6 +433,7 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         jnp.asarray(kv_len, jnp.int32).reshape(B),
         jnp.asarray(kv_sink, jnp.int32).reshape(B),
         jnp.asarray(pos, jnp.int32).reshape(B),
+        jnp.asarray(write, jnp.int32).reshape(B),
     ])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(

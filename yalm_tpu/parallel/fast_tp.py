@@ -488,7 +488,8 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
     w_specs = fast_weight_pspecs(cfg)
     c_specs = cache_pspecs(cfg, batched=True)
 
-    def tick(fw: FastWeights, tokens, positions, cache: KVCache):
+    def tick(fw: FastWeights, tokens, positions, cache: KVCache,
+             write_mask=None):
         B_l = tokens.shape[0]                      # local lanes (B / dp)
         itemsize = fw.wqkv.dtype.itemsize
         fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
@@ -513,7 +514,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
             mixed, k_all, v_all = attend_step_batched_l(
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), k_all, v_all, i,
-                kv_pos, kv_len, kv_sink, positions,
+                kv_pos, kv_len, kv_sink, positions, write_mask,
                 kv_sinks=KV_SINKS, theta=cfg.rope_theta,
                 rotary_dim=cfg.rotary_dim)
             x = x + jax.lax.psum(
@@ -557,7 +558,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
 
     return shard_map(
         tick, mesh=mesh,
-        in_specs=(w_specs, P("dp"), P("dp"), c_specs),
+        in_specs=(w_specs, P("dp"), P("dp"), c_specs, P("dp")),
         out_specs=(P("dp", None), c_specs),
         check_vma=False,
     )

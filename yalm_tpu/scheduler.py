@@ -37,7 +37,7 @@ from .models.fast import (FastWeights, decode_step_fast_batched,
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
 from .sampler import sample
-from .engine import PREFILL_BUCKETS, chunk_schedule
+from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
 @dataclasses.dataclass
@@ -63,10 +63,16 @@ class _Slot:
     request: Optional[Request] = None
     pos: int = 0            # next absolute position for this sequence
     last_token: int = 0     # token to feed next tick
+    admitting: bool = False  # prompt still hydrating (chunked, interleaved)
+    admit_i: int = 0        # prompt tokens consumed so far
 
     @property
     def free(self) -> bool:
         return self.request is None
+
+    @property
+    def decoding(self) -> bool:
+        return self.request is not None and not self.admitting
 
 
 class Scheduler:
@@ -141,8 +147,8 @@ class Scheduler:
             _hydrate_tp = make_decode_step_fast_tp(cfg, mesh,
                                                    output_logits=False)
 
-            def _batched_logits(w, tokens, positions, cache):
-                return _tick_tp(w, tokens, positions, cache)
+            def _batched_logits(w, tokens, positions, cache, write_mask):
+                return _tick_tp(w, tokens, positions, cache, write_mask)
 
             def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
                 return _prefill_tp(w, tokens, pos0, valid_len, lane,
@@ -156,10 +162,12 @@ class Scheduler:
         elif self.fast:
             from .models.fast import decode_step_fast
 
-            def _batched_logits(w, tokens, positions, cache):
+            def _batched_logits(w, tokens, positions, cache, write_mask):
                 """Batched Pallas tick: each weight tile streams HBM once and
-                serves every lane."""
-                return decode_step_fast_batched(cfg, w, tokens, positions, cache)
+                serves every lane; write_mask=0 lanes attend read-only (their
+                cache is owned by in-flight chunked admission)."""
+                return decode_step_fast_batched(cfg, w, tokens, positions,
+                                                cache, write_mask)
 
             def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
                 return prefill_fast(cfg, w, tokens, pos0, valid_len, lane,
@@ -169,11 +177,16 @@ class Scheduler:
                 return decode_step_fast(cfg, w, token, pos, lane,
                                         output_logits=output_logits)
         else:
-            def _batched_logits(w, tokens, positions, cache):
-                def one(tok, pos, c):
-                    return decode_step(cfg, w, tok, pos, c,
-                                       output_logits=True, compute_dtype=cd)
-                return jax.vmap(one, in_axes=(0, 0, 0))(tokens, positions, cache)
+            def _batched_logits(w, tokens, positions, cache, write_mask):
+                def one(tok, pos, c, wr):
+                    logits, c2 = decode_step(cfg, w, tok, pos, c,
+                                             output_logits=True, compute_dtype=cd)
+                    keep = wr != 0
+                    c2 = KVCache(k=jnp.where(keep, c2.k, c.k),
+                                 v=jnp.where(keep, c2.v, c.v))
+                    return logits, c2
+                return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+                    tokens, positions, cache, write_mask)
 
             def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
                 return prefill(cfg, w, tokens, pos0, valid_len, lane,
@@ -184,13 +197,16 @@ class Scheduler:
                                    output_logits=output_logits, compute_dtype=cd)
 
         @partial(jax.jit, donate_argnums=(3,))
-        def _tick(w, tokens, positions, cache, seeds, temps):
+        def _tick(w, tokens, positions, cache, seeds, temps, write_mask):
             """One batched decode+sample tick over all B slots.
 
             Sampling keys derive from (request seed, absolute position), so
             a request's output is reproducible regardless of what other
-            traffic shares the batch."""
-            logits, cache = _batched_logits(w, tokens, positions, cache)
+            traffic shares the batch. write_mask=0 lanes (free, or still
+            admitting their prompt) compute read-only garbage that the host
+            discards."""
+            logits, cache = _batched_logits(w, tokens, positions, cache,
+                                            write_mask)
             keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
                 seeds, positions)
             nxt = jax.vmap(sample)(logits, keys, temps)
@@ -231,46 +247,77 @@ class Scheduler:
     def n_active(self) -> int:
         return sum(not s.free for s in self.slots)
 
+    # how many ring-regime prompt tokens hydrate per tick for ONE admitting
+    # slot (each is a full per-token decode step, so this bounds the stall
+    # a beyond-window prompt can impose between decode ticks)
+    RING_HYDRATE_PER_TICK = 16
+
     def _admit(self) -> None:
-        """Move queued requests into free slots (prefill between ticks)."""
-        for b, slot in enumerate(self.slots):
+        """Assign queued requests to free slots; their prompts hydrate in
+        bounded chunks INTERLEAVED with decode ticks (_advance_admission),
+        so active lanes keep generating while long prompts admit."""
+        for slot in self.slots:
             if not self.queue or not slot.free:
                 continue
             req = self.queue.pop(0)
-            toks = list(req.prompt_tokens)
-            pos = 0
-            logits = None
-            i, n = 0, len(toks)
-            for i0, take, bucket in chunk_schedule(n, 0, self.cfg.max_seq_len):
-                padded = np.zeros(bucket, np.int32)
-                padded[:take] = toks[i0 : i0 + take]
-                mode = "last" if i0 + take >= n else "none"
-                out, self.cache = self._prefill_slot(
-                    self.weights, jnp.asarray(padded), jnp.int32(pos),
-                    jnp.int32(take), b, self.cache, logits_mode=mode)
-                if mode == "last":
-                    logits = out
-                pos += take
-                i = i0 + take
-            # prompts longer than the context window: per-token ring-regime
-            # hydration of this slot's lane (sinks + ring, like the engine)
-            while i < n:
-                last = i + 1 >= n
-                out, self.cache = self._hydrate_slot(
-                    self.weights, jnp.int32(toks[i]), jnp.int32(pos), b,
-                    self.cache, output_logits=last)
-                if last:
-                    logits = out
-                pos += 1
-                i += 1
-            # sample the first generated token (seeded per request)
-            sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), pos)
-            first = int(sample(logits, sub, jnp.float32(req.temperature)))
-            req._emit(first)
             slot.request = req
-            slot.pos = pos
-            slot.last_token = first
-            self._maybe_finish(slot, first)
+            slot.admitting = True
+            slot.pos = 0
+            slot.admit_i = 0
+
+    def _finish_admission(self, slot: _Slot, logits) -> None:
+        """Sample the first generated token (seeded per request)."""
+        req = slot.request
+        sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), slot.pos)
+        first = int(sample(logits, sub, jnp.float32(req.temperature)))
+        slot.admitting = False
+        slot.last_token = first
+        req._emit(first)
+        self._maybe_finish(slot, first)
+
+    def _advance_admission(self) -> None:
+        """Advance every admitting slot by at most ONE prefill chunk (or a
+        bounded number of ring-regime tokens). First-token latency of a
+        prompt of P tokens is therefore <= ceil(P / max_bucket) ticks inside
+        the window (+ceil(extra / RING_HYDRATE_PER_TICK) beyond it), while
+        decode lanes keep producing a token every tick."""
+        window = self.cfg.max_seq_len
+        for b, slot in enumerate(self.slots):
+            if not slot.admitting:
+                continue
+            req = slot.request
+            toks = req.prompt_tokens
+            n = len(toks)
+            if slot.pos < window and slot.admit_i < n:
+                room = window - slot.pos
+                take = min(n - slot.admit_i, PREFILL_BUCKETS[-1], room)
+                bucket = _bucket_for(take)
+                if bucket > room:
+                    bucket = take
+                padded = np.zeros(bucket, np.int32)
+                padded[:take] = toks[slot.admit_i: slot.admit_i + take]
+                last = slot.admit_i + take >= n
+                mode = "last" if last else "none"
+                out, self.cache = self._prefill_slot(
+                    self.weights, jnp.asarray(padded), jnp.int32(slot.pos),
+                    jnp.int32(take), b, self.cache, logits_mode=mode)
+                slot.pos += take
+                slot.admit_i += take
+                if last:
+                    self._finish_admission(slot, out)
+                continue
+            # ring-buffer regime (or odd tail): bounded per-token hydration
+            budget = self.RING_HYDRATE_PER_TICK
+            while budget > 0 and slot.admit_i < n:
+                last = slot.admit_i + 1 >= n
+                out, self.cache = self._hydrate_slot(
+                    self.weights, jnp.int32(toks[slot.admit_i]),
+                    jnp.int32(slot.pos), b, self.cache, output_logits=last)
+                slot.pos += 1
+                slot.admit_i += 1
+                budget -= 1
+                if last:
+                    self._finish_admission(slot, out)
 
     def _maybe_finish(self, slot: _Slot, tok: int) -> None:
         req = slot.request
@@ -279,32 +326,37 @@ class Scheduler:
         if tok in req.stop_tokens or len(req.generated) >= req.max_new_tokens:
             req.done = True
             slot.request = None
+            slot.admitting = False
 
     # ------------------------------------------------------------------
     def step(self) -> int:
-        """Admit then run one batched decode tick. Returns #active slots."""
+        """Admit, advance in-flight admissions by one bounded chunk, then
+        run one batched decode tick for the decoding lanes. Returns #busy
+        slots (decoding or admitting)."""
         self._admit()
-        active = [not s.free for s in self.slots]
-        if not any(active):
-            return 0
-        tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
-        positions = jnp.asarray([s.pos for s in self.slots], jnp.int32)
-        temps = jnp.asarray(
-            [s.request.temperature if s.request else 0.0 for s in self.slots],
-            jnp.float32)
-        seeds = jnp.asarray(
-            [s.request.seed if s.request else 0 for s in self.slots], jnp.int32)
-        nxt, self.cache = self._tick(self.weights, tokens, positions,
-                                     self.cache, seeds, temps)
-        nxt = np.asarray(nxt)
-        for b, slot in enumerate(self.slots):
-            if slot.free:
-                continue
-            tok = int(nxt[b])
-            slot.pos += 1
-            slot.last_token = tok
-            slot.request._emit(tok)
-            self._maybe_finish(slot, tok)
+        self._advance_admission()
+        decoding = [s.decoding for s in self.slots]
+        if any(decoding):
+            tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
+            positions = jnp.asarray([s.pos for s in self.slots], jnp.int32)
+            temps = jnp.asarray(
+                [s.request.temperature if s.decoding else 0.0 for s in self.slots],
+                jnp.float32)
+            seeds = jnp.asarray(
+                [s.request.seed if s.decoding else 0 for s in self.slots],
+                jnp.int32)
+            write = jnp.asarray([1 if d else 0 for d in decoding], jnp.int32)
+            nxt, self.cache = self._tick(self.weights, tokens, positions,
+                                         self.cache, seeds, temps, write)
+            nxt = np.asarray(nxt)
+            for b, slot in enumerate(self.slots):
+                if not slot.decoding:
+                    continue
+                tok = int(nxt[b])
+                slot.pos += 1
+                slot.last_token = tok
+                slot.request._emit(tok)
+                self._maybe_finish(slot, tok)
         return sum(not s.free for s in self.slots)
 
     def run(self, max_ticks: int = 100000) -> None:

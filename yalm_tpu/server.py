@@ -40,12 +40,11 @@ class ServingEngine:
                  max_prompt_tokens: int | None = None):
         self.cfg = cfg
         self.tokenizer = tokenizer
-        # ring-regime hydration beyond the window is one decode step per
-        # token and runs BETWEEN ticks, stalling other streams — bound it
-        # so one oversized request can't freeze the batch (0 disables)
-        if max_prompt_tokens is None:
-            max_prompt_tokens = 2 * cfg.max_seq_len
-        self.max_prompt_tokens = max_prompt_tokens
+        # Prompt admission is chunked and interleaved with decode ticks
+        # (scheduler._advance_admission), so long prompts no longer stall
+        # other streams; the cap is now a pure policy knob, disabled by
+        # default (0/None = unlimited).
+        self.max_prompt_tokens = max_prompt_tokens or 0
         self.sched = Scheduler(cfg, weights, batch=batch, kv_dtype=kv_dtype,
                                compute_dtype=jnp.bfloat16, fast=fast)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()

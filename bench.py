@@ -56,8 +56,11 @@ def _synth_fast_weights(cfg, seed=0):
     import jax.numpy as jnp
     from yalm_tpu.models.fast import FastWeights
 
+    from yalm_tpu.models.fast import FastScales
+
+    int8 = cfg.weight_dtype == "int8"
     wdt = {"fp32": jnp.float32, "fp16": jnp.float16, "bf16": jnp.bfloat16,
-           "fp8": jnp.float8_e5m2}[cfg.weight_dtype]
+           "fp8": jnp.float8_e5m2, "int8": jnp.int8}[cfg.weight_dtype]
     key = jax.random.PRNGKey(seed)
 
     def mk(k, *shape, scale=0.02):
@@ -70,12 +73,30 @@ def _synth_fast_weights(cfg, seed=0):
         parts = []
         for c, i in enumerate(range(0, rows, chunk)):
             n = min(chunk, rows - i)
-            sub = jax.random.normal(jax.random.fold_in(tkey, c),
-                                    (n,) + shape[1:], jnp.bfloat16) * scale
-            parts.append(sub.astype(wdt))
+            if int8:
+                sub = jax.random.randint(jax.random.fold_in(tkey, c),
+                                         (n,) + shape[1:], -127, 128, jnp.int8)
+            else:
+                sub = (jax.random.normal(jax.random.fold_in(tkey, c),
+                                         (n,) + shape[1:], jnp.bfloat16)
+                       * scale).astype(wdt)
+            parts.append(sub)
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     nl = cfg.n_layers
+    scales = None
+    if int8:
+        # per-row scales sized so dequantized weights match the float synth
+        # magnitude (~N(0, 0.02))
+        s = jnp.float32(0.02 / 127.0)
+        scales = FastScales(
+            embed=jnp.full((cfg.vocab_size,), s),
+            wqkv=jnp.full((nl, cfg.q_dim + 2 * cfg.kv_dim), s),
+            wo=jnp.full((nl, cfg.dim), s),
+            w13=jnp.full((nl, 2 * cfg.hidden_dim), s),
+            w2=jnp.full((nl, cfg.dim), s),
+            lm_head=jnp.full((cfg.vocab_size,), s),
+        )
     return FastWeights(
         embed=mk(9, cfg.vocab_size, cfg.dim),
         rms_att=jnp.ones((nl, cfg.dim), jnp.float32),
@@ -86,6 +107,7 @@ def _synth_fast_weights(cfg, seed=0):
         w2=mk(6, nl, cfg.dim, cfg.hidden_dim),
         final_norm=jnp.ones((cfg.dim,), jnp.float32),
         lm_head=mk(10, cfg.vocab_size, cfg.dim),
+        scales=scales,
     )
 
 

@@ -52,3 +52,39 @@ def test_max_err_relative_and_absolute():
     b = np.array([1.0, 2.2])
     assert abs(max_err(a, b, relative=False) - 0.2) < 1e-9
     assert abs(max_err(a, b, relative=True) - 0.2 / 2.2) < 1e-9
+
+
+def test_fast_path_capture_matches_oracle(tmp_path):
+    """decode_step_fast(capture=True) exposes the same DEBUG_MODEL-style
+    activation map as the oracle, pulled from the real kernel boundaries —
+    diff_captures localizes oracle-vs-Pallas divergence per layer/tensor."""
+    import jax.numpy as jnp
+    from test_fast_path import fast_config
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.models import KVCache, decode_step, load_weights
+    from yalm_tpu.models.fast import FastWeights, decode_step_fast
+    from yalm_tpu.utils.debug import diff_captures
+    from yalm_tpu.utils.testing import synth_checkpoint
+
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=13)
+    w = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(w, cfg)
+
+    cache_o = KVCache.init(cfg, jnp.bfloat16)
+    cache_f = KVCache.init(cfg, jnp.bfloat16)
+    tok = jnp.int32(5)
+    for pos in range(3):  # build a little history, then capture
+        _, cache_o, cap_o = decode_step(cfg, w, tok, jnp.int32(pos), cache_o,
+                                        compute_dtype=jnp.bfloat16, capture=True)
+        _, cache_f, cap_f = decode_step_fast(cfg, fw, tok, jnp.int32(pos),
+                                             cache_f, capture=True)
+        tok = jnp.int32(3 + pos)
+
+    assert set(cap_f) == set(cap_o)
+    errs = diff_captures(cap_o, cap_f)
+    for name, e in errs.items():
+        assert e < 6e-2, (name, errs)
+    # per-layer stacks really are per-layer
+    assert cap_f["block_out"].shape[0] == cfg.n_layers

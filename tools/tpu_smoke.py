@@ -46,7 +46,7 @@ def main() -> int:
                 qkv_clip=30.0)
 
     # --- dtype sweep through the single-stream fast engine ---------------
-    for wdt in ("fp32", "fp16", "bf16", "fp8"):
+    for wdt in ("fp32", "fp16", "bf16", "fp8", "int8"):
         cfg = tiny_config(**base, weight_dtype=wdt)
         path = f"{tmp}/{wdt}.yalm"
         synth_checkpoint(path, cfg, seed=0)

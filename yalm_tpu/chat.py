@@ -1,0 +1,75 @@
+"""Minimal chat templating for /v1/chat/completions.
+
+The reference has no chat interface at all ("Chat interface has not been
+implemented", reference README.md:85). The `.yalm` format carries no chat
+template metadata either, so serving uses a small set of built-in templates
+selected by name (ChatML default — the most widely adopted convention for
+instruct checkpoints of the supported families — plus Mistral/Llama-2
+[INST] style), with the stop string handled as plain text since the packed
+vocabulary may not contain dedicated special tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+ROLES = ("system", "user", "assistant")
+
+
+def render_chatml(messages: Sequence[dict]) -> str:
+    """<|im_start|>role\\ncontent<|im_end|> ... ending with an open
+    assistant turn."""
+    parts = []
+    for m in messages:
+        role = m.get("role", "user")
+        if role not in ROLES:
+            raise ValueError(f"unknown role {role!r}")
+        parts.append(f"<|im_start|>{role}\n{m.get('content', '')}<|im_end|>\n")
+    parts.append("<|im_start|>assistant\n")
+    return "".join(parts)
+
+
+def render_inst(messages: Sequence[dict]) -> str:
+    """Mistral/Llama-2 [INST] convention: system folded into the first user
+    turn; assistant turns close each [INST] block."""
+    sys_txt = ""
+    out = []
+    pending_user = None
+    for m in messages:
+        role = m.get("role", "user")
+        content = m.get("content", "")
+        if role == "system":
+            sys_txt = content
+        elif role == "user":
+            if pending_user is not None:
+                out.append(f"[INST] {pending_user} [/INST]")
+            pending_user = (f"{sys_txt}\n\n{content}" if sys_txt else content)
+            sys_txt = ""
+        elif role == "assistant":
+            user = pending_user if pending_user is not None else ""
+            out.append(f"[INST] {user} [/INST] {content}")
+            pending_user = None
+        else:
+            raise ValueError(f"unknown role {role!r}")
+    out.append(f"[INST] {pending_user if pending_user is not None else ''} [/INST]")
+    return "".join(out)
+
+
+TEMPLATES = {
+    "chatml": render_chatml,
+    "inst": render_inst,
+}
+
+# text markers that end an assistant turn per template (checked as decoded
+# text in addition to the model's own EOS/EOT token ids)
+STOP_STRINGS = {
+    "chatml": ("<|im_end|>",),
+    "inst": ("[INST]",),
+}
+
+
+def render(messages: Sequence[dict], template: str = "chatml") -> str:
+    if template not in TEMPLATES:
+        raise ValueError(f"unknown chat template {template!r}; "
+                         f"available: {sorted(TEMPLATES)}")
+    return TEMPLATES[template](messages)

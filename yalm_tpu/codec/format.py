@@ -39,7 +39,8 @@ _DTYPE_TO_NP = {
 _NP_TO_DTYPE = {v: k for k, v in _DTYPE_TO_NP.items()}
 
 # Short dtype names used in checkpoint metadata ("dtype" key).
-DTYPE_STR_TO_TAG = {"fp32": "F32", "fp16": "F16", "bf16": "BF16", "fp8": "F8_E5M2"}
+DTYPE_STR_TO_TAG = {"fp32": "F32", "fp16": "F16", "bf16": "BF16", "fp8": "F8_E5M2",
+                    "int8": "I8"}
 
 
 def np_dtype_for(tag: str) -> np.dtype:

@@ -21,7 +21,7 @@ KV_SINKS = 2
 # whose config advertises a huge max_position_embeddings (src/model.cpp:31-36).
 MAX_SEQ_LEN_CLAMP = 4096
 
-SUPPORTED_DTYPES = ("fp32", "fp16", "bf16", "fp8")
+SUPPORTED_DTYPES = ("fp32", "fp16", "bf16", "fp8", "int8")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,7 +46,7 @@ class ModelConfig:
     qkv_clip: float = math.inf    # clip q/k/v to [-clip, clip] post-projection
     n_experts: int = 0            # MoE expert count (0 = dense)
     n_experts_active: int = 0     # top-k active experts
-    weight_dtype: str = "fp16"    # "fp32" | "fp16" | "bf16" | "fp8"
+    weight_dtype: str = "fp16"    # "fp32" | "fp16" | "bf16" | "fp8" | "int8"
     tie_word_embeddings: bool = False
     has_qkv_bias: bool = False    # Qwen2-style attention projection biases
 
@@ -142,7 +142,7 @@ class ModelConfig:
 
     # -- analytic bandwidth model -----------------------------------------
     def weight_byte_size(self) -> int:
-        return {"fp32": 4, "fp16": 2, "bf16": 2, "fp8": 1}[self.weight_dtype]
+        return {"fp32": 4, "fp16": 2, "bf16": 2, "fp8": 1, "int8": 1}[self.weight_dtype]
 
     def active_bytes(self, pos: int, kv_bytes: int = 2) -> int:
         """Bytes a single decode step must touch at position `pos`.

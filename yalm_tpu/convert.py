@@ -8,7 +8,11 @@ Normalizes a HuggingFace model directory (config.json + tokenizer.json +
 - un-permutes HF's Q/K projection layout back to interleaved-pair RoPE order
   (reference convert.py:145-158)
 - keeps all norm weights in fp32, casts everything else to the target dtype
-  (fp32 / fp16 / bf16 / fp8-e5m2)
+  (fp32 / fp16 / bf16 / fp8-e5m2 / int8). int8 is symmetric per-OUTPUT-
+  channel quantization: each row r stores round(w[r]/s_r) with its f32
+  scale s_r = max|w[r]| / 127 in a sibling "<name>.scale" tensor — real
+  quantization the reference only stubbed (SURVEY.md §2.5), with far more
+  effective mantissa than e5m2's 2 bits
 - stacks Mixtral per-expert FFN weights into (n_experts, ...) tensors
   (reference convert.py:188-193)
 - packs the token vocabulary into a single NUL-delimited U8 tensor
@@ -18,7 +22,7 @@ Implemented with numpy + ml_dtypes only (no torch): HF shards are plain
 safetensors files our codec can read directly, and numpy casting is
 round-to-nearest-even like torch's.
 
-Usage: python -m yalm_tpu.convert --dtype {fp32,fp16,bf16,fp8} out.yalm <hf_dir>
+Usage: python -m yalm_tpu.convert --dtype {fp32,fp16,bf16,fp8,int8} out.yalm <hf_dir>
 """
 
 from __future__ import annotations
@@ -170,6 +174,15 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
     n_heads = int(md["n_heads"])
     n_kv_heads = int(md["n_kv_heads"])
     is_moe = "n_experts" in md
+    int8 = dtype_str == "int8"
+
+    def quant8(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        '''Symmetric per-output-channel int8: rows are output channels.'''
+        t = t.astype(np.float32)
+        s = np.abs(t).max(axis=-1) / 127.0           # (N,) or (E, N)
+        s = np.where(s == 0.0, 1.0, s).astype(np.float32)
+        q = np.clip(np.rint(t / s[..., None]), -127, 127).astype(np.int8)
+        return q, s
 
     def conv(t: np.ndarray) -> np.ndarray:
         # two-step cast through fp32 so e.g. bf16 -> fp8 rounds like torch
@@ -181,17 +194,26 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
         return t.astype(np.float32)
 
     tensors: dict[str, np.ndarray] = {}
-    tensors["model.embed.weight"] = conv(weights["model.embed_tokens.weight"])
+
+    def put(name: str, t: np.ndarray) -> None:
+        if int8:
+            q, sc = quant8(t)
+            tensors[name] = q
+            tensors[name + ".scale"] = sc
+        else:
+            tensors[name] = conv(t)
+
+    put("model.embed.weight", weights["model.embed_tokens.weight"])
 
     for l in range(n_layers):
         p = f"model.layers.{l}"
         tensors[f"{p}.attn.norm.weight"] = f32(weights[f"{p}.input_layernorm.weight"])
-        tensors[f"{p}.attn.wq.weight"] = conv(
+        put(f"{p}.attn.wq.weight",
             permute_reverse(f32(weights[f"{p}.self_attn.q_proj.weight"]), n_heads, rotary_dim))
-        tensors[f"{p}.attn.wk.weight"] = conv(
+        put(f"{p}.attn.wk.weight",
             permute_reverse(f32(weights[f"{p}.self_attn.k_proj.weight"]), n_kv_heads, rotary_dim))
-        tensors[f"{p}.attn.wv.weight"] = conv(weights[f"{p}.self_attn.v_proj.weight"])
-        tensors[f"{p}.attn.wo.weight"] = conv(weights[f"{p}.self_attn.o_proj.weight"])
+        put(f"{p}.attn.wv.weight", weights[f"{p}.self_attn.v_proj.weight"])
+        put(f"{p}.attn.wo.weight", weights[f"{p}.self_attn.o_proj.weight"])
         for unsupported in (f"{p}.self_attn.o_proj.bias",
                             f"{p}.mlp.gate_proj.bias",
                             f"{p}.mlp.up_proj.bias",
@@ -213,21 +235,22 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
         tensors[f"{p}.mlp.norm.weight"] = f32(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:
-            tensors[f"{p}.moegate.weight"] = conv(weights[f"{p}.block_sparse_moe.gate.weight"])
+            put(f"{p}.moegate.weight", weights[f"{p}.block_sparse_moe.gate.weight"])
             for wi in ("w1", "w2", "w3"):
                 stacked = np.stack([
-                    conv(weights[f"{p}.block_sparse_moe.experts.{e}.{wi}.weight"])
+                    np.asarray(weights[f"{p}.block_sparse_moe.experts.{e}.{wi}.weight"]
+                               ).astype(np.float32)
                     for e in range(int(md["n_experts"]))
                 ])
-                tensors[f"{p}.mlp.{wi}.weight"] = stacked
+                put(f"{p}.mlp.{wi}.weight", stacked)
         else:
-            tensors[f"{p}.mlp.w1.weight"] = conv(weights[f"{p}.mlp.gate_proj.weight"])
-            tensors[f"{p}.mlp.w2.weight"] = conv(weights[f"{p}.mlp.down_proj.weight"])
-            tensors[f"{p}.mlp.w3.weight"] = conv(weights[f"{p}.mlp.up_proj.weight"])
+            put(f"{p}.mlp.w1.weight", weights[f"{p}.mlp.gate_proj.weight"])
+            put(f"{p}.mlp.w2.weight", weights[f"{p}.mlp.down_proj.weight"])
+            put(f"{p}.mlp.w3.weight", weights[f"{p}.mlp.up_proj.weight"])
 
     tensors["model.norm.weight"] = f32(weights["model.norm.weight"])
     if not tie_word_embeddings:
-        tensors["model.output.weight"] = conv(weights["lm_head.weight"])
+        put("model.output.weight", weights["lm_head.weight"])
     # (tied embeddings: the loader falls back to model.embed.weight, like
     #  reference src/model.cpp:371-373)
     return tensors

@@ -141,9 +141,12 @@ class Engine:
         if self.fast and mesh is not None:
             from .parallel.fast_tp import (make_decode_step_fast_tp,
                                            make_prefill_fast_tp)
-            _tp_step = make_decode_step_fast_tp(cfg, mesh)
-            _tp_hydrate = make_decode_step_fast_tp(cfg, mesh, output_logits=False)
-            _tp_prefill = make_prefill_fast_tp(cfg, mesh)
+            ws = getattr(weights, "scales", None) is not None
+            _tp_step = make_decode_step_fast_tp(cfg, mesh, with_scales=ws)
+            _tp_hydrate = make_decode_step_fast_tp(cfg, mesh,
+                                                   output_logits=False,
+                                                   with_scales=ws)
+            _tp_prefill = make_prefill_fast_tp(cfg, mesh, with_scales=ws)
 
             def _step(w, token, pos, cache, output_logits=True):
                 if not output_logits:
@@ -392,6 +395,112 @@ class Engine:
                 if t in stop or (max_steps != -1 and steps >= max_steps):
                     return
             token = block[-1]
+
+    # ------------------------------------------------------------------
+    def generate_speculative(
+        self,
+        prompt_tokens: Sequence[int],
+        *,
+        draft: "Engine",
+        n_draft: int = 4,
+        max_steps: int = 256,
+        stop_tokens: Sequence[int] = (),
+    ) -> Iterator[int]:
+        """Greedy speculative decoding: a small DRAFT engine proposes
+        n_draft tokens per round and this (target) engine verifies them in
+        ONE chunked forward — emitting the longest agreeing prefix plus the
+        target's correction, so each target weight-sweep yields up to
+        n_draft+1 tokens instead of one.
+
+        Entirely new capability vs the reference (strictly one token per
+        full-model pass, src/main.cpp:102-112). Output is EXACTLY the
+        target's greedy stream: verification compares the draft's proposals
+        against the target's own argmax at every position, so acceptance
+        only shortcuts compute, never changes tokens.
+
+        Speculated cache rows past the accepted prefix are simply abandoned
+        (slots >= kv_len are invisible to attention and get overwritten as
+        decoding proceeds). The ring regime overwrites OLD rows that a
+        rejection could not restore, so speculation stops at the window and
+        decoding falls back to the normal per-token loop there.
+        """
+        cfg = self.cfg
+        draft_stats = {"rounds": 0, "accepted": 0}
+        self._spec_stats = draft_stats
+        self.prefill_tokens(prompt_tokens, want_logits=True)
+        draft.prefill_tokens(prompt_tokens, want_logits=False)
+        stop = set(int(s) for s in stop_tokens)
+
+        assert self._last_logits is not None
+        cur = int(jnp.argmax(self._last_logits))
+        steps = 0
+        key = jax.random.PRNGKey(0)
+        zero = jnp.float32(0.0)
+
+        yield cur
+        steps += 1
+        if cur in stop:
+            return
+
+        K = max(1, int(n_draft))
+        bucket = _bucket_for(K)
+        while max_steps == -1 or steps < max_steps:
+            # the padded verify chunk must fit before the window edge, else
+            # dynamic_update_slice would clamp its start (chunk_schedule's
+            # rule) — and the ring regime can't roll back anyway
+            if self.pos + bucket >= cfg.max_seq_len:
+                # window edge: plain greedy decode from here on
+                while max_steps == -1 or steps < max_steps:
+                    tok_arr, logits, self.cache = self._step_sample(
+                        self.weights, jnp.int32(cur), jnp.int32(self.pos),
+                        self.cache, key, zero)
+                    self._last_logits = logits
+                    self.pos += 1
+                    draft.pos += 1  # keep in sync (draft unused past here)
+                    cur = int(tok_arr)
+                    yield cur
+                    steps += 1
+                    if cur in stop:
+                        return
+                return
+
+            # 1) draft proposes K greedy tokens after `cur`
+            d_out, draft.cache = draft._decode_block(
+                draft.weights, jnp.int32(cur), jnp.int32(draft.pos),
+                draft.cache, key, zero, n=K)
+            draft.pos += K
+            d = [int(t) for t in np.asarray(d_out)]           # d[0..K-1]
+
+            # 2) target verifies the whole window in ONE chunked forward:
+            #    logits at row i answer "what follows [.., cur, d0..d_{i-1}]"
+            chunk = np.zeros(bucket, np.int32)
+            chunk[:K] = [cur] + d[: K - 1]
+            pos0 = self.pos
+            all_logits, self.cache = self._prefill(
+                self.weights, jnp.asarray(chunk), jnp.int32(pos0),
+                jnp.int32(K), self.cache, logits_mode="all")
+            t = np.asarray(jnp.argmax(all_logits[:K], axis=-1))
+
+            # 3) longest agreeing prefix, then the target's correction
+            a = 0
+            while a < K - 1 and d[a] == int(t[a]):
+                a += 1
+            emitted = [int(x) for x in d[:a]] + [int(t[a])]
+            draft_stats["rounds"] += 1
+            draft_stats["accepted"] += a
+
+            # accepted rows pos0..pos0+a hold [cur, d0..d_{a-1}]; the row
+            # for `emitted[-1]` is written by the next round's forwards
+            self.pos = pos0 + a + 1
+            draft.pos = pos0 + a + 1
+            self._last_logits = all_logits[a]
+
+            for tok in emitted:
+                yield int(tok)
+                steps += 1
+                if tok in stop or (max_steps != -1 and steps >= max_steps):
+                    return
+            cur = emitted[-1]
 
     # ------------------------------------------------------------------
     def perplexity(self, tokens: Sequence[int]) -> tuple[float, float, int]:

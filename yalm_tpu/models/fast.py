@@ -47,11 +47,28 @@ from .cache import KVCache
 from .weights import Weights
 
 
+class FastScales(NamedTuple):
+    """Per-output-channel dequant scales for int8 checkpoints, laid out to
+    mirror FastWeights' concatenated row order (y = (W_q @ x) * scale)."""
+
+    embed: jax.Array       # (vocab,) f32
+    wqkv: jax.Array        # (n_layers, q_dim + 2*kv_dim) f32
+    wo: jax.Array          # (n_layers, dim) f32
+    w13: jax.Array         # (n_layers, [n_experts,] 2*hidden_dim) f32
+    w2: jax.Array          # (n_layers, [n_experts,] dim) f32
+    lm_head: jax.Array     # (vocab,) f32
+    moegate: Optional[jax.Array] = None  # (n_layers, n_experts) f32
+
+
 class FastWeights(NamedTuple):
     """Decode-optimized weight layout (projection pairs pre-concatenated).
 
     For MoE models w13/w2 carry an expert axis and moegate holds the router
-    (dense models: moegate is None and the expert axis is absent)."""
+    (dense models: moegate is None and the expert axis is absent).
+    int8 checkpoints carry `scales` (FastScales); the kernels widen the int8
+    tiles to bf16 on the VPU and multiply the per-channel scale into the f32
+    accumulator at flush — HBM traffic stays at 1 byte/weight with ~3x the
+    effective mantissa of fp8-e5m2."""
 
     embed: jax.Array       # (vocab, dim)
     rms_att: jax.Array     # (n_layers, dim) f32
@@ -64,6 +81,7 @@ class FastWeights(NamedTuple):
     lm_head: jax.Array     # (vocab, dim)
     moegate: Optional[jax.Array] = None  # (n_layers, n_experts, dim)
     bqkv: Optional[jax.Array] = None     # (n_layers, q_dim + 2*kv_dim) f32
+    scales: Optional[FastScales] = None  # int8 checkpoints only
 
     @classmethod
     def from_weights(cls, w: Weights, cfg: ModelConfig) -> "FastWeights":
@@ -151,6 +169,39 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
         bqkv = device_put(stack_cat([("model.layers.{}.attn.wq.bias", (q,)),
                                      ("model.layers.{}.attn.wk.bias", (kd,)),
                                      ("model.layers.{}.attn.wv.bias", (kd,))]))
+
+    scales = None
+    if "model.embed.weight.scale" in t:   # int8 checkpoint (scales present)
+        # dequant scales mirror the weight concatenation row-for-row
+        # (including the tp shard-major interleave)
+        if cfg.is_moe:
+            E = cfg.n_experts
+            s13 = stack_cat([("model.layers.{}.mlp.w1.weight.scale", (E, h)),
+                             ("model.layers.{}.mlp.w3.weight.scale", (E, h))],
+                            axis=1)
+            s2 = stack("model.layers.{}.mlp.w2.weight.scale", (E, d))
+            smoe = device_put(stack("model.layers.{}.moegate.weight.scale", (E,)))
+        else:
+            s13 = stack_cat([("model.layers.{}.mlp.w1.weight.scale", (h,)),
+                             ("model.layers.{}.mlp.w3.weight.scale", (h,))])
+            s2 = stack("model.layers.{}.mlp.w2.weight.scale", (d,))
+            smoe = None
+        semb = device_put(get("model.embed.weight.scale", (cfg.vocab_size,)))
+        slm = (device_put(get("model.output.weight.scale", (cfg.vocab_size,)))
+               if "model.output.weight.scale" in t else semb)
+        scales = FastScales(
+            embed=semb,
+            wqkv=device_put(stack_cat(
+                [("model.layers.{}.attn.wq.weight.scale", (q,)),
+                 ("model.layers.{}.attn.wk.weight.scale", (kd,)),
+                 ("model.layers.{}.attn.wv.weight.scale", (kd,))])),
+            wo=device_put(stack("model.layers.{}.attn.wo.weight.scale", (d,))),
+            w13=device_put(s13),
+            w2=device_put(s2),
+            lm_head=slm,
+            moegate=smoe,
+        )
+
     return FastWeights(
         embed=embed,
         bqkv=bqkv,
@@ -165,6 +216,7 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
         final_norm=device_put(get("model.norm.weight", (d,))),
         lm_head=lm,
         moegate=moegate,
+        scales=scales,
     )
 
 
@@ -187,7 +239,7 @@ def fast_batched_supported(cfg: ModelConfig) -> bool:
     return fast_supported(cfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "output_logits"))
+@partial(jax.jit, static_argnames=("cfg", "output_logits", "capture"))
 def decode_step_fast(
     cfg: ModelConfig,
     fw: FastWeights,
@@ -196,14 +248,29 @@ def decode_step_fast(
     cache: KVCache,
     *,
     output_logits: bool = True,
+    capture: bool = False,
 ) -> tuple[Optional[jax.Array], KVCache]:
-    """One decode step; numerics match decode_step(compute_dtype=bf16)."""
+    """One decode step; numerics match decode_step(compute_dtype=bf16).
+
+    capture=True mirrors the oracle's DEBUG_MODEL-style activation capture
+    (transformer.decode_step, reference src/model.h:329-348) ON THE FAST
+    PATH: returns (logits, cache, cap) where cap maps the same keys
+    (att_in/q/k/v/att_mix/ffn_in/block_out/final_norm/logits) to per-layer
+    stacks pulled from the REAL Pallas kernel boundaries — so
+    utils.debug.diff_captures can localize an oracle-vs-kernel divergence
+    layer by layer at full model scale. Capture uses the unfused kernel
+    sequence (separate gemv_l / attend_step_l calls) so the boundaries
+    exist; it is a debugging mode, not the hot path.
+    """
     L = cfg.max_seq_len
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
+    sc = fw.scales
 
     x = fw.embed[token].astype(jnp.float32)
+    if sc is not None:
+        x = x * sc.embed[token]
 
     kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
     kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
@@ -213,6 +280,66 @@ def decode_step_fast(
         if math.isinf(cfg.qkv_clip):
             return a
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    if capture:
+        cap_layers: list[dict] = []
+        k_all, v_all = cache.k, cache.v
+        for i in range(cfg.n_layers):
+            rec: dict = {}
+            xb = rmsnorm(x, fw.rms_att[i], cfg.norm_eps)
+            rec["att_in"] = xb
+            qkv = gemv_l(xb, fw.wqkv, jnp.int32(i),
+                         scale=sc.wqkv if sc else None)
+            if fw.bqkv is not None:
+                qkv = qkv + fw.bqkv[i]
+            qkv = clip(qkv)
+            q = qkv[: cfg.q_dim]
+            k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+            v = qkv[cfg.q_dim + cfg.kv_dim:]
+            # kernels rope internally; capture post-rope like the oracle
+            rec["q"] = apply_rope(q.reshape(Hq, D), pos,
+                                  cfg.rope_theta, cfg.rotary_dim)
+            rec["k"] = apply_rope(k.reshape(Hk, D), pos,
+                                  cfg.rope_theta, cfg.rotary_dim)
+            rec["v"] = v.reshape(Hk, D)
+            mixed, k_all, v_all = attend_step_l(
+                q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
+                k_all, v_all, jnp.int32(i), kv_pos, kv_len, kv_sink, pos,
+                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                rotary_dim=cfg.rotary_dim)
+            rec["att_mix"] = mixed.reshape(cfg.q_dim)
+            x = gemv_l(rec["att_mix"], fw.wo, jnp.int32(i), residual=x,
+                       scale=sc.wo if sc else None)
+            xb2 = rmsnorm(x, fw.rms_ffn[i], cfg.norm_eps)
+            rec["ffn_in"] = xb2
+            if cfg.is_moe:
+                router = gemv_l(xb2, fw.moegate, jnp.int32(i),
+                                scale=sc.moegate if sc else None)
+                gates, idx = moe_gate(router, cfg.n_experts_active)
+                for j in range(cfg.n_experts_active):
+                    h13 = gemv_le(xb2, fw.w13, jnp.int32(i), idx[j],
+                                  sc.w13 if sc else None)
+                    h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+                    x = x + gates[j] * gemv_le(h, fw.w2, jnp.int32(i), idx[j],
+                                               sc.w2 if sc else None)
+            else:
+                h13 = gemv_l(xb2, fw.w13, jnp.int32(i),
+                             scale=sc.w13 if sc else None)
+                h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+                x = x + gemv_l(h, fw.w2, jnp.int32(i),
+                               scale=sc.w2 if sc else None)
+            rec["block_out"] = x
+            cap_layers.append(rec)
+        cap = {k_: jnp.stack([r[k_] for r in cap_layers])
+               for k_ in cap_layers[0]}
+        new_cache = KVCache(k=k_all, v=v_all)
+        if not output_logits:
+            return None, new_cache, cap
+        xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        logits = gemv(xn, fw.lm_head, sc.lm_head if sc else None)
+        cap["final_norm"] = xn
+        cap["logits"] = logits
+        return logits, new_cache, cap
 
     # the fused-rmsnorm variant needs full-K weight blocks (pick_blocks gives
     # them for every realistic dim; fall back to the separate op otherwise)
@@ -233,17 +360,20 @@ def decode_step_fast(
                 kv_pos, kv_len, kv_sink, pos,
                 n_heads=Hq, kv_sinks=KV_SINKS, theta=cfg.rope_theta,
                 rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
-                qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv)
+                qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv,
+                scale_qkv=sc.wqkv if sc else None,
+                scale_o=sc.wo if sc else None)
         else:
             # rmsnorm fused into the projection kernel (saves the XLA op and
             # an activation round-trip); residual add fused into wo likewise
             if fuse_norm:
                 qkv = gemv_l(x, fw.wqkv, i, norm_w=fw.rms_att,
-                             norm_eps=cfg.norm_eps)
+                             norm_eps=cfg.norm_eps,
+                             scale=sc.wqkv if sc else None)
             else:
                 xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                              cfg.norm_eps)
-                qkv = gemv_l(xb, fw.wqkv, i)
+                qkv = gemv_l(xb, fw.wqkv, i, scale=sc.wqkv if sc else None)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
@@ -260,13 +390,15 @@ def decode_step_fast(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
                 kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
-            x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x)
+            x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x,
+                       scale=sc.wo if sc else None)
 
         # -- FFN --------------------------------------------------------------
         if fuse_norm and not cfg.is_moe:
             # whole FFN (norm + w13 stream + GLU + w2 stream + residual) in
             # one kernel: no pipeline drain between the two weight sweeps
             x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                      sc.w13 if sc else None, sc.w2 if sc else None,
                       norm_eps=cfg.norm_eps, act=cfg.act_type)
             return (x, k_all, v_all)
         xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
@@ -274,16 +406,18 @@ def decode_step_fast(
         if cfg.is_moe:
             # router -> top-k -> per-active-expert fused GEMVs; only the
             # routed experts' bytes leave HBM (reference src/infer.cpp:347-384)
-            router = gemv_l(xb2, fw.moegate, i)
+            router = gemv_l(xb2, fw.moegate, i,
+                            scale=sc.moegate if sc else None)
             gates, idx = moe_gate(router, cfg.n_experts_active)
             for j in range(cfg.n_experts_active):
-                h13 = gemv_le(xb2, fw.w13, i, idx[j])
+                h13 = gemv_le(xb2, fw.w13, i, idx[j], sc.w13 if sc else None)
                 h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                x = x + gates[j] * gemv_le(h, fw.w2, i, idx[j])
+                x = x + gates[j] * gemv_le(h, fw.w2, i, idx[j],
+                                           sc.w2 if sc else None)
         else:
-            h13 = gemv_l(xb2, fw.w13, i)
+            h13 = gemv_l(xb2, fw.w13, i, scale=sc.w13 if sc else None)
             h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-            x = x + gemv_l(h, fw.w2, i)
+            x = x + gemv_l(h, fw.w2, i, scale=sc.w2 if sc else None)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -293,7 +427,7 @@ def decode_step_fast(
     if not output_logits:
         return None, new_cache
     x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemv(x, fw.lm_head)
+    logits = gemv(x, fw.lm_head, sc.lm_head if sc else None)
     return logits, new_cache
 
 
@@ -323,8 +457,11 @@ def decode_step_fast_batched(
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
+    sc = fw.scales
 
     x = fw.embed[tokens].astype(jnp.float32)           # (B, dim)
+    if sc is not None:
+        x = x * sc.embed[tokens][:, None]
 
     kv_sink = jnp.where(positions >= L, KV_SINKS, 0)   # (B,)
     kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
@@ -339,7 +476,7 @@ def decode_step_fast_batched(
         x, k_all, v_all = carry
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                      cfg.norm_eps)
-        qkv = gemm_l(xb, fw.wqkv, i)                   # (B, q+2kv)
+        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (B, q+2kv)
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
         qkv = clip(qkv)
@@ -351,7 +488,8 @@ def decode_step_fast_batched(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             k_all, v_all, i, kv_pos, kv_len, kv_sink, positions, write_mask,
             kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
-        x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i)
+        x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
+                       sc.wo if sc else None)
 
         if cfg.is_moe:
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
@@ -360,27 +498,30 @@ def decode_step_fast_batched(
             # every expert is active for someone — stream ALL experts' bytes
             # once per tick and mask per-lane gates (amortized over B, this
             # matches the routed-only traffic of the single-stream path)
-            router = gemm_l(xb2, fw.moegate, i)          # (B, E)
+            router = gemm_l(xb2, fw.moegate, i,
+                            sc.moegate if sc else None)  # (B, E)
             gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
                 router, cfg.n_experts_active)            # (B, k) each
             delta = jnp.zeros_like(x)
             for e in range(cfg.n_experts):
                 gate_e = jnp.sum(jnp.where(idx == e, gates, 0.0), axis=-1)
-                h13 = gemm_le(xb2, fw.w13, i, e)
+                h13 = gemm_le(xb2, fw.w13, i, e, sc.w13 if sc else None)
                 h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-                delta = delta + gate_e[:, None] * gemm_le(h, fw.w2, i, e)
+                delta = delta + gate_e[:, None] * gemm_le(
+                    h, fw.w2, i, e, sc.w2 if sc else None)
             x = x + delta
         else:
             # one fused kernel for the whole batched FFN (norm + w13 + GLU
             # + w2 + residual), weight stream shared by all lanes
             x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                      sc.w13 if sc else None, sc.w2 if sc else None,
                       norm_eps=cfg.norm_eps, act=cfg.act_type)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
     x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemm(x, fw.lm_head)
+    logits = gemm(x, fw.lm_head, sc.lm_head if sc else None)
     return logits, KVCache(k=k_new, v=v_new)
 
 
@@ -414,6 +555,7 @@ def prefill_fast(
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
     cd = jnp.bfloat16
+    sc = fw.scales
 
     positions = pos0 + jnp.arange(T)
     valid = jnp.arange(T) < valid_len
@@ -430,6 +572,8 @@ def prefill_fast(
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
 
     x = fw.embed[tokens].astype(jnp.float32)  # (T, dim)
+    if sc is not None:
+        x = x * sc.embed[tokens][:, None]
 
     def attend_chunk_bf16(q4, kc, vc):
         """Chunk attention with bf16 dots + f32 softmax — the decode kernels'
@@ -449,7 +593,7 @@ def prefill_fast(
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                          cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i)                         # (T, q+2kv)
+            qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (T, q+2kv)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
@@ -473,13 +617,14 @@ def prefill_fast(
             kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
             mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
-            x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i)
+            x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                           sc.wo if sc else None)
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                           cfg.norm_eps)
-            h13 = gemm_l(xb2, fw.w13, i)
+            h13 = gemm_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + gemm_l(h, fw.w2, i)
+            x = x + gemm_l(h, fw.w2, i, sc.w2 if sc else None)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -488,10 +633,16 @@ def prefill_fast(
     else:
         def layer_fn(x, layer):
             rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate, *extra = layer
+            if cfg.has_qkv_bias:
+                bias, extra = extra[0], extra[1:]
+            if sc is not None:
+                s_qkv, s_wo, s_w13, s_w2, s_moe = extra
             xb = rmsnorm(x, rms_a, cfg.norm_eps)
             qkv = proj(xb, wqkv)                                 # (T, q+2kv)
+            if sc is not None:
+                qkv = qkv * s_qkv[None].astype(jnp.float32)
             if cfg.has_qkv_bias:
-                qkv = qkv + extra[0]
+                qkv = qkv + bias
             qkv = clip(qkv)
             q = qkv[:, : cfg.q_dim]
             k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
@@ -510,17 +661,28 @@ def prefill_fast(
                 vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
 
             mixed = attend_chunk(q.reshape(T, Hk, qpk, D), kc, vc, att_mask)
-            x = x + proj(mixed.reshape(T, cfg.q_dim), wo)
+            att_out = proj(mixed.reshape(T, cfg.q_dim), wo)
+            if sc is not None:
+                att_out = att_out * s_wo[None].astype(jnp.float32)
+            x = x + att_out
 
             xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
 
             def one_tok(r):
-                gates, idx = moe_gate(proj(r, moegate), cfg.n_experts_active)
+                router = proj(r, moegate)
+                if sc is not None:
+                    router = router * s_moe.astype(jnp.float32)
+                gates, idx = moe_gate(router, cfg.n_experts_active)
 
                 def one_expert(e):
                     h13 = proj(r, w13[e])
+                    if sc is not None:
+                        h13 = h13 * s_w13[e].astype(jnp.float32)
                     h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                    return proj(h, w2[e])
+                    out = proj(h, w2[e])
+                    if sc is not None:
+                        out = out * s_w2[e].astype(jnp.float32)
+                    return out
                 deltas = jax.vmap(one_expert)(idx)
                 return jnp.sum(gates[:, None] * deltas, axis=0)
 
@@ -528,10 +690,12 @@ def prefill_fast(
             return x, (kc, vc)
 
         bias_extra = (fw.bqkv,) if cfg.has_qkv_bias else ()
+        scale_extra = ((sc.wqkv, sc.wo, sc.w13, sc.w2, sc.moegate)
+                       if sc is not None else ())
         x, (k_new, v_new) = jax.lax.scan(
             layer_fn, x,
             (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
-             cache.k, cache.v, fw.moegate) + bias_extra)
+             cache.k, cache.v, fw.moegate) + bias_extra + scale_extra)
         new_cache = KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":
@@ -539,8 +703,11 @@ def prefill_fast(
     if logits_mode == "last":
         x_last = jnp.take(x, valid_len - 1, axis=0)
         x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
-        return gemv(x_last, fw.lm_head), new_cache
+        return gemv(x_last, fw.lm_head, sc.lm_head if sc else None), new_cache
     if logits_mode == "all":
         xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-        return proj(xn, fw.lm_head), new_cache
+        out = proj(xn, fw.lm_head)
+        if sc is not None:
+            out = out * sc.lm_head[None].astype(jnp.float32)
+        return out, new_cache
     raise ValueError(f"bad logits_mode {logits_mode!r}")

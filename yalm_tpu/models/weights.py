@@ -111,7 +111,15 @@ def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weig
         # the source of seemingly-random segfaults and garbage weights.
         # (Stacked tensors are implicitly copied by np.stack; this covers
         # the directly-loaded ones.)
-        return _expect(t[name], shape, name).copy()
+        arr = _expect(t[name], shape, name)
+        sc = t.get(name + ".scale")
+        if sc is not None:
+            # int8 checkpoints: the ORACLE path dequantizes at load
+            # (q * per-output-channel scale, exact in f32) — the golden
+            # semantics the fast path's in-kernel dequant must match.
+            # The fast loader keeps int8 + scales instead (load_fast_weights).
+            return arr.astype(np.float32) * np.asarray(sc, np.float32)[..., None]
+        return arr.copy()
 
     d, h, kd, q = cfg.dim, cfg.hidden_dim, cfg.kv_dim, cfg.q_dim
     ffn_shape1 = (cfg.n_experts, h, d) if cfg.is_moe else (h, d)

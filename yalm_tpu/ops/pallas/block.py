@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gemv import _bf16, _emulate, _gemv_ref, pick_blocks
 from .attention import _attn_step_ref, _fused_attn_body
+from .ffn import _DEPTH
 
 
 def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
@@ -48,9 +49,11 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
                        kv_sinks: int, theta: float, rotary_dim: int,
                        norm_eps: float, qkv_clip: float,
                        Nqkv: int, K: int, q_dim: int, bnq: int, bno: int,
-                       has_bias: bool, add_residual: bool):
+                       has_bias: bool, add_residual: bool, has_scale: bool):
     refs = list(rest)
     bias_ref = refs.pop(0) if has_bias else None
+    sq_ref = refs.pop(0) if has_scale else None
+    so_ref = refs.pop(0) if has_scale else None
     (wqkv_hbm, wo_hbm, k_hbm, v_hbm,
      o_ref, ko_hbm, vo_hbm,
      wqkvbuf, wobuf, qkv_ref,
@@ -78,31 +81,37 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
     def wo_dma(slot, blk):
         return pltpu.make_async_copy(
             wo_hbm.at[layer, pl.ds(blk * bno, bno)], wobuf.at[slot],
-            wsem.at[2 + slot])
+            wsem.at[_DEPTH + slot])
 
-    # ---- phase 1: qkv = Wqkv[layer] @ xb, double-buffered ---------------
-    wqkv_dma(0, 0).start()
+    # ---- phase 1: qkv = Wqkv[layer] @ xb, _DEPTH tiles in flight --------
+    for d in range(min(_DEPTH, nq)):
+        wqkv_dma(d, d).start()
 
     def p1(blk, _):
-        slot = blk % 2
+        slot = blk % _DEPTH
+        wqkv_dma(slot, blk).wait()
+        y = jax.lax.dot_general(
+            xb, _bf16(wqkvbuf[slot]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if has_scale:
+            y = y * sq_ref[0, :, pl.ds(blk * bnq, bnq)]
+        qkv_ref[:, pl.ds(blk * bnq, bnq)] = y
 
-        @pl.when(blk + 1 < nq)
+        # slot consumed; refill it _DEPTH tiles ahead
+        @pl.when(blk + _DEPTH < nq)
         def _():
-            wqkv_dma((blk + 1) % 2, blk + 1).start()
+            wqkv_dma(slot, blk + _DEPTH).start()
 
         # prefetch the first wo tile behind the last wqkv tile: the wo sweep
         # starts hot even when the attention phase is short
-        @pl.when(blk + 1 == nq)
+        @pl.when(blk + _DEPTH == nq)
         def _():
             wo_dma(0, 0).start()
-
-        wqkv_dma(slot, blk).wait()
-        qkv_ref[:, pl.ds(blk * bnq, bnq)] = jax.lax.dot_general(
-            xb, _bf16(wqkvbuf[slot]),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, nq, p1, 0)
+    if nq < _DEPTH:
+        wo_dma(0, 0).start()
 
     qkv = qkv_ref[...]                                        # (1, Nqkv) f32
     if has_bias:
@@ -146,20 +155,25 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
     mixb = mixl.astype(jnp.bfloat16)
 
     # ---- phase 3: out = Wo[layer] @ mix + residual ----------------------
+    # tile 0 was prefetched during phase 1; top the pipeline up now
+    for d in range(1, min(_DEPTH, no)):
+        wo_dma(d, d).start()
+
     def p3(blk, _):
-        slot = blk % 2
-
-        @pl.when(blk + 1 < no)
-        def _():
-            wo_dma((blk + 1) % 2, blk + 1).start()
-
+        slot = blk % _DEPTH
         wo_dma(slot, blk).wait()
         y = jax.lax.dot_general(
             mixb, _bf16(wobuf[slot]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if has_scale:
+            y = y * so_ref[0, :, pl.ds(blk * bno, bno)]
         if add_residual:
             y = y + x_ref[:, pl.ds(blk * bno, bno)]
         o_ref[:, pl.ds(blk * bno, bno)] = y
+
+        @pl.when(blk + _DEPTH < no)
+        def _():
+            wo_dma(slot, blk + _DEPTH).start()
         return 0
 
     jax.lax.fori_loop(0, no, p3, 0)
@@ -196,6 +210,8 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
                  n_heads: int, kv_sinks: int, theta: float, rotary_dim: int,
                  norm_eps: float, qkv_clip: float = float("inf"),
                  bqkv_all: jax.Array | None = None, add_residual: bool = True,
+                 scale_qkv: jax.Array | None = None,
+                 scale_o: jax.Array | None = None,
                  block_s: int = 0, interpret: bool | None = None
                  ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """x + Wo[layer] @ attend(rope(Wqkv[layer] @ rmsnorm(x))) in one kernel.
@@ -225,7 +241,9 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
         ms = jnp.mean(xv * xv)
         xb = xv * jax.lax.rsqrt(ms + norm_eps) * nw.astype(jnp.float32)
         qkv = _gemv_ref(xb, jax.lax.dynamic_index_in_dim(
-            wqkv_all, layer, keepdims=False))
+            wqkv_all, layer, keepdims=False),
+            jax.lax.dynamic_index_in_dim(scale_qkv, layer, keepdims=False)
+            if scale_qkv is not None else None)
         if bqkv_all is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(
                 bqkv_all, layer, keepdims=False).astype(jnp.float32)
@@ -238,7 +256,9 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             q2, knew, vnew, k_all, v_all, layer, kv_pos, kv_len, kv_sink,
             pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
         out = _gemv_ref(mix.reshape(q_dim), jax.lax.dynamic_index_in_dim(
-            wo_all, layer, keepdims=False))
+            wo_all, layer, keepdims=False),
+            jax.lax.dynamic_index_in_dim(scale_o, layer, keepdims=False)
+            if scale_o is not None else None)
         if add_residual:
             out = x + out
         return out, k_all, v_all
@@ -258,11 +278,20 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
         interpret = False
 
     has_bias = bqkv_all is not None
+    has_scale = scale_qkv is not None
+    assert (scale_o is not None) == has_scale, "scale_qkv/scale_o come together"
     extra_in, extra_specs = [], []
     if has_bias:
         extra_in.append(bqkv_all.reshape(L, 1, Nqkv).astype(jnp.float32))
         extra_specs.append(
             pl.BlockSpec((1, 1, Nqkv), lambda i, sc: (sc[0], 0, 0)))
+    if has_scale:
+        extra_in.append(scale_qkv.reshape(L, 1, Nqkv).astype(jnp.float32))
+        extra_specs.append(
+            pl.BlockSpec((1, 1, Nqkv), lambda i, sc: (sc[0], 0, 0)))
+        extra_in.append(scale_o.reshape(L, 1, K).astype(jnp.float32))
+        extra_specs.append(
+            pl.BlockSpec((1, 1, K), lambda i, sc: (sc[0], 0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -282,8 +311,8 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, bnq, K), wqkv_all.dtype),
-            pltpu.VMEM((2, bno, q_dim), wo_all.dtype),
+            pltpu.VMEM((_DEPTH, bnq, K), wqkv_all.dtype),
+            pltpu.VMEM((_DEPTH, bno, q_dim), wo_all.dtype),
             pltpu.VMEM((1, Nqkv), jnp.float32),
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
@@ -293,14 +322,14 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2 * _DEPTH,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
     # operand numbering for aliasing includes the scalar-prefetch arg (0)
-    k_idx = 3 + (1 if has_bias else 0) + 2   # scal, x, nw, [bias], wqkv, wo
+    k_idx = 3 + (1 if has_bias else 0) + (2 if has_scale else 0) + 2
     scal = jnp.stack([jnp.asarray(layer, jnp.int32),
                       jnp.asarray(kv_pos, jnp.int32),
                       jnp.asarray(kv_len, jnp.int32),
@@ -312,7 +341,7 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
             norm_eps=norm_eps, qkv_clip=qkv_clip, Nqkv=Nqkv, K=K,
             q_dim=q_dim, bnq=bnq, bno=bno, has_bias=has_bias,
-            add_residual=add_residual),
+            add_residual=add_residual, has_scale=has_scale),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, K), jnp.float32),

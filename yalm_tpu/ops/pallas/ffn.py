@@ -23,10 +23,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .gemv import _bf16, _emulate, _gemv_ref, pick_blocks
 
 
-def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
-                w13buf, w2buf, h_ref, sem, *,
+_DEPTH = 2  # outstanding weight-tile DMAs per stream. Measured on v5e: a
+            # lone double-buffered stream already reaches ~700 GB/s and
+            # depth 3 benched NO faster end-to-end (94.8 vs 96.0 tok/s) —
+            # the extra VMEM buys nothing, so keep the classic double buffer
+
+
+def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, *rest,
                 H: int, K: int, D: int, bn1: int, bn2: int,
-                norm_eps: float, act: str, add_residual: bool):
+                norm_eps: float, act: str, add_residual: bool,
+                has_scale: bool):
+    refs = list(rest)
+    if has_scale:
+        s13_ref = refs.pop(0)
+        s2_ref = refs.pop(0)
+    w13_hbm, w2_hbm, o_ref, w13buf, w2buf, h_ref, sem = refs
     layer = scal_ref[0]
     n1 = (2 * H) // bn1
     n2 = D // bn2
@@ -45,31 +56,39 @@ def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
     def w2_dma(slot, blk):
         return pltpu.make_async_copy(
             w2_hbm.at[layer, pl.ds(blk * bn2, bn2)], w2buf.at[slot],
-            sem.at[2 + slot])
+            sem.at[_DEPTH + slot])
 
-    # -- phase 1: h13 = W13 @ xb, tiles double-buffered -------------------
-    w13_dma(0, 0).start()
+    # -- phase 1: h13 = W13 @ xb, DEPTH tiles in flight -------------------
+    for d in range(min(_DEPTH, n1)):
+        w13_dma(d, d).start()
 
     def p1(blk, _):
-        slot = blk % 2
+        slot = blk % _DEPTH
+        w13_dma(slot, blk).wait()
+        y = jax.lax.dot_general(
+            xb, _bf16(w13buf[slot]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if has_scale:
+            y = y * s13_ref[0, :, pl.ds(blk * bn1, bn1)]
+        h_ref[:, pl.ds(blk * bn1, bn1)] = y
 
-        @pl.when(blk + 1 < n1)
+        # the dot has consumed this slot; refill it DEPTH tiles ahead
+        @pl.when(blk + _DEPTH < n1)
         def _():
-            w13_dma((blk + 1) % 2, blk + 1).start()
+            w13_dma(slot, blk + _DEPTH).start()
 
-        # start the FIRST w2 tile as soon as the LAST w13 tile is in flight:
+        # start the FIRST w2 tile once the last w13 tile is in flight:
         # no pipeline drain between the two weight streams
-        @pl.when(blk + 1 == n1)
+        @pl.when(blk + _DEPTH == n1)
         def _():
             w2_dma(0, 0).start()
 
-        w13_dma(slot, blk).wait()
-        h_ref[:, pl.ds(blk * bn1, bn1)] = jax.lax.dot_general(
-            xb, _bf16(w13buf[slot]),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, n1, p1, 0)
+    if n1 < _DEPTH:
+        # short first phase: the in-loop w2 prefetch never triggered
+        w2_dma(0, 0).start()
 
     # -- GLU in VMEM ------------------------------------------------------
     h1 = h_ref[:, :H]
@@ -81,20 +100,26 @@ def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
     hb = (g * h3).astype(jnp.bfloat16)   # (1, H)
 
     # -- phase 2: out = W2 @ h + residual ---------------------------------
+    # tiles 1.._DEPTH-1 start as soon as h is ready (tile 0 started during
+    # phase 1)
+    for d in range(1, min(_DEPTH, n2)):
+        w2_dma(d, d).start()
+
     def p2(blk, _):
-        slot = blk % 2
-
-        @pl.when(blk + 1 < n2)
-        def _():
-            w2_dma((blk + 1) % 2, blk + 1).start()
-
+        slot = blk % _DEPTH
         w2_dma(slot, blk).wait()
         y = jax.lax.dot_general(
             hb, _bf16(w2buf[slot]),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if has_scale:
+            y = y * s2_ref[0, :, pl.ds(blk * bn2, bn2)]
         if add_residual:
             y = y + res_ref[:, pl.ds(blk * bn2, bn2)]
         o_ref[:, pl.ds(blk * bn2, bn2)] = y
+
+        @pl.when(blk + _DEPTH < n2)
+        def _():
+            w2_dma(slot, blk + _DEPTH).start()
         return 0
 
     jax.lax.fori_loop(0, n2, p2, 0)
@@ -103,7 +128,9 @@ def _ffn_kernel(scal_ref, x_ref, nw_ref, res_ref, w13_hbm, w2_hbm, o_ref,
 @functools.partial(jax.jit, static_argnames=("norm_eps", "act",
                                              "add_residual", "interpret"))
 def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
-          w2_all: jax.Array, layer: jax.Array, *,
+          w2_all: jax.Array, layer: jax.Array,
+          scale13: jax.Array | None = None,
+          scale2: jax.Array | None = None, *,
           norm_eps: float, act: str, add_residual: bool = True,
           interpret: bool | None = None) -> jax.Array:
     """x + W2[layer] @ glu(W13[layer] @ rmsnorm(x, norm_w[layer])).
@@ -133,6 +160,9 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
         h13 = jax.lax.dot_general(
             xb.astype(jnp.bfloat16), w13.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if scale13 is not None:
+            h13 = h13 * jax.lax.dynamic_index_in_dim(
+                scale13, layer, keepdims=False)[None].astype(jnp.float32)
         h1, h3 = h13[:, :H], h13[:, H:]
         if act == "silu":
             g = h1 * jax.nn.sigmoid(h1)
@@ -142,6 +172,9 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
         out = jax.lax.dot_general(
             (g * h3).astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if scale2 is not None:
+            out = out * jax.lax.dynamic_index_in_dim(
+                scale2, layer, keepdims=False)[None].astype(jnp.float32)
         if add_residual:
             out = x2 + out
         return out.reshape(x.shape)
@@ -151,6 +184,15 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
     bn1, _ = pick_blocks(H2, K, w13_all.dtype.itemsize)
     bn2, _ = pick_blocks(D, H, w2_all.dtype.itemsize)
 
+    has_scale = scale13 is not None
+    assert (scale2 is not None) == has_scale, "scale13/scale2 come together"
+    extra_in, extra_specs = [], []
+    if has_scale:
+        extra_in.append(scale13.reshape(L, 1, H2).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, 1, H2), lambda i, sc: (sc[0], 0, 0)))
+        extra_in.append(scale2.reshape(L, 1, D).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, 1, D), lambda i, sc: (sc[0], 0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -158,21 +200,22 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
             pl.BlockSpec((B, K), lambda i, sc: (0, 0)),
             pl.BlockSpec((1, 1, K), lambda i, sc: (sc[0], 0, 0)),
             pl.BlockSpec((B, D), lambda i, sc: (0, 0)),
+        ] + extra_specs + [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((B, D), lambda i, sc: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bn1, K), w13_all.dtype),
-            pltpu.VMEM((2, bn2, H), w2_all.dtype),
+            pltpu.VMEM((_DEPTH, bn1, K), w13_all.dtype),
+            pltpu.VMEM((_DEPTH, bn2, H), w2_all.dtype),
             pltpu.VMEM((B, H2), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2 * _DEPTH,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, H=H, K=K, D=D, bn1=bn1, bn2=bn2,
                           norm_eps=norm_eps, act=act,
-                          add_residual=add_residual),
+                          add_residual=add_residual, has_scale=has_scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -189,5 +232,6 @@ def ffn_l(x: jax.Array, norm_w: jax.Array, w13_all: jax.Array,
       x2.astype(jnp.float32),
       norm_w.reshape(L, 1, K),
       x2.astype(jnp.float32),
+      *extra_in,
       w13_all, w2_all)
     return out.reshape(x.shape)

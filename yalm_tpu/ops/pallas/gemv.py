@@ -66,49 +66,29 @@ def _bf16(x: jax.Array) -> jax.Array:
     return x.astype(jnp.bfloat16)
 
 
-def _gemv_ref(x: jax.Array, w: jax.Array) -> jax.Array:
+def _gemv_ref(x: jax.Array, w: jax.Array, scale=None) -> jax.Array:
     """jnp emulation with the kernel's exact numerics: bf16 inputs to the
-    dot, f32 accumulation."""
-    return jax.lax.dot_general(
+    dot, f32 accumulation, optional per-output-channel dequant scale."""
+    out = jax.lax.dot_general(
         x.reshape(1, -1).astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32).reshape(-1)
-
-
-def _kernel(x_ref, w_ref, o_ref, acc_ref, *, n_k: int, stacked: bool):
-    """One (block_n, block_k) weight tile: o[block_n] += W_tile @ x_tile.
-
-    Grid is (N/block_n, K/block_k) with K innermost; acc_ref carries f32
-    partial sums across the K sweep and is flushed once per N block.
-    """
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    w = w_ref[0] if stacked else w_ref[...]
-    # VPU dequant (fp8/f16 -> bf16), then a skinny MXU dot:
-    # (1, BK) x (BN, BK)^T -> (1, BN)
-    acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(jnp.bfloat16), _bf16(w),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-
-    @pl.when(j == n_k - 1)
-    def _():
-        o_ref[...] = acc_ref[...]
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
-def gemv(x: jax.Array, w: jax.Array, *, block_n: int = 0, block_k: int = 0,
+def gemv(x: jax.Array, w: jax.Array, scale: jax.Array | None = None, *,
+         block_n: int = 0, block_k: int = 0,
          interpret: bool | None = None) -> jax.Array:
-    """y[N] = W[N, K] @ x[K] with dequant fused into the tile stream.
-
-    x is f32 (or bf16); w may be fp8_e5m2/f16/bf16/f32. Output is f32.
+    """y[N] = (W[N, K] @ x[K]) [* scale[N]] with dequant fused in the tile
+    stream. x is f32 (or bf16); w may be int8/fp8_e5m2/f16/bf16/f32;
+    `scale` is the int8 per-output-channel dequant factor. Output is f32.
     """
     N, K = w.shape
     assert x.shape == (K,), (x.shape, w.shape)
     if interpret is None and _emulate():
-        return _gemv_ref(x, w)
+        return _gemv_ref(x, w, scale)
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
@@ -116,13 +96,37 @@ def gemv(x: jax.Array, w: jax.Array, *, block_n: int = 0, block_k: int = 0,
     if interpret is None:
         interpret = False
 
+    has_scale = scale is not None
+    extra_in, extra_specs = [], []
+    if has_scale:
+        extra_in.append(scale.reshape(1, N).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, block_n), lambda i, j: (0, i)))
+
+    def kern(x_ref, w_ref, *rest):
+        refs = list(rest)
+        s_ref = refs.pop(0) if has_scale else None
+        o_ref, acc_ref = refs
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...].astype(jnp.bfloat16), _bf16(w_ref[...]),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        @pl.when(j == n_k - 1)
+        def _():
+            o_ref[...] = acc_ref[...] * s_ref[...] if has_scale else acc_ref[...]
+
     out = pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k, stacked=False),
+        kern,
         grid=(n_n, n_k),
         in_specs=[
             pl.BlockSpec((1, block_k), lambda i, j: (0, j)),
             pl.BlockSpec((block_n, block_k), lambda i, j: (i, j)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((1, block_n), lambda i, j: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, block_n), jnp.float32)],
@@ -135,7 +139,7 @@ def gemv(x: jax.Array, w: jax.Array, *, block_n: int = 0, block_k: int = 0,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x.reshape(1, K).astype(jnp.float32), w)
+    )(x.reshape(1, K).astype(jnp.float32), w, *extra_in)
     return out.reshape(N)
 
 
@@ -144,10 +148,11 @@ def gemv(x: jax.Array, w: jax.Array, *, block_n: int = 0, block_k: int = 0,
 def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
            norm_w: jax.Array | None = None, norm_eps: float = 1e-5,
            residual: jax.Array | None = None,
+           scale: jax.Array | None = None,
            block_n: int = 0, block_k: int = 0,
            interpret: bool | None = None) -> jax.Array:
-    """y[N] = W_all[layer] @ maybe_rmsnorm(x) (+ residual) — layer-indexed
-    GEMV over stacked weights.
+    """y[N] = W_all[layer] @ maybe_rmsnorm(x) [* scale] (+ residual) —
+    layer-indexed GEMV over stacked weights.
 
     `layer` is a traced scalar: it rides the scalar-prefetch channel and
     steers the weight BlockSpec's index_map, so tiles DMA straight from the
@@ -158,6 +163,8 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     round-trip from the per-layer chain):
     - norm_w (n_layers, K): RMS-normalize x against layer `layer`'s norm
       weights inside the kernel (requires full-K blocks).
+    - scale (n_layers, N): int8 per-output-channel dequant, multiplied into
+      the f32 accumulator at flush.
     - residual (N,): added to the output in the final flush.
     """
     L, N, K = w_all.shape
@@ -168,7 +175,10 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
             nw = jax.lax.dynamic_index_in_dim(norm_w, layer, keepdims=False)
             ms = jnp.mean(xv * xv)
             xv = xv * jax.lax.rsqrt(ms + norm_eps) * nw.astype(jnp.float32)
-        out = _gemv_ref(xv, jax.lax.dynamic_index_in_dim(w_all, layer, keepdims=False))
+        sc = (jax.lax.dynamic_index_in_dim(scale, layer, keepdims=False)
+              if scale is not None else None)
+        out = _gemv_ref(xv, jax.lax.dynamic_index_in_dim(w_all, layer, keepdims=False),
+                        sc)
         return out + residual if residual is not None else out
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
@@ -183,6 +193,9 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
         # (L, 1, K) so the block's trailing dims equal the full array dims
         extra_in.append(norm_w.reshape(L, 1, K))
         extra_specs.append(pl.BlockSpec((1, 1, block_k), lambda i, j, l: (l[0], 0, j)))
+    if scale is not None:
+        extra_in.append(scale.reshape(L, 1, N).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, 1, block_n), lambda i, j, l: (l[0], 0, i)))
     if residual is not None:
         extra_in.append(residual.reshape(1, N).astype(jnp.float32))
         extra_specs.append(pl.BlockSpec((1, block_n), lambda i, j, l: (0, i)))
@@ -199,10 +212,12 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     )
 
     has_norm, has_res = norm_w is not None, residual is not None
+    has_scale = scale is not None
 
     def kern(l_ref, x_ref, w_ref, *rest):
         refs = list(rest)
         nw_ref = refs.pop(0) if has_norm else None
+        s_ref = refs.pop(0) if has_scale else None
         res_ref = refs.pop(0) if has_res else None
         o_ref, acc_ref = refs
         j = pl.program_id(1)
@@ -221,10 +236,12 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
 
         @pl.when(j == n_k - 1)
         def _():
+            y = acc_ref[...]
+            if has_scale:
+                y = y * s_ref[0]
             if has_res:
-                o_ref[...] = acc_ref[...] + res_ref[...]
-            else:
-                o_ref[...] = acc_ref[...]
+                y = y + res_ref[...]
+            o_ref[...] = y
 
     out = pl.pallas_call(
         kern,
@@ -246,9 +263,11 @@ def gemv_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
-            expert: jax.Array, *, block_n: int = 0, block_k: int = 0,
+            expert: jax.Array, scale: jax.Array | None = None, *,
+            block_n: int = 0, block_k: int = 0,
             interpret: bool | None = None) -> jax.Array:
-    """y[N] = W_all[layer, expert] @ x — the MoE variant of gemv_l.
+    """y[N] = (W_all[layer, expert] @ x) [* scale[layer, expert]] — the MoE
+    variant of gemv_l.
 
     Both the layer and the routed expert index ride the scalar-prefetch
     channel, so only the ACTIVE expert's bytes ever leave HBM — the traffic
@@ -258,7 +277,7 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
     assert x.shape == (K,), (x.shape, w_all.shape)
     if interpret is None and _emulate():
         w = w_all[layer, expert]
-        return _gemv_ref(x, w)
+        return _gemv_ref(x, w, scale[layer, expert] if scale is not None else None)
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
@@ -266,7 +285,17 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
     if interpret is None:
         interpret = False
 
-    def kern(sc_ref, x_ref, w_ref, o_ref, acc_ref):
+    has_scale = scale is not None
+    extra_in, extra_specs = [], []
+    if has_scale:
+        extra_in.append(scale.reshape(L, E, 1, N).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, 1, 1, block_n),
+                                        lambda i, j, sc: (sc[0], sc[1], 0, i)))
+
+    def kern(sc_ref, x_ref, w_ref, *rest):
+        refs = list(rest)
+        s_ref = refs.pop(0) if has_scale else None
+        o_ref, acc_ref = refs
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -279,7 +308,7 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
 
         @pl.when(j == n_k - 1)
         def _():
-            o_ref[...] = acc_ref[...]
+            o_ref[...] = acc_ref[...] * s_ref[0, 0] if has_scale else acc_ref[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -288,7 +317,7 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
             pl.BlockSpec((1, block_k), lambda i, j, sc: (0, j)),
             pl.BlockSpec((1, 1, block_n, block_k),
                          lambda i, j, sc: (sc[0], sc[1], i, j)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((1, block_n), lambda i, j, sc: (0, i)),
         scratch_shapes=[pltpu.VMEM((1, block_n), jnp.float32)],
     )
@@ -307,15 +336,16 @@ def gemv_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
         interpret=interpret,
     )(jnp.stack([jnp.asarray(layer, jnp.int32),
                  jnp.asarray(expert, jnp.int32)]),
-      x.reshape(1, K).astype(jnp.float32), w_all)
+      x.reshape(1, K).astype(jnp.float32), w_all, *extra_in)
     return out.reshape(N)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
 def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
-            expert: jax.Array, *, block_n: int = 0, block_k: int = 0,
+            expert: jax.Array, scale: jax.Array | None = None, *,
+            block_n: int = 0, block_k: int = 0,
             interpret: bool | None = None) -> jax.Array:
-    """y[B, N] = x[B, K] @ W_all[layer, expert]^T — batched gemv_le.
+    """y[B, N] = x[B, K] @ W_all[layer, expert]^T [* scale] — batched gemv_le.
 
     Used by the batched MoE tick: tiles stream straight from the selected
     (layer, expert) bytes, so no expert-stack slices ever materialize.
@@ -325,9 +355,12 @@ def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
     assert K == Kw, (x.shape, w_all.shape)
     if interpret is None and _emulate():
         w = w_all[layer, expert]
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             x.astype(jnp.bfloat16), _bf16(w),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if scale is not None:
+            out = out * scale[layer, expert][None].astype(jnp.float32)
+        return out
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
@@ -335,7 +368,17 @@ def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
     if interpret is None:
         interpret = False
 
-    def kern(sc_ref, x_ref, w_ref, o_ref, acc_ref):
+    has_scale = scale is not None
+    extra_in, extra_specs = [], []
+    if has_scale:
+        extra_in.append(scale.reshape(L, E, 1, N).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, 1, 1, block_n),
+                                        lambda i, j, sc: (sc[0], sc[1], 0, i)))
+
+    def kern(sc_ref, x_ref, w_ref, *rest):
+        refs = list(rest)
+        s_ref = refs.pop(0) if has_scale else None
+        o_ref, acc_ref = refs
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -348,7 +391,7 @@ def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
 
         @pl.when(j == n_k - 1)
         def _():
-            o_ref[...] = acc_ref[...]
+            o_ref[...] = acc_ref[...] * s_ref[0, 0] if has_scale else acc_ref[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -357,7 +400,7 @@ def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
             pl.BlockSpec((B, block_k), lambda i, j, sc: (0, j)),
             pl.BlockSpec((1, 1, block_n, block_k),
                          lambda i, j, sc: (sc[0], sc[1], i, j)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((B, block_n), lambda i, j, sc: (0, i)),
         scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
     )
@@ -376,14 +419,15 @@ def gemm_le(x: jax.Array, w_all: jax.Array, layer: jax.Array,
         interpret=interpret,
     )(jnp.stack([jnp.asarray(layer, jnp.int32),
                  jnp.asarray(expert, jnp.int32)]),
-      x.astype(jnp.float32), w_all)
+      x.astype(jnp.float32), w_all, *extra_in)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
-def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
+def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array,
+           scale: jax.Array | None = None, *,
            block_n: int = 0, block_k: int = 0,
            interpret: bool | None = None) -> jax.Array:
-    """y[B, N] = x[B, K] @ W_all[layer]^T — the batched gemv_l.
+    """y[B, N] = x[B, K] @ W_all[layer]^T [* scale[layer]] — batched gemv_l.
 
     The continuous-batching tick decodes B tokens against the same weights;
     streaming each weight tile once and multiplying an (B, bk) activation
@@ -397,9 +441,13 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     assert K == Kw, (x.shape, w_all.shape)
     if interpret is None and _emulate():
         w = jax.lax.dynamic_index_in_dim(w_all, layer, keepdims=False)
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if scale is not None:
+            sc = jax.lax.dynamic_index_in_dim(scale, layer, keepdims=False)
+            out = out * sc[None].astype(jnp.float32)
+        return out
     if not block_n or not block_k:
         block_n, block_k = pick_blocks(N, K, w_all.dtype.itemsize)
     n_n, n_k = N // block_n, K // block_k
@@ -407,7 +455,17 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
     if interpret is None:
         interpret = False
 
-    def kern(l_ref, x_ref, w_ref, o_ref, acc_ref):
+    has_scale = scale is not None
+    extra_in, extra_specs = [], []
+    if has_scale:
+        extra_in.append(scale.reshape(L, 1, N).astype(jnp.float32))
+        extra_specs.append(pl.BlockSpec((1, 1, block_n),
+                                        lambda i, j, l: (l[0], 0, i)))
+
+    def kern(l_ref, x_ref, w_ref, *rest):
+        refs = list(rest)
+        s_ref = refs.pop(0) if has_scale else None
+        o_ref, acc_ref = refs
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -420,7 +478,7 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
 
         @pl.when(j == n_k - 1)
         def _():
-            o_ref[...] = acc_ref[...]
+            o_ref[...] = acc_ref[...] * s_ref[0] if has_scale else acc_ref[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -428,7 +486,7 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
         in_specs=[
             pl.BlockSpec((B, block_k), lambda i, j, l: (0, j)),
             pl.BlockSpec((1, block_n, block_k), lambda i, j, l: (l[0], i, j)),
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((B, block_n), lambda i, j, l: (0, i)),
         scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
     )
@@ -446,12 +504,15 @@ def gemm_l(x: jax.Array, w_all: jax.Array, layer: jax.Array, *,
         ),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1),
-      x.astype(jnp.float32), w_all)
+      x.astype(jnp.float32), w_all, *extra_in)
 
 
-def gemm(x: jax.Array, w: jax.Array, *, interpret: bool | None = None) -> jax.Array:
-    """y[B, N] = x[B, K] @ W[N, K]^T (2-D weights, e.g. the LM head)."""
-    return gemm_l(x, w[None], jnp.int32(0), interpret=interpret)
+def gemm(x: jax.Array, w: jax.Array, scale: jax.Array | None = None, *,
+         interpret: bool | None = None) -> jax.Array:
+    """y[B, N] = x[B, K] @ W[N, K]^T [* scale] (2-D weights, e.g. the LM head)."""
+    return gemm_l(x, w[None], jnp.int32(0),
+                  scale[None] if scale is not None else None,
+                  interpret=interpret)
 
 
 def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:

@@ -12,8 +12,10 @@ this module is the DCN-spanning part of its replacement. Responsibilities:
   only data/expert redistribution crosses DCN (the layout rule BASELINE.json
   targets for ≥1.8x 2-host scaling).
 
-Nothing here can be exercised on this single-chip dev box; the unit tests
-cover the pure topology math, and `dryrun_multichip` exercises the sharded
+Nothing here can reach a real pod from this single-chip dev box; the unit
+tests (tests/test_distributed.py) drive the topology math — DCN-packing
+validation, hybrid-mesh device ordering, per-host batch slicing — with
+synthetic device objects, and `dryrun_multichip` exercises the sharded
 step on a virtual mesh.
 """
 

@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastWeights
+from ..models.fast import FastScales, FastWeights
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
@@ -100,10 +100,24 @@ def fast_tp_weights(w: Weights, cfg: ModelConfig, tp: int) -> FastWeights:
     )
 
 
-def fast_weight_pspecs(cfg: ModelConfig) -> FastWeights:
+def fast_weight_pspecs(cfg: ModelConfig,
+                       with_scales: bool = False) -> FastWeights:
     """PartitionSpecs for the shard-major FastWeights layout."""
     e = ("ep",) if cfg.is_moe else ()
+    scales = None
+    if with_scales:
+        # int8 dequant scales shard like their weights' OUTPUT rows
+        scales = FastScales(
+            embed=P("tp"),
+            wqkv=P(None, "tp"),
+            wo=P(None, None),
+            w13=P(None, *e, "tp"),
+            w2=P(None, *e, None),
+            lm_head=P("tp"),
+            moegate=P(None, None) if cfg.is_moe else None,
+        )
     return FastWeights(
+        scales=scales,
         embed=P("tp", None),
         rms_att=P(None, None),
         rms_ffn=P(None, None),
@@ -124,9 +138,10 @@ def shard_fast_tp_weights(weights: Weights | FastWeights, cfg: ModelConfig,
     is rearranged first."""
     if isinstance(weights, Weights):
         weights = fast_tp_weights(weights, cfg, mesh.shape["tp"])
-    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s),
-                             fast_weight_pspecs(cfg),
-                             is_leaf=lambda x: isinstance(x, P))
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        fast_weight_pspecs(cfg, with_scales=weights.scales is not None),
+        is_leaf=lambda x: isinstance(x, P))
     return jax.tree.map(jax.device_put, weights, shardings)
 
 
@@ -161,12 +176,14 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
 # Shared per-shard building blocks
 # ---------------------------------------------------------------------------
 
-def _embed_psum(embed_local, tokens, V_l: int):
+def _embed_psum(embed_local, tokens, V_l: int, scale_local=None):
     """Vocab-sharded embedding gather: local rows masked + psum over tp.
     tokens may be scalar () or batched (B,)."""
     shard0 = jax.lax.axis_index("tp") * V_l
     loc = jnp.clip(tokens - shard0, 0, V_l - 1)
     rows = embed_local[loc].astype(jnp.float32)
+    if scale_local is not None:
+        rows = rows * scale_local[loc][..., None]
     in_range = (tokens >= shard0) & (tokens < shard0 + V_l)
     rows = jnp.where(in_range[..., None] if rows.ndim > 1 else in_range,
                      rows, 0.0)
@@ -199,7 +216,8 @@ def _use_fused_ffn(cfg, tp: int, itemsize: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
-                             output_logits: bool = True):
+                             output_logits: bool = True,
+                             with_scales: bool = False):
     """Build a jittable (fast_weights, token, pos, cache) -> (logits, cache)
     step that runs the Pallas fast path on every `tp` shard via shard_map.
 
@@ -224,14 +242,16 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
     E_l = cfg.n_experts // ep if cfg.is_moe else 0
     act = silu if cfg.act_type == "silu" else gelu
     clip = _clipper(cfg)
-    w_specs = fast_weight_pspecs(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
     c_specs = cache_pspecs(cfg)
 
     def step(fw: FastWeights, token, pos, cache: KVCache):
         itemsize = fw.wqkv.dtype.itemsize
+        sc = fw.scales
         use_block = _use_block(cfg, tp, itemsize)
         fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
-        x = _embed_psum(fw.embed, token, V_l)
+        x = _embed_psum(fw.embed, token, V_l,
+                        sc.embed if sc is not None else None)
 
         kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
         kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
@@ -246,11 +266,14 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     n_heads=Hq_l, kv_sinks=KV_SINKS, theta=cfg.rope_theta,
                     rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
                     qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv,
-                    add_residual=False)
+                    add_residual=False,
+                    scale_qkv=sc.wqkv if sc is not None else None,
+                    scale_o=sc.wo if sc is not None else None)
             else:
                 xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_att, i, keepdims=False), cfg.norm_eps)
-                qkv = gemv_l(xb, fw.wqkv, i)
+                qkv = gemv_l(xb, fw.wqkv, i,
+                             scale=sc.wqkv if sc is not None else None)
                 if fw.bqkv is not None:
                     qkv = qkv + jax.lax.dynamic_index_in_dim(
                         fw.bqkv, i, keepdims=False)
@@ -264,7 +287,8 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     i, kv_pos, kv_len, kv_sink, pos,
                     kv_sinks=KV_SINKS, theta=cfg.rope_theta,
                     rotary_dim=cfg.rotary_dim)
-                delta = gemv_l(mixed.reshape(q_l), fw.wo, i)
+                delta = gemv_l(mixed.reshape(q_l), fw.wo, i,
+                               scale=sc.wo if sc is not None else None)
             # row-parallel wo: partial sums -> ONE psum per block
             x = x + jax.lax.psum(delta, "tp")
 
@@ -272,7 +296,8 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
                 # replicated router; only routed LOCAL experts stream bytes
-                router = gemv_l(xb2, fw.moegate, i)
+                router = gemv_l(xb2, fw.moegate, i,
+                                scale=sc.moegate if sc is not None else None)
                 gates, idx = moe_gate(router, cfg.n_experts_active)
                 e0 = jax.lax.axis_index("ep") * E_l
                 delta = jnp.zeros((cfg.dim,), jnp.float32)
@@ -282,9 +307,11 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     routed = jnp.any(idx == ge)
 
                     def run(xb2=xb2, le=le):
-                        h13 = gemv_le(xb2, fw.w13, i, jnp.int32(le))
+                        h13 = gemv_le(xb2, fw.w13, i, jnp.int32(le),
+                                      sc.w13 if sc is not None else None)
                         h = act(h13[:h_l]) * h13[h_l:]
-                        return gemv_le(h, fw.w2, i, jnp.int32(le))
+                        return gemv_le(h, fw.w2, i, jnp.int32(le),
+                                       sc.w2 if sc is not None else None)
 
                     delta = delta + gate * jax.lax.cond(
                         routed, run, lambda: jnp.zeros((cfg.dim,), jnp.float32))
@@ -292,15 +319,20 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 x = x + jax.lax.psum(delta, ("ep", "tp"))
             elif fused_ffn:
                 d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                          sc.w13 if sc is not None else None,
+                          sc.w2 if sc is not None else None,
                           norm_eps=cfg.norm_eps, act=cfg.act_type,
                           add_residual=False)
                 x = x + jax.lax.psum(d, "tp")
             else:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                h13 = gemv_l(xb2, fw.w13, i)
+                h13 = gemv_l(xb2, fw.w13, i,
+                             scale=sc.w13 if sc is not None else None)
                 h = act(h13[:h_l]) * h13[h_l:]
-                x = x + jax.lax.psum(gemv_l(h, fw.w2, i), "tp")
+                x = x + jax.lax.psum(
+                    gemv_l(h, fw.w2, i,
+                           scale=sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -310,7 +342,9 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
             return jnp.zeros((1,), jnp.float32), KVCache(k=k_new, v=v_new)
         x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         # vocab-sharded logits -> gathered so the sampler sees the full row
-        logits = jax.lax.all_gather(gemv(x, fw.lm_head), "tp").reshape(-1)
+        logits = jax.lax.all_gather(
+            gemv(x, fw.lm_head, sc.lm_head if sc is not None else None),
+            "tp").reshape(-1)
         return logits, KVCache(k=k_new, v=v_new)
 
     return shard_map(
@@ -325,7 +359,8 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
 # Chunked prefill on the shard-major layout
 # ---------------------------------------------------------------------------
 
-def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
+def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
+                         with_scales: bool = False):
     """Build prefill(fast_weights, tokens, pos0, valid_len, cache,
     logits_mode) over the mesh: same chunk semantics as prefill_fast
     (models/fast.py) with the Megatron collectives of the decode step.
@@ -342,13 +377,15 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
     clip = _clipper(cfg)
-    w_specs = fast_weight_pspecs(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
     c_specs = cache_pspecs(cfg)
 
     def body(fw: FastWeights, tokens, pos0, valid_len, cache: KVCache,
              logits_mode: str):
         T = tokens.shape[0]
-        x = _embed_psum(fw.embed, tokens, V_l)                 # (T, dim)
+        sc = fw.scales
+        x = _embed_psum(fw.embed, tokens, V_l,
+                        sc.embed if sc is not None else None)  # (T, dim)
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]
@@ -367,7 +404,8 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i)                       # (T, local)
+            qkv = gemm_l(xb, fw.wqkv, i,
+                         sc.wqkv if sc is not None else None)  # (T, local)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
@@ -390,14 +428,17 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
             kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
             mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
-            x = x + jax.lax.psum(gemm_l(mixed.reshape(T, q_l), fw.wo, i), "tp")
+            x = x + jax.lax.psum(
+                gemm_l(mixed.reshape(T, q_l), fw.wo, i,
+                       sc.wo if sc is not None else None), "tp")
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
             if cfg.is_moe:
                 # every LOCAL expert streams once per chunk; per-token gates
                 # masked (amortized over T this matches routed traffic)
-                router = gemm_l(xb2, fw.moegate, i)            # (T, E)
+                router = gemm_l(xb2, fw.moegate, i,
+                                sc.moegate if sc is not None else None)
                 gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
                     router, cfg.n_experts_active)
                 e0 = jax.lax.axis_index("ep") * E_l
@@ -405,15 +446,20 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
                 for le in range(E_l):
                     ge = e0 + le
                     gate_e = jnp.sum(jnp.where(idx == ge, gates, 0.0), axis=-1)
-                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le))
+                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le),
+                                  sc.w13 if sc is not None else None)
                     h = act(h13[:, :h_l]) * h13[:, h_l:]
                     delta = delta + gate_e[:, None] * gemm_le(
-                        h, fw.w2, i, jnp.int32(le))
+                        h, fw.w2, i, jnp.int32(le),
+                        sc.w2 if sc is not None else None)
                 x = x + jax.lax.psum(delta, ("ep", "tp"))
             else:
-                h13 = gemm_l(xb2, fw.w13, i)
+                h13 = gemm_l(xb2, fw.w13, i,
+                             sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
-                x = x + jax.lax.psum(gemm_l(h, fw.w2, i), "tp")
+                x = x + jax.lax.psum(
+                    gemm_l(h, fw.w2, i,
+                           sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -426,13 +472,17 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
             x_last = jnp.take(x, valid_len - 1, axis=0)
             x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
             logits = jax.lax.all_gather(
-                gemv(x_last, fw.lm_head), "tp").reshape(-1)
+                gemv(x_last, fw.lm_head,
+                     sc.lm_head if sc is not None else None),
+                "tp").reshape(-1)
             return logits, new_cache
         # "all"
         xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         local = jax.lax.dot_general(
             xn.astype(jnp.bfloat16), fw.lm_head.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if sc is not None:
+            local = local * sc.lm_head[None].astype(jnp.float32)
         logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
         return logits, new_cache
 
@@ -459,7 +509,8 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh):
 # Continuous-batching tick over dp x ep x tp
 # ---------------------------------------------------------------------------
 
-def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
+def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
+                      with_scales: bool = False):
     """Build the batched decode tick (fast_weights, tokens, positions,
     cache) -> (logits, cache) with lanes sharded on `dp`, heads/hidden on
     `tp`, and experts on `ep` — the SURVEY §2.6 north-star composition of
@@ -485,15 +536,17 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
     clip = _clipper(cfg)
-    w_specs = fast_weight_pspecs(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
     c_specs = cache_pspecs(cfg, batched=True)
 
     def tick(fw: FastWeights, tokens, positions, cache: KVCache,
              write_mask=None):
         B_l = tokens.shape[0]                      # local lanes (B / dp)
         itemsize = fw.wqkv.dtype.itemsize
+        sc = fw.scales
         fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
-        x = _embed_psum(fw.embed, tokens, V_l)     # (B_l, dim)
+        x = _embed_psum(fw.embed, tokens, V_l,
+                        sc.embed if sc is not None else None)  # (B_l, dim)
 
         kv_sink = jnp.where(positions >= L, KV_SINKS, 0)
         kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
@@ -503,7 +556,8 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i)           # (B_l, local)
+            qkv = gemm_l(xb, fw.wqkv, i,
+                         sc.wqkv if sc is not None else None)  # (B_l, local)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
@@ -518,12 +572,14 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
                 kv_sinks=KV_SINKS, theta=cfg.rope_theta,
                 rotary_dim=cfg.rotary_dim)
             x = x + jax.lax.psum(
-                gemm_l(mixed.reshape(B_l, q_l), fw.wo, i), "tp")
+                gemm_l(mixed.reshape(B_l, q_l), fw.wo, i,
+                       sc.wo if sc is not None else None), "tp")
 
             if cfg.is_moe:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                router = gemm_l(xb2, fw.moegate, i)            # (B_l, E)
+                router = gemm_l(xb2, fw.moegate, i,
+                                sc.moegate if sc is not None else None)
                 gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
                     router, cfg.n_experts_active)
                 e0 = jax.lax.axis_index("ep") * E_l
@@ -531,28 +587,36 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh):
                 for le in range(E_l):
                     ge = e0 + le
                     gate_e = jnp.sum(jnp.where(idx == ge, gates, 0.0), axis=-1)
-                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le))
+                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le),
+                                  sc.w13 if sc is not None else None)
                     h = act(h13[:, :h_l]) * h13[:, h_l:]
                     delta = delta + gate_e[:, None] * gemm_le(
-                        h, fw.w2, i, jnp.int32(le))
+                        h, fw.w2, i, jnp.int32(le),
+                        sc.w2 if sc is not None else None)
                 x = x + jax.lax.psum(delta, ("ep", "tp"))
             elif fused_ffn:
                 d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                          sc.w13 if sc is not None else None,
+                          sc.w2 if sc is not None else None,
                           norm_eps=cfg.norm_eps, act=cfg.act_type,
                           add_residual=False)
                 x = x + jax.lax.psum(d, "tp")
             else:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                h13 = gemm_l(xb2, fw.w13, i)
+                h13 = gemm_l(xb2, fw.w13, i,
+                             sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
-                x = x + jax.lax.psum(gemm_l(h, fw.w2, i), "tp")
+                x = x + jax.lax.psum(
+                    gemm_l(h, fw.w2, i,
+                           sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
             0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
         x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-        local = gemm(x, fw.lm_head)                            # (B_l, V_l)
+        local = gemm(x, fw.lm_head,
+                     sc.lm_head if sc is not None else None)   # (B_l, V_l)
         logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
         return logits, KVCache(k=k_new, v=v_new)
 

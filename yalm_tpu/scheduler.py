@@ -36,7 +36,7 @@ from .models.fast import (FastWeights, decode_step_fast_batched,
                           fast_batched_supported, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
-from .sampler import sample
+from .sampler import sample, sample_ext
 from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
@@ -47,6 +47,8 @@ class Request:
     temperature: float = 1.0
     stop_tokens: frozenset[int] = frozenset()
     seed: int = 0
+    top_k: int = 0        # 0 = full-vocab sampling
+    top_p: float = 1.0    # 1.0 = no nucleus cut
     # outputs
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -141,11 +143,13 @@ class Scheduler:
             from .parallel.fast_tp import (make_decode_step_fast_tp,
                                            make_prefill_fast_tp,
                                            make_tick_fast_tp)
-            _tick_tp = make_tick_fast_tp(cfg, mesh)
-            _prefill_tp = make_prefill_fast_tp(cfg, mesh)
-            _step_tp = make_decode_step_fast_tp(cfg, mesh)
+            ws = getattr(weights, "scales", None) is not None
+            _tick_tp = make_tick_fast_tp(cfg, mesh, with_scales=ws)
+            _prefill_tp = make_prefill_fast_tp(cfg, mesh, with_scales=ws)
+            _step_tp = make_decode_step_fast_tp(cfg, mesh, with_scales=ws)
             _hydrate_tp = make_decode_step_fast_tp(cfg, mesh,
-                                                   output_logits=False)
+                                                   output_logits=False,
+                                                   with_scales=ws)
 
             def _batched_logits(w, tokens, positions, cache, write_mask):
                 return _tick_tp(w, tokens, positions, cache, write_mask)
@@ -197,19 +201,21 @@ class Scheduler:
                                    output_logits=output_logits, compute_dtype=cd)
 
         @partial(jax.jit, donate_argnums=(3,))
-        def _tick(w, tokens, positions, cache, seeds, temps, write_mask):
+        def _tick(w, tokens, positions, cache, seeds, temps, write_mask,
+                  topks, topps):
             """One batched decode+sample tick over all B slots.
 
             Sampling keys derive from (request seed, absolute position), so
             a request's output is reproducible regardless of what other
             traffic shares the batch. write_mask=0 lanes (free, or still
             admitting their prompt) compute read-only garbage that the host
-            discards."""
+            discards. Per-lane top_k/top_p ride as DATA (sample_ext), so
+            mixed sampling settings share one compiled tick."""
             logits, cache = _batched_logits(w, tokens, positions, cache,
                                             write_mask)
             keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
                 seeds, positions)
-            nxt = jax.vmap(sample)(logits, keys, temps)
+            nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
             return nxt, cache
 
         @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
@@ -269,7 +275,8 @@ class Scheduler:
         """Sample the first generated token (seeded per request)."""
         req = slot.request
         sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), slot.pos)
-        first = int(sample(logits, sub, jnp.float32(req.temperature)))
+        first = int(sample_ext(logits, sub, jnp.float32(req.temperature),
+                               jnp.int32(req.top_k), jnp.float32(req.top_p)))
         slot.admitting = False
         slot.last_token = first
         req._emit(first)
@@ -346,8 +353,15 @@ class Scheduler:
                 [s.request.seed if s.decoding else 0 for s in self.slots],
                 jnp.int32)
             write = jnp.asarray([1 if d else 0 for d in decoding], jnp.int32)
+            topks = jnp.asarray(
+                [s.request.top_k if s.decoding else 0 for s in self.slots],
+                jnp.int32)
+            topps = jnp.asarray(
+                [s.request.top_p if s.decoding else 1.0 for s in self.slots],
+                jnp.float32)
             nxt, self.cache = self._tick(self.weights, tokens, positions,
-                                         self.cache, seeds, temps, write)
+                                         self.cache, seeds, temps, write,
+                                         topks, topps)
             nxt = np.asarray(nxt)
             for b, slot in enumerate(self.slots):
                 if not slot.decoding:

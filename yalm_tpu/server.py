@@ -4,8 +4,9 @@ The reference has no serving story at all ("Chat interface has not been
 implemented", reference README.md:85, and a single-stream CLI loop,
 src/main.cpp:102-112). This module is the deployment-shaped front end:
 
-- OpenAI-style REST surface: POST /v1/completions (optionally streamed as
-  server-sent events), GET /v1/models, GET /health.
+- OpenAI-style REST surface: POST /v1/completions and
+  POST /v1/chat/completions (optionally streamed as server-sent events),
+  GET /v1/models, GET /health. Per-request temperature/top_k/top_p/seed.
 - One driver thread owns the Scheduler and ticks it continuously; HTTP
   handler threads only enqueue requests and wait on queues — all device
   work stays on the single driver thread (JAX dispatch is not re-entrant).
@@ -37,9 +38,11 @@ class ServingEngine:
 
     def __init__(self, cfg: ModelConfig, weights, tokenizer: Tokenizer, *,
                  batch: int = 8, kv_dtype=jnp.bfloat16, fast: bool | str = "auto",
-                 max_prompt_tokens: int | None = None):
+                 max_prompt_tokens: int | None = None,
+                 chat_template: str = "chatml"):
         self.cfg = cfg
         self.tokenizer = tokenizer
+        self.chat_template = chat_template
         # Prompt admission is chunked and interleaved with decode ticks
         # (scheduler._advance_admission), so long prompts no longer stall
         # other streams; the cap is now a pure policy knob, disabled by
@@ -125,6 +128,7 @@ class ServingEngine:
     # -- request API ----------------------------------------------------
     def submit_prompt(self, prompt: str, *, max_tokens: int = 128,
                       temperature: float = 1.0, seed: int | None = None,
+                      top_k: int = 0, top_p: float = 1.0,
                       stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
         if not isinstance(prompt, str):
             raise ValueError(f"prompt must be a string, got {type(prompt).__name__}")
@@ -153,7 +157,8 @@ class ServingEngine:
             seed = int.from_bytes(os.urandom(4), "little") & 0x7FFFFFFF
         req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
                       temperature=temperature, stop_tokens=frozenset(stops),
-                      seed=int(seed), on_token=out_q.put)
+                      seed=int(seed), top_k=int(top_k), top_p=float(top_p),
+                      on_token=out_q.put)
         self._inbox.put((req, out_q))
         return req, out_q
 
@@ -202,22 +207,33 @@ def make_handler(engine: ServingEngine):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/completions":
+            if self.path not in ("/v1/completions", "/v1/chat/completions"):
                 self._json(404, {"error": "not found"})
                 return
+            chat = self.path.endswith("chat/completions")
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                prompt = body["prompt"]
+                if chat:
+                    from .chat import STOP_STRINGS, render
+                    template = str(body.get("chat_template",
+                                            engine.chat_template))
+                    prompt = render(body["messages"], template)
+                    stop_strings = STOP_STRINGS.get(template, ())
+                else:
+                    prompt = body["prompt"]
+                    stop_strings = ()
                 max_tokens = int(body.get("max_tokens", 128))
                 temperature = float(body.get("temperature", 1.0))
                 stream = bool(body.get("stream", False))
+                top_k = int(body.get("top_k", 0))
+                top_p = float(body.get("top_p", 1.0))
                 seed = body.get("seed")
                 if seed is not None:
                     seed = int(seed)
                 req, out_q = engine.submit_prompt(
                     prompt, max_tokens=max_tokens, temperature=temperature,
-                    seed=seed)
+                    seed=seed, top_k=top_k, top_p=top_p)
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
@@ -232,15 +248,32 @@ def make_handler(engine: ServingEngine):
                     if item not in req.stop_tokens:
                         text.append(engine.tokenizer.decode_one(prev, int(item)))
                     prev = int(item)
-                self._json(200, {
-                    "object": "text_completion",
-                    "model": "yalm-tpu",
-                    "choices": [{"index": 0,
-                                 "text": b"".join(text).decode("utf-8", errors="replace"),
-                                 "finish_reason": "stop"}],
-                    "usage": {"prompt_tokens": len(req.prompt_tokens),
-                              "completion_tokens": len(req.generated)},
-                })
+                out = b"".join(text).decode("utf-8", errors="replace")
+                for ss in stop_strings:   # trim template stop markers
+                    cut = out.find(ss)
+                    if cut >= 0:
+                        out = out[:cut]
+                if chat:
+                    self._json(200, {
+                        "object": "chat.completion",
+                        "model": "yalm-tpu",
+                        "choices": [{"index": 0,
+                                     "message": {"role": "assistant",
+                                                 "content": out},
+                                     "finish_reason": "stop"}],
+                        "usage": {"prompt_tokens": len(req.prompt_tokens),
+                                  "completion_tokens": len(req.generated)},
+                    })
+                else:
+                    self._json(200, {
+                        "object": "text_completion",
+                        "model": "yalm-tpu",
+                        "choices": [{"index": 0,
+                                     "text": out,
+                                     "finish_reason": "stop"}],
+                        "usage": {"prompt_tokens": len(req.prompt_tokens),
+                                  "completion_tokens": len(req.generated)},
+                    })
                 return
 
             # server-sent events, one data: line per token
@@ -287,12 +320,15 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("-T", "--context", type=int, default=0)
     ap.add_argument("--max-prompt-tokens", type=int, default=None,
-                    help="reject prompts longer than this (default 2x window; 0 disables)")
+                    help="reject prompts longer than this (policy knob; default/0 disables)")
+    ap.add_argument("--chat-template", default="chatml",
+                    help="template for /v1/chat/completions (chatml | inst)")
     args = ap.parse_args(argv)
 
     engine = ServingEngine.from_checkpoint(args.checkpoint, context=args.context,
                                            batch=args.batch,
-                                           max_prompt_tokens=args.max_prompt_tokens)
+                                           max_prompt_tokens=args.max_prompt_tokens,
+                                           chat_template=args.chat_template)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

@@ -56,39 +56,54 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
                      vocab: list[bytes] | None = None) -> None:
     """Write a random-but-deterministic `.yalm` checkpoint for `cfg`."""
     rng = np.random.default_rng(seed)
+    int8 = cfg.weight_dtype == "int8"
     wdt = np_dtype_for(DTYPE_STR_TO_TAG[cfg.weight_dtype])
 
     def w(*shape, scale=None):
         if scale is None:
             scale = 1.0 / np.sqrt(shape[-1])
-        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(wdt)
+        f = rng.standard_normal(shape, dtype=np.float32) * scale
+        if int8 and len(shape) > 1:
+            s = np.abs(f).max(axis=-1) / 127.0
+            s = np.where(s == 0.0, 1.0, s).astype(np.float32)
+            q = np.clip(np.rint(f / s[..., None]), -127, 127).astype(np.int8)
+            w._pending_scale = s
+            return q
+        w._pending_scale = None
+        return f.astype(wdt)
+
+    def put(tensors, name, arr):
+        tensors[name] = arr
+        if getattr(w, "_pending_scale", None) is not None:
+            tensors[name + ".scale"] = w._pending_scale
+            w._pending_scale = None
 
     tensors: dict[str, np.ndarray] = {}
-    tensors["model.embed.weight"] = w(cfg.vocab_size, cfg.dim, scale=0.02)
+    put(tensors, "model.embed.weight", w(cfg.vocab_size, cfg.dim, scale=0.02))
     for l in range(cfg.n_layers):
         p = f"model.layers.{l}"
         tensors[f"{p}.attn.norm.weight"] = np.ones(cfg.dim, np.float32)
-        tensors[f"{p}.attn.wq.weight"] = w(cfg.q_dim, cfg.dim)
-        tensors[f"{p}.attn.wk.weight"] = w(cfg.kv_dim, cfg.dim)
-        tensors[f"{p}.attn.wv.weight"] = w(cfg.kv_dim, cfg.dim)
-        tensors[f"{p}.attn.wo.weight"] = w(cfg.dim, cfg.q_dim)
+        put(tensors, f"{p}.attn.wq.weight", w(cfg.q_dim, cfg.dim))
+        put(tensors, f"{p}.attn.wk.weight", w(cfg.kv_dim, cfg.dim))
+        put(tensors, f"{p}.attn.wv.weight", w(cfg.kv_dim, cfg.dim))
+        put(tensors, f"{p}.attn.wo.weight", w(cfg.dim, cfg.q_dim))
         if cfg.has_qkv_bias:
             tensors[f"{p}.attn.wq.bias"] = w(cfg.q_dim, scale=0.05).astype(np.float32)
             tensors[f"{p}.attn.wk.bias"] = w(cfg.kv_dim, scale=0.05).astype(np.float32)
             tensors[f"{p}.attn.wv.bias"] = w(cfg.kv_dim, scale=0.05).astype(np.float32)
         tensors[f"{p}.mlp.norm.weight"] = np.ones(cfg.dim, np.float32)
         if cfg.is_moe:
-            tensors[f"{p}.moegate.weight"] = w(cfg.n_experts, cfg.dim)
-            tensors[f"{p}.mlp.w1.weight"] = w(cfg.n_experts, cfg.hidden_dim, cfg.dim)
-            tensors[f"{p}.mlp.w2.weight"] = w(cfg.n_experts, cfg.dim, cfg.hidden_dim)
-            tensors[f"{p}.mlp.w3.weight"] = w(cfg.n_experts, cfg.hidden_dim, cfg.dim)
+            put(tensors, f"{p}.moegate.weight", w(cfg.n_experts, cfg.dim))
+            put(tensors, f"{p}.mlp.w1.weight", w(cfg.n_experts, cfg.hidden_dim, cfg.dim))
+            put(tensors, f"{p}.mlp.w2.weight", w(cfg.n_experts, cfg.dim, cfg.hidden_dim))
+            put(tensors, f"{p}.mlp.w3.weight", w(cfg.n_experts, cfg.hidden_dim, cfg.dim))
         else:
-            tensors[f"{p}.mlp.w1.weight"] = w(cfg.hidden_dim, cfg.dim)
-            tensors[f"{p}.mlp.w2.weight"] = w(cfg.dim, cfg.hidden_dim)
-            tensors[f"{p}.mlp.w3.weight"] = w(cfg.hidden_dim, cfg.dim)
+            put(tensors, f"{p}.mlp.w1.weight", w(cfg.hidden_dim, cfg.dim))
+            put(tensors, f"{p}.mlp.w2.weight", w(cfg.dim, cfg.hidden_dim))
+            put(tensors, f"{p}.mlp.w3.weight", w(cfg.hidden_dim, cfg.dim))
     tensors["model.norm.weight"] = np.ones(cfg.dim, np.float32)
     if not cfg.tie_word_embeddings:
-        tensors["model.output.weight"] = w(cfg.vocab_size, cfg.dim, scale=0.02)
+        put(tensors, "model.output.weight", w(cfg.vocab_size, cfg.dim, scale=0.02))
 
     vocab = vocab if vocab is not None else synth_vocab(cfg.vocab_size)
     blob = b"".join(t.replace(b"\0", b"\7") + b"\0" for t in vocab)

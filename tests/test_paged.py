@@ -1,0 +1,170 @@
+"""Paged KV cache: page-table attention, page-capped admission, occupancy.
+
+The invariant: a paged scheduler (cache = shared page pool + per-lane block
+tables, models/paged.py) produces EXACTLY the same token streams as the
+dense-cache scheduler, while its HBM footprint scales with tokens in flight
+— including under pool pressure, where admission waits for completions to
+release pages instead of deadlocking.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yalm_tpu.codec.format import read_yalm
+from yalm_tpu.models import load_weights
+from yalm_tpu.models.paged import PageAllocator
+from yalm_tpu.scheduler import Request, Scheduler
+from yalm_tpu.utils.testing import synth_checkpoint
+
+from test_fast_path import fast_config
+
+
+PAGE = 16  # window 32 -> 2 blocks per lane
+
+
+def _weights(tmp_path, seed=41, **over):
+    cfg = fast_config(**over)
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=seed)
+    return cfg, load_weights(read_yalm(path), cfg)
+
+
+def _reqs(n, max_new=6, seed0=0):
+    return [Request(prompt_tokens=[1, 5 + i, 9], max_new_tokens=max_new,
+                    temperature=0.0, seed=seed0 + i) for i in range(n)]
+
+
+def _run(sched, reqs):
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    return [r.generated for r in reqs]
+
+
+def test_allocator_reserve_release():
+    cfg = fast_config()
+    al = PageAllocator(cfg, n_pages=9, batch=4, page_size=PAGE)
+    assert al.n_free == 8  # page 0 reserved
+    al.grow(0, 17)         # 2 pages
+    al.grow(1, 16)         # 1 page
+    assert al.n_free == 5
+    assert al.tables[0, 0] != 0 and al.tables[0, 1] != 0
+    assert al.tables[1, 1] == 0
+    assert not al.can_grow(2, 100 * PAGE)
+    al.release(0)
+    assert al.n_free == 7
+    with pytest.raises(ValueError):
+        PageAllocator(cfg, 4, 2, page_size=7)  # doesn't divide window
+
+
+def test_paged_matches_dense_scheduler(tmp_path):
+    cfg, weights = _weights(tmp_path)
+    dense = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    want = _run(dense, _reqs(10))
+
+    paged = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      paged_pages=1 + 8 * (cfg.max_seq_len // PAGE),
+                      page_size=PAGE)
+    assert paged.paged
+    got = _run(paged, _reqs(10))
+    assert got == want
+
+
+def test_paged_pool_pressure_completes_in_waves(tmp_path):
+    """Pool sized for ~3 concurrent lanes with 8 slots: requests queue until
+    releases free pages, and every stream still matches the dense run."""
+    cfg, weights = _weights(tmp_path)
+    dense = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    want = _run(dense, _reqs(8))
+
+    # each request reserves ONE page (prompt 3 + max_new 6 + 1 <= 16);
+    # a pool of 3 usable pages throttles 8 requests into waves
+    paged = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      paged_pages=4, page_size=PAGE)
+    reqs = _reqs(8)
+    for r in reqs:
+        paged.submit(r)
+    paged.step()
+    assert paged.alloc.n_free == 0
+    assert len(paged.queue) == 5
+    paged.run()
+    assert [r.generated for r in reqs] == want
+    # everything released at the end
+    assert paged.alloc.n_free == 3
+
+
+def test_paged_ring_regime_long_prompt(tmp_path):
+    """A beyond-window prompt drives the paged lane through ring+sink
+    hydration (masked-tick path) and still matches the dense scheduler."""
+    cfg, weights = _weights(tmp_path)
+    W = cfg.max_seq_len
+    long_prompt = [1] + [5] * (W + 9)
+
+    def run_one(**kw):
+        s = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16, **kw)
+        r = Request(prompt_tokens=long_prompt, max_new_tokens=5,
+                    temperature=0.0, seed=3)
+        s.submit(r)
+        s.run()
+        return r.generated
+
+    want = run_one()
+    got = run_one(paged_pages=1 + 8 * (W // PAGE), page_size=PAGE)
+    assert got == want
+
+
+def test_paged_rejects_bad_configs(tmp_path):
+    cfg, weights = _weights(tmp_path)
+    with pytest.raises(ValueError):
+        Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                  paged_pages=8, page_size=7)
+    mcfg, mweights = _weights(tmp_path, seed=42, n_experts=2,
+                              n_experts_active=1)
+    with pytest.raises(ValueError):
+        Scheduler(mcfg, mweights, batch=8, kv_dtype=jnp.bfloat16,
+                  paged_pages=8, page_size=PAGE)
+
+
+def test_paged_kernel_interpret_parity():
+    """The REAL paged kernel (Pallas interpreter) vs the jnp emulation:
+    page-table DMA targets, masked writes, sink rotation."""
+    import jax
+    from yalm_tpu.ops.pallas.attention import attend_step_paged_l
+
+    B, L, bs, Hk, D, qpk = 2, 3, 8, 2, 128, 2
+    nblk, window = 2, 16
+    n_pages = 1 + B * nblk
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((B, Hk, qpk, D)).astype(np.float32))
+    kn = jnp.asarray(rng.standard_normal((B, Hk, D)).astype(np.float32))
+    vn = jnp.asarray(rng.standard_normal((B, Hk, D)).astype(np.float32))
+    kp = jnp.asarray((rng.standard_normal((n_pages, L, bs, Hk, D)) * 0.3)
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    vp = jnp.asarray((rng.standard_normal((n_pages, L, bs, Hk, D)) * 0.3)
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    tables = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+
+    for scal in [
+        dict(kv_pos=[0, 5], kv_len=[1, 6], kv_sink=[0, 0], pos=[0, 5],
+             write=[1, 1]),
+        dict(kv_pos=[9, 2], kv_len=[10, 16], kv_sink=[0, 2], pos=[9, 21],
+             write=[1, 0]),
+    ]:
+        args = (q, kn, vn, kp, vp, tables, jnp.int32(1),
+                jnp.asarray(scal["kv_pos"], jnp.int32),
+                jnp.asarray(scal["kv_len"], jnp.int32),
+                jnp.asarray(scal["kv_sink"], jnp.int32),
+                jnp.asarray(scal["pos"], jnp.int32),
+                jnp.asarray(scal["write"], jnp.int32))
+        kw = dict(kv_sinks=2, theta=1e4, rotary_dim=128, window=window)
+        oe, ke, ve = attend_step_paged_l(*args, **kw)
+        oi, ki, vi = attend_step_paged_l(*args, **kw, interpret=True)
+        np.testing.assert_allclose(np.asarray(oi), np.asarray(oe),
+                                   rtol=3e-2, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(ki, np.float32),
+                                   np.asarray(ke, np.float32),
+                                   rtol=1e-2, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(vi, np.float32),
+                                   np.asarray(ve, np.float32),
+                                   rtol=1e-2, atol=1e-2)

@@ -103,6 +103,34 @@ def main() -> int:
         assert len(req.generated) == 4
     check("scheduler batched MoE tick [fp8, B=8]", run_sched_moe)
 
+    # --- PAGED continuous batching (vLLM-style block tables) -------------
+    def run_sched_paged():
+        cfg = tiny_config(**base, weight_dtype="fp8")
+        path = f"{tmp}/paged.yalm"
+        synth_checkpoint(path, cfg, seed=4)
+        w = load_weights(read_yalm(path), cfg)
+        dense = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16)
+        want = []
+        for i in range(4):
+            r = Request(prompt_tokens=[1, 5 + i], max_new_tokens=4,
+                        temperature=0.0, seed=i)
+            dense.submit(r)
+            want.append(r)
+        dense.run()
+        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16,
+                      paged_pages=1 + 8 * (cfg.max_seq_len // 16),
+                      page_size=16)
+        got = []
+        for i in range(4):
+            r = Request(prompt_tokens=[1, 5 + i], max_new_tokens=4,
+                        temperature=0.0, seed=i)
+            s.submit(r)
+            got.append(r)
+        s.run()
+        assert [r.generated for r in got] == [r.generated for r in want], \
+            (got[0].generated, want[0].generated)
+    check("PAGED scheduler tick == dense [fp8, B=8, page=16]", run_sched_paged)
+
     # --- odd-size exact-fit prefill chunks (full-dim activation blocks) --
     def run_odd_prefill():
         cfg = tiny_config(dim=256, hidden_dim=512, head_dim=128, n_layers=2,

@@ -711,3 +711,182 @@ def prefill_fast(
             out = out * sc.lm_head[None].astype(jnp.float32)
         return out, new_cache
     raise ValueError(f"bad logits_mode {logits_mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Paged continuous-batching tick + paged prefill (vLLM-style block tables)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "page_size"))
+def decode_step_fast_batched_paged(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,       # (B,) int32
+    positions: jax.Array,    # (B,) int32
+    pool: "PagedKVPool",     # models/paged.py — (P, L, page_size, Hk, D) x2
+    tables: jax.Array,       # (B, window // page_size) int32 page ids
+    write_mask: Optional[jax.Array] = None,
+    *,
+    page_size: int = 256,
+) -> tuple[jax.Array, "PagedKVPool"]:
+    """decode_step_fast_batched over a PAGED cache: per-lane logical slots
+    resolve through `tables` into the shared page pool, so cache HBM scales
+    with tokens in flight instead of lanes x window (models/paged.py)."""
+    from .paged import PagedKVPool
+    from ..ops.pallas.attention import attend_step_paged_l
+
+    B = tokens.shape[0]
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    sc = fw.scales
+
+    x = fw.embed[tokens].astype(jnp.float32)
+    if sc is not None:
+        x = x * sc.embed[tokens][:, None]
+
+    kv_sink = jnp.where(positions >= L, KV_SINKS, 0)
+    kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
+    kv_len = jnp.minimum(positions + 1, L)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    assert not cfg.is_moe, "paged tick supports dense models"
+
+    def layer_body(i, carry):
+        x, kp, vp = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                     cfg.norm_eps)
+        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+        qkv = clip(qkv)
+        q = qkv[:, : cfg.q_dim]
+        k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+        v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+
+        mixed, kp, vp = attend_step_paged_l(
+            q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
+            kp, vp, tables, i, kv_pos, kv_len, kv_sink, positions, write_mask,
+            kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+            rotary_dim=cfg.rotary_dim, window=L)
+        x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
+                       sc.wo if sc else None)
+        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                  sc.w13 if sc else None, sc.w2 if sc else None,
+                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        return (x, kp, vp)
+
+    x, kp, vp = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
+    x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+    logits = gemm(x, fw.lm_head, sc.lm_head if sc else None)
+    return logits, PagedKVPool(k=kp, v=vp)
+
+
+@partial(jax.jit, static_argnames=("cfg", "logits_mode", "page_size"))
+def prefill_fast_paged(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (T,) int32 padded chunk — single page
+    pos0: jax.Array,       # () int32
+    valid_len: jax.Array,  # () int32
+    pool: "PagedKVPool",
+    table_b: jax.Array,    # (window // page_size,) this lane's page ids
+    page: jax.Array,       # () int32 — page holding [pos0, pos0+T)
+    row0: jax.Array,       # () int32 — pos0 % page_size
+    *,
+    logits_mode: str = "last",
+    page_size: int = 256,
+) -> tuple[Optional[jax.Array], "PagedKVPool"]:
+    """Chunked prefill of ONE lane through the page tables. The admission
+    loop caps every chunk at a page boundary, so each chunk's KV rows land
+    in exactly one (page, layer) range — a single dynamic_update_slice.
+    Attention gathers the lane's mapped pages per layer (garbage in
+    unmapped tail pages is masked by causal visibility)."""
+    from .paged import PagedKVPool
+
+    T = tokens.shape[0]
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    sc = fw.scales
+    assert not cfg.is_moe, "paged prefill supports dense models"
+
+    positions = pos0 + jnp.arange(T)
+    valid = jnp.arange(T) < valid_len
+    att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    x = fw.embed[tokens].astype(jnp.float32)
+    if sc is not None:
+        x = x * sc.embed[tokens][:, None]
+
+    def attend_chunk_bf16(q4, kc, vc):
+        scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
+                            kc.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) / math.sqrt(D)
+        att = jax.nn.softmax(
+            jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+        return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
+                          vc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    def layer_body(i, carry):
+        x, kp, vp = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                     cfg.norm_eps)
+        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+        qkv = clip(qkv)
+        q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
+                       cfg.rope_theta, cfg.rotary_dim)
+        k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+                       .reshape(T, Hk, D), positions,
+                       cfg.rope_theta, cfg.rotary_dim)
+        v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
+
+        old_k = jax.lax.dynamic_slice(kp, (page, i, row0, 0, 0),
+                                      (1, 1, T, Hk, D))
+        old_v = jax.lax.dynamic_slice(vp, (page, i, row0, 0, 0),
+                                      (1, 1, T, Hk, D))
+        vmask = valid[:, None, None]
+        kp = jax.lax.dynamic_update_slice(
+            kp, jnp.where(vmask, k.astype(kp.dtype), old_k[0, 0])[None, None],
+            (page, i, row0, 0, 0))
+        vp = jax.lax.dynamic_update_slice(
+            vp, jnp.where(vmask, v.astype(vp.dtype), old_v[0, 0])[None, None],
+            (page, i, row0, 0, 0))
+
+        # lane view for this layer: gather mapped pages -> (S, Hk, D)
+        kc = kp[table_b, i].reshape(S, Hk, D)
+        vc = vp[table_b, i].reshape(S, Hk, D)
+        mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
+        x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                       sc.wo if sc else None)
+        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                  sc.w13 if sc else None, sc.w2 if sc else None,
+                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        return (x, kp, vp)
+
+    x, kp, vp = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
+    new_pool = PagedKVPool(k=kp, v=vp)
+
+    if logits_mode == "none":
+        return None, new_pool
+    if logits_mode == "last":
+        x_last = jnp.take(x, valid_len - 1, axis=0)
+        x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
+        return gemv(x_last, fw.lm_head, sc.lm_head if sc else None), new_pool
+    raise ValueError(f"paged prefill: bad logits_mode {logits_mode!r}")

@@ -381,8 +381,16 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kp, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+            # write-masked lanes mutate NOTHING and attend the cache as-is
+            # (no new row, no sink rotation) — matching the kernel exactly
+            q2r = _rot_lanes_ref(q2, theta, rotary_dim,
+                                 jnp.asarray(p1, jnp.float32)) \
+                * (1.0 / math.sqrt(D))
+            out_r = _attend_ref(
+                q2r, jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False),
+                jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl)
             keep = wr1 != 0
-            return (out.reshape(Hk, qpk, D),
+            return (jnp.where(keep, out, out_r).reshape(Hk, qpk, D),
                     jnp.where(keep, k2, k1), jnp.where(keep, v2, v1))
         return jax.vmap(one)(q, k_new, v_new, k_all, v_all,
                              kv_pos, kv_len, kv_sink, pos, write)
@@ -681,3 +689,302 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     )(scal, q2, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
       k_all, v_all)
     return out.reshape(Hk, P, D)[:, :qpk, :], k_out, v_out
+
+
+# ---------------------------------------------------------------------------
+# Paged batched attention step (vLLM-style block tables)
+# ---------------------------------------------------------------------------
+#
+# Same fused semantics as attend_step_batched_l, but the cache is a POOL of
+# pages (n_pages, n_layers, page_size, Hk, D) and each lane's logical slot s
+# resolves through a per-lane page table: (table[s // page_size], s % page
+# _size). Page ids ride the scalar-prefetch channel, so every DMA — block
+# fetch, kv-row write, sink read-modify-write — goes straight to the owning
+# page's bytes. kernel block_s == page_size, which also guarantees each
+# fetched block is one contiguous page range.
+
+
+def _paged_attn_body(b, layer, q_in, knew_in, vnew_in, kp_hbm, vp_hbm, o_out,
+                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     sem, rowsem, page_of, *, S, block_s, Hk, P, kv_sinks,
+                     theta, rotary_dim, kv_pos, kv_len, kv_sink, pos,
+                     do_write):
+    """Paged twin of _fused_attn_body: `page_of(blk)` maps this lane's
+    block index to a pool page id (a scalar read from SMEM)."""
+    D = q_in.shape[-1]
+    n_blocks = S // block_s
+    wr = do_write
+
+    q_rot = _rot_lanes(q_in.astype(jnp.float32), theta, rotary_dim,
+                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+    k_rot = _rot_lanes(knew_in.astype(jnp.float32).reshape(Hk, D),
+                       theta, rotary_dim, pos.astype(jnp.float32))
+    kdt = k_rot.astype(newbuf.dtype)
+    vdt = vnew_in.astype(newbuf.dtype).reshape(Hk, D)
+    page_w = page_of(kv_pos // block_s)
+    row_w = kv_pos % block_s
+
+    @pl.when(wr)
+    def _():
+        newbuf[0] = kdt
+        pltpu.make_async_copy(newbuf.at[0], kp_hbm.at[page_w, layer, row_w],
+                              rowsem.at[0]).start()
+        newbuf[1] = vdt
+        pltpu.make_async_copy(newbuf.at[1], vp_hbm.at[page_w, layer, row_w],
+                              rowsem.at[1]).start()
+
+    page0 = page_of(0)
+
+    @pl.when((kv_sink > 0) & wr)
+    def _():
+        rd = pltpu.make_async_copy(
+            kp_hbm.at[page0, layer, slice(0, kv_sinks)], rowbuf, rowsem.at[2])
+        rd.start()
+        rd.wait()
+        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+        rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
+        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) < kv_sink * Hk
+        rowbuf[...] = jnp.where(sel, rot, rows).reshape(
+            kv_sinks, Hk, D).astype(rowbuf.dtype)
+        pltpu.make_async_copy(rowbuf,
+                              kp_hbm.at[page0, layer, slice(0, kv_sinks)],
+                              rowsem.at[2]).start()
+
+    def kv_dma(slot, blk, buf, hbm):
+        return pltpu.make_async_copy(hbm.at[page_of(blk), layer],
+                                     buf.at[slot], sem.at[slot])
+
+    kv_dma(0, 0, kbuf, kp_hbm).start()
+    kv_dma(0, 0, vbuf, vp_hbm).start()
+
+    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
+
+    def block_step(sblk, _):
+        slot = sblk % 2
+
+        @pl.when(sblk + 1 < n_act)
+        def _():
+            kv_dma((sblk + 1) % 2, sblk + 1, kbuf, kp_hbm).start()
+            kv_dma((sblk + 1) % 2, sblk + 1, vbuf, vp_hbm).start()
+
+        kv_dma(slot, sblk, kbuf, kp_hbm).wait()
+        kv_dma(slot, sblk, vbuf, vp_hbm).wait()
+
+        @pl.when((sblk == 0) & (kv_sink > 0) & wr)
+        def _():
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (block_s, Hk, D), 0)
+            patched = kbuf[slot]
+            for r in range(kv_sinks):
+                sel = (ridx == r) & (r < kv_sink)
+                patched = jnp.where(sel, rowbuf[r][None], patched)
+            kbuf[slot] = patched
+
+        row = kv_pos - sblk * block_s
+        @pl.when((row >= 0) & (row < block_s) & wr)
+        def _():
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (block_s, Hk, D), 0)
+            sel = ridx == row
+            kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
+            vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+
+        slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (P, block_s), 1)
+        _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+                     m_ref, l_ref, acc_ref, Hk, P)
+        return 0
+
+    jax.lax.fori_loop(0, n_act, block_step, 0)
+    o_out[...] = acc_ref[...] / l_ref[:, 0:1]
+
+    @pl.when(wr)
+    def _():
+        pltpu.make_async_copy(newbuf.at[0], kp_hbm.at[page_w, layer, row_w],
+                              rowsem.at[0]).wait()
+        pltpu.make_async_copy(newbuf.at[1], vp_hbm.at[page_w, layer, row_w],
+                              rowsem.at[1]).wait()
+
+    @pl.when((kv_sink > 0) & wr)
+    def _():
+        pltpu.make_async_copy(rowbuf,
+                              kp_hbm.at[page0, layer, slice(0, kv_sinks)],
+                              rowsem.at[2]).wait()
+
+
+def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
+                            kp_in, vp_in,
+                            o_ref, kp_hbm, vp_hbm,
+                            kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                            sem, rowsem, *,
+                            S: int, block_s: int, n_kv_heads: int,
+                            p_rows: int, kv_sinks: int, theta: float,
+                            rotary_dim: int, nblk: int):
+    """Scalars: [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B], write[B],
+    pages[B * nblk]]."""
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    layer = scal_ref[0]
+    kv_pos, kv_len, kv_sink, pos = (scal_ref[1 + b], scal_ref[1 + B + b],
+                                    scal_ref[1 + 2 * B + b],
+                                    scal_ref[1 + 3 * B + b])
+    write = scal_ref[1 + 4 * B + b] != 0
+    pages_off = 1 + 5 * B + b * nblk
+
+    def page_of(blk):
+        return scal_ref[pages_off + blk]
+
+    _paged_attn_body(b, layer, q_ref[0], knew_ref[0], vnew_ref[0],
+                     kp_hbm, vp_hbm, o_ref.at[0],
+                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     sem, rowsem, page_of, S=S, block_s=block_s,
+                     Hk=n_kv_heads, P=p_rows, kv_sinks=kv_sinks, theta=theta,
+                     rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
+                     kv_sink=kv_sink, pos=pos, do_write=write)
+
+
+def _gather_lane(pool, table_b):
+    """(nblk,) page ids -> (L, S, Hk, D) lane view (emulation only)."""
+    pages = jnp.take(pool, table_b, axis=0)       # (nblk, L, bs, Hk, D)
+    return jnp.transpose(pages, (1, 0, 2, 3, 4)).reshape(
+        pool.shape[1], -1, pool.shape[3], pool.shape[4])
+
+
+def _scatter_lane(pool, table_b, lane):
+    """Inverse of _gather_lane: write the lane view back to its pages."""
+    L, S, Hk, D = lane.shape
+    nblk = table_b.shape[0]
+    bs = S // nblk
+    pages = jnp.transpose(lane.reshape(L, nblk, bs, Hk, D), (1, 0, 2, 3, 4))
+    return pool.at[table_b].set(pages.astype(pool.dtype))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kv_sinks", "theta", "rotary_dim",
+                                    "window", "interpret"))
+def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
+                        k_pool: jax.Array, v_pool: jax.Array,
+                        tables: jax.Array,
+                        layer: jax.Array, kv_pos: jax.Array,
+                        kv_len: jax.Array, kv_sink: jax.Array,
+                        pos: jax.Array, write: jax.Array | None = None, *,
+                        kv_sinks: int, theta: float, rotary_dim: int,
+                        window: int, interpret: bool | None = None
+                        ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Paged attend_step_batched_l.
+
+    k_pool/v_pool: (n_pages, L, page_size, Hk, D); tables: (B, nblk) int32
+    page ids (nblk = window // page_size; unmapped blocks may point
+    anywhere below kv_len's coverage — they are never touched).
+    Other args as attend_step_batched_l. Returns (mix, k_pool, v_pool) with
+    the pools updated in place (aliased).
+    """
+    Pn, L, bs, Hk, D = k_pool.shape
+    B, _, qpk, _ = q.shape
+    nblk = tables.shape[1]
+    assert nblk * bs == window, (tables.shape, bs, window)
+    if write is None:
+        write = jnp.ones((B,), jnp.int32)
+    if interpret is None and _emulate():
+        def one(q1, kn1, vn1, tb, kp, vp, kpos, kl, ks, p1, wr1):
+            q2 = q1.astype(jnp.float32).reshape(Hk * qpk, D)
+            k1 = _gather_lane(kp, tb)
+            v1 = _gather_lane(vp, tb)
+            out, k2, v2 = _attn_step_ref(
+                q2, kn1, vn1, k1, v1, layer, kpos, kl, ks, p1,
+                kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+            # write-masked lanes attend the cache as-is (see batched twin)
+            q2r = _rot_lanes_ref(q2, theta, rotary_dim,
+                                 jnp.asarray(p1, jnp.float32)) \
+                * (1.0 / math.sqrt(D))
+            out_r = _attend_ref(
+                q2r, jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False),
+                jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl)
+            keep = wr1 != 0
+            out = jnp.where(keep, out, out_r)
+            k2 = jnp.where(keep, k2, k1)
+            v2 = jnp.where(keep, v2, v1)
+            return out.reshape(Hk, qpk, D), k2, v2
+
+        # sequential host-level loop over lanes: pool writes must compose
+        # (each lane owns disjoint pages; vmapped scatters would conflict
+        # on the reserved page 0)
+        outs = []
+        for b in range(B):
+            o, k2, v2 = one(q[b], k_new[b], v_new[b], tables[b],
+                            k_pool, v_pool, kv_pos[b], kv_len[b], kv_sink[b],
+                            pos[b], write[b])
+            k_pool = _scatter_lane(k_pool, tables[b], k2)
+            v_pool = _scatter_lane(v_pool, tables[b], v2)
+            outs.append(o)
+        return jnp.stack(outs), k_pool, v_pool
+
+    P = max(8, ((qpk + 7) // 8) * 8)
+    qp = jnp.zeros((B, Hk, P, D), jnp.float32)
+    qp = qp.at[:, :, :qpk, :].set(q.astype(jnp.float32))
+    q2 = qp.reshape(B, Hk * P, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bs, Hk, D), k_pool.dtype),
+            pltpu.VMEM((2, bs, Hk, D), v_pool.dtype),
+            pltpu.VMEM((kv_sinks, Hk, D), k_pool.dtype),
+            pltpu.VMEM((2, Hk, D), k_pool.dtype),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, 128), jnp.float32),
+            pltpu.VMEM((Hk * P, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+
+    scal = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        jnp.asarray(kv_pos, jnp.int32).reshape(B),
+        jnp.asarray(kv_len, jnp.int32).reshape(B),
+        jnp.asarray(kv_sink, jnp.int32).reshape(B),
+        jnp.asarray(pos, jnp.int32).reshape(B),
+        jnp.asarray(write, jnp.int32).reshape(B),
+        jnp.asarray(tables, jnp.int32).reshape(B * nblk),
+    ])
+    out, kp_out, vp_out = pl.pallas_call(
+        functools.partial(
+            _attn_step_paged_kernel, S=window, block_s=bs, n_kv_heads=Hk,
+            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+            nblk=nblk),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hk * P, D), jnp.float32),
+            jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype),
+            jax.ShapeDtypeStruct(v_pool.shape, v_pool.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * window * Hk * P * D,
+            bytes_accessed=2 * B * window * Hk * D * k_pool.dtype.itemsize,
+            transcendentals=B * window * Hk * P,
+        ),
+        interpret=bool(interpret),
+    )(scal, q2, k_new.astype(jnp.float32), v_new.astype(jnp.float32),
+      k_pool, v_pool)
+    return out.reshape(B, Hk, P, D)[:, :, :qpk, :], kp_out, vp_out

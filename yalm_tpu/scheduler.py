@@ -60,7 +60,7 @@ class Request:
             self.on_token(tok)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity semantics: slots.index() must match by object
 class _Slot:
     request: Optional[Request] = None
     pos: int = 0            # next absolute position for this sequence
@@ -88,6 +88,8 @@ class Scheduler:
         compute_dtype=jnp.float32,
         fast: bool | str = "auto",
         mesh=None,
+        paged_pages: int = 0,
+        page_size: int = 256,
     ):
         """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
         shard over `dp`, heads/hidden/cache-kv-heads over `tp`, MoE experts
@@ -95,9 +97,27 @@ class Scheduler:
         north star; the reference is a single-device single stream,
         src/main.cpp:102-112). Requires the fast path; `weights` may be the
         oracle Weights (rearranged shard-major here) or a FastWeights
-        already in shard-major order (load_fast_weights(tp=...))."""
+        already in shard-major order (load_fast_weights(tp=...)).
+
+        paged_pages > 0 switches the cache to a PAGED pool of that many
+        pages (models/paged.py): lanes map logical KV blocks through
+        per-lane page tables, so cache HBM scales with tokens in flight
+        instead of batch x window. Admission reserves min(window,
+        prompt+max_new+1) worth of pages up front (deadlock-free) and
+        requests queue when the pool is exhausted. Dense fast path only."""
         self.cfg = cfg
         self.mesh = mesh
+        self.paged = paged_pages > 0
+        self.page_size = page_size
+        if self.paged:
+            if mesh is not None or cfg.is_moe:
+                raise ValueError("paged cache: dense models, single device")
+            if cfg.max_seq_len % page_size:
+                raise ValueError("page_size must divide max_seq_len")
+            if fast == "auto":
+                fast = fast_batched_supported(cfg) and batch % 8 == 0
+            if not fast:
+                raise ValueError("paged cache requires the fast path")
         if mesh is not None:
             from .parallel.fast_tp import fast_tp_supported
             tp = mesh.shape["tp"]
@@ -129,6 +149,11 @@ class Scheduler:
             weights = shard_fast_tp_weights(weights, cfg, mesh)
             self.cache = shard_cache(KVCache.init(cfg, kv_dtype, batch=batch),
                                      cfg, mesh, batched=True)
+        elif self.paged:
+            from .models.paged import PageAllocator, PagedKVPool
+            self.cache = PagedKVPool.init(cfg, kv_dtype, paged_pages,
+                                          page_size)
+            self.alloc = PageAllocator(cfg, paged_pages, batch, page_size)
         else:
             self.cache = KVCache.init(cfg, kv_dtype, batch=batch)
         self.weights = weights
@@ -138,6 +163,33 @@ class Scheduler:
         self.queue: list[Request] = []
         self._key = jax.random.PRNGKey(0)
         cd = compute_dtype
+
+        if self.paged:
+            from .models.fast import (decode_step_fast_batched_paged,
+                                      prefill_fast_paged)
+            ps = page_size
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def _tick_paged(w, tokens, positions, pool, seeds, temps,
+                            write_mask, topks, topps, tables):
+                logits, pool = decode_step_fast_batched_paged(
+                    cfg, w, tokens, positions, pool, tables, write_mask,
+                    page_size=ps)
+                keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
+                    jax.random.PRNGKey(s_), p_))(seeds, positions)
+                nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
+                return nxt, pool
+
+            @partial(jax.jit, static_argnames=("logits_mode",),
+                     donate_argnums=(4,))
+            def _prefill_paged(w, tokens, pos0, valid_len, pool, table_b,
+                               page, row0, logits_mode):
+                return prefill_fast_paged(
+                    cfg, w, tokens, pos0, valid_len, pool, table_b, page,
+                    row0, logits_mode=logits_mode, page_size=ps)
+
+            self._tick_paged = _tick_paged
+            self._prefill_paged = _prefill_paged
 
         if self.fast and mesh is not None:
             from .parallel.fast_tp import (make_decode_step_fast_tp,
@@ -261,11 +313,24 @@ class Scheduler:
     def _admit(self) -> None:
         """Assign queued requests to free slots; their prompts hydrate in
         bounded chunks INTERLEAVED with decode ticks (_advance_admission),
-        so active lanes keep generating while long prompts admit."""
-        for slot in self.slots:
+        so active lanes keep generating while long prompts admit.
+
+        Paged mode reserves each request's worst-case page footprint
+        (min(window, prompt+max_new+1)) before admission; when the pool is
+        exhausted the request WAITS in the queue until completions release
+        pages — the occupancy contract that lets total cache HBM track
+        tokens in flight."""
+        for b, slot in enumerate(self.slots):
             if not self.queue or not slot.free:
                 continue
-            req = self.queue.pop(0)
+            req = self.queue[0]
+            if self.paged:
+                target = min(self.cfg.max_seq_len,
+                             len(req.prompt_tokens) + req.max_new_tokens + 1)
+                if not self.alloc.can_grow(b, target):
+                    break  # pool exhausted: wait for releases
+                self.alloc.grow(b, target)
+            self.queue.pop(0)
             slot.request = req
             slot.admitting = True
             slot.pos = 0
@@ -277,10 +342,35 @@ class Scheduler:
         sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), slot.pos)
         first = int(sample_ext(logits, sub, jnp.float32(req.temperature),
                                jnp.int32(req.top_k), jnp.float32(req.top_p)))
+        self._finish_admission_token(slot, first)
+
+    def _finish_admission_token(self, slot: _Slot, first: int) -> None:
         slot.admitting = False
         slot.last_token = first
-        req._emit(first)
+        slot.request._emit(first)
         self._maybe_finish(slot, first)
+
+    def _hydrate_paged_lane(self, b: int, token: int, pos: int,
+                            want_sample: bool) -> int:
+        """Ring-regime hydration of ONE paged lane: one masked tick (only
+        lane b writes), reusing the compiled batched program. Returns the
+        lane's sampled next token (meaningful when want_sample)."""
+        req = self.slots[b].request
+        B = self.B
+        tokens = np.zeros(B, np.int32); tokens[b] = token
+        positions = np.array([s.pos for s in self.slots], np.int32)
+        positions[b] = pos
+        write = np.zeros(B, np.int32); write[b] = 1
+        seeds = np.zeros(B, np.int32); seeds[b] = req.seed
+        temps = np.zeros(B, np.float32); temps[b] = req.temperature
+        topks = np.zeros(B, np.int32); topks[b] = req.top_k
+        topps = np.ones(B, np.float32); topps[b] = req.top_p
+        nxt, self.cache = self._tick_paged(
+            self.weights, jnp.asarray(tokens), jnp.asarray(positions),
+            self.cache, jnp.asarray(seeds), jnp.asarray(temps),
+            jnp.asarray(write), jnp.asarray(topks), jnp.asarray(topps),
+            jnp.asarray(self.alloc.table_array()))
+        return int(np.asarray(nxt)[b])
 
     def _advance_admission(self) -> None:
         """Advance every admitting slot by at most ONE prefill chunk (or a
@@ -298,16 +388,32 @@ class Scheduler:
             if slot.pos < window and slot.admit_i < n:
                 room = window - slot.pos
                 take = min(n - slot.admit_i, PREFILL_BUCKETS[-1], room)
+                if self.paged:
+                    # keep each chunk inside ONE page (single dus target)
+                    take = min(take,
+                               self.page_size - slot.pos % self.page_size)
                 bucket = _bucket_for(take)
                 if bucket > room:
+                    bucket = take
+                if self.paged and slot.pos % self.page_size + bucket > self.page_size:
                     bucket = take
                 padded = np.zeros(bucket, np.int32)
                 padded[:take] = toks[slot.admit_i: slot.admit_i + take]
                 last = slot.admit_i + take >= n
                 mode = "last" if last else "none"
-                out, self.cache = self._prefill_slot(
-                    self.weights, jnp.asarray(padded), jnp.int32(slot.pos),
-                    jnp.int32(take), b, self.cache, logits_mode=mode)
+                if self.paged:
+                    blk = slot.pos // self.page_size
+                    page = int(self.alloc.tables[b, blk])
+                    row0 = slot.pos % self.page_size
+                    out, self.cache = self._prefill_paged(
+                        self.weights, jnp.asarray(padded), jnp.int32(slot.pos),
+                        jnp.int32(take), self.cache,
+                        jnp.asarray(self.alloc.tables[b]), jnp.int32(page),
+                        jnp.int32(row0), logits_mode=mode)
+                else:
+                    out, self.cache = self._prefill_slot(
+                        self.weights, jnp.asarray(padded), jnp.int32(slot.pos),
+                        jnp.int32(take), b, self.cache, logits_mode=mode)
                 slot.pos += take
                 slot.admit_i += take
                 if last:
@@ -317,14 +423,22 @@ class Scheduler:
             budget = self.RING_HYDRATE_PER_TICK
             while budget > 0 and slot.admit_i < n:
                 last = slot.admit_i + 1 >= n
-                out, self.cache = self._hydrate_slot(
-                    self.weights, jnp.int32(toks[slot.admit_i]),
-                    jnp.int32(slot.pos), b, self.cache, output_logits=last)
+                if self.paged:
+                    out = self._hydrate_paged_lane(b, toks[slot.admit_i],
+                                                   slot.pos, last)
+                else:
+                    out, self.cache = self._hydrate_slot(
+                        self.weights, jnp.int32(toks[slot.admit_i]),
+                        jnp.int32(slot.pos), b, self.cache, output_logits=last)
                 slot.pos += 1
                 slot.admit_i += 1
                 budget -= 1
                 if last:
-                    self._finish_admission(slot, out)
+                    if self.paged:
+                        # the masked tick already sampled the first token
+                        self._finish_admission_token(slot, int(out))
+                    else:
+                        self._finish_admission(slot, out)
 
     def _maybe_finish(self, slot: _Slot, tok: int) -> None:
         req = slot.request
@@ -334,6 +448,8 @@ class Scheduler:
             req.done = True
             slot.request = None
             slot.admitting = False
+            if self.paged:
+                self.alloc.release(self.slots.index(slot))
 
     # ------------------------------------------------------------------
     def step(self) -> int:
@@ -359,9 +475,15 @@ class Scheduler:
             topps = jnp.asarray(
                 [s.request.top_p if s.decoding else 1.0 for s in self.slots],
                 jnp.float32)
-            nxt, self.cache = self._tick(self.weights, tokens, positions,
-                                         self.cache, seeds, temps, write,
-                                         topks, topps)
+            if self.paged:
+                nxt, self.cache = self._tick_paged(
+                    self.weights, tokens, positions, self.cache, seeds,
+                    temps, write, topks, topps,
+                    jnp.asarray(self.alloc.table_array()))
+            else:
+                nxt, self.cache = self._tick(self.weights, tokens, positions,
+                                             self.cache, seeds, temps, write,
+                                             topks, topps)
             nxt = np.asarray(nxt)
             for b, slot in enumerate(self.slots):
                 if not slot.decoding:

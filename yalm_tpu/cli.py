@@ -15,6 +15,12 @@ Usage: python -m yalm_tpu.cli <checkpoint.yalm> [options]
                  passkey junk lines (default 250)
   -l <int>       passkey position (-1 = random)
   -s <int>       RNG seed
+  -k <int>       top-k sampling cut (0 = full vocab)
+  -p <float>     nucleus (top-p) sampling cut (1.0 = off)
+  -D <path>      DRAFT checkpoint: speculative completion (greedy; the
+                 draft proposes, this model verifies — identical output to
+                 plain greedy decode, fewer full-model passes)
+  -K <int>       speculative draft length (default 4)
 """
 
 from __future__ import annotations
@@ -44,6 +50,10 @@ def _parse_args(argv: list[str]) -> dict:
         "n_junk": 250,
         "passkey_pos": -1,
         "seed": None,
+        "top_k": 0,
+        "top_p": 1.0,
+        "draft": None,
+        "n_draft": 4,
     }
     i = 1
     def need(i):
@@ -89,6 +99,14 @@ def _parse_args(argv: list[str]) -> dict:
             opts["passkey_pos"] = int(need(i))
         elif c == "s":
             opts["seed"] = int(need(i))
+        elif c == "k":
+            opts["top_k"] = int(need(i))
+        elif c == "p":
+            opts["top_p"] = float(need(i))
+        elif c == "D":
+            opts["draft"] = need(i)
+        elif c == "K":
+            opts["n_draft"] = int(need(i))
         else:
             error_usage()
         i += 2
@@ -138,9 +156,23 @@ def run_completion(opts) -> None:
     prev = encoding[-1]
     n_generated = 0
     stop = {eng.tokenizer.eos_id, eng.tokenizer.eot_id}
-    for token in eng.generate([], max_steps=num_steps, temperature=opts["temperature"],
-                              seed=opts["seed"], stop_tokens=stop):
-        # generate() starts from the already-hydrated state: prefill was done
+    if opts["draft"]:
+        # speculative decode: greedy only (verification compares argmax)
+        if opts["temperature"] != 0.0:
+            sys.stderr.write("note: -D (speculative) forces greedy decoding\n")
+        from .engine import Engine
+        draft = Engine.from_checkpoint(opts["draft"], context=opts["context"])
+        draft.prefill_tokens(encoding, want_logits=False)
+        stream = eng.generate_speculative(
+            [], draft=draft, n_draft=opts["n_draft"], max_steps=num_steps,
+            stop_tokens=stop)
+    else:
+        stream = eng.generate([], max_steps=num_steps,
+                              temperature=opts["temperature"],
+                              seed=opts["seed"], stop_tokens=stop,
+                              top_k=opts["top_k"], top_p=opts["top_p"])
+    for token in stream:
+        # the stream starts from the already-hydrated state: prefill was done
         # above so an empty prompt continues from the current cache.
         out.write(eng.tokenizer.decode_one(prev, token))
         out.flush()
@@ -157,6 +189,12 @@ def run_completion(opts) -> None:
           f"  hydrate: {hydrate_s:.5}s\n"
           f"  bandwidth: {read_bytes/1e9/elapsed:.5}GB/s\n"
           f"  total: {elapsed:.5}s\n")
+    if opts["draft"] and getattr(eng, "_spec_stats", None):
+        st = eng._spec_stats
+        if st["rounds"]:
+            print(f"Speculative stats: {st['rounds']} verify rounds, "
+                  f"{st['accepted'] / st['rounds']:.2f} draft tokens "
+                  f"accepted/round (of {opts['n_draft']})\n")
 
 
 def run_perplexity(opts) -> None:

@@ -33,7 +33,7 @@ from .models.fast import (FastWeights, decode_step_fast, fast_supported,
                           load_fast_weights, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights, load_weights
-from .sampler import logprob_of, sample
+from .sampler import logprob_of, sample, sample_ext
 from .tokenizer import Tokenizer
 
 # Prefill chunk buckets: prompts are processed in full chunks of the largest
@@ -176,9 +176,9 @@ class Engine:
 
         # --- jitted specializations (cache donated: in-place ring updates) ---
         @partial(jax.jit, donate_argnums=(3,))
-        def _step_sample(w, token, pos, cache, key, temperature):
+        def _step_sample(w, token, pos, cache, key, temperature, top_k, top_p):
             logits, cache = _step(w, token, pos, cache)
-            next_token = sample(logits, key, temperature)
+            next_token = sample_ext(logits, key, temperature, top_k, top_p)
             return next_token, logits, cache
 
         @partial(jax.jit, donate_argnums=(3,))
@@ -196,7 +196,8 @@ class Engine:
             return _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode)
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(3,))
-        def _decode_block(w, token0, pos0, cache, key, temperature, n):
+        def _decode_block(w, token0, pos0, cache, key, temperature, n,
+                          top_k=jnp.int32(0), top_p=jnp.float32(1.0)):
             """Generate n tokens in ONE device program (lax.fori_loop over
             fused decode+sample steps). One host dispatch per block instead of
             per token — the TPU-native answer to the reference's per-token
@@ -207,7 +208,7 @@ class Engine:
                 token, cache, out, key = carry
                 key, sub = jax.random.split(key)
                 logits, cache = _step(w, token, pos0 + i, cache)
-                nxt = sample(logits, sub, temperature)
+                nxt = sample_ext(logits, sub, temperature, top_k, top_p)
                 return nxt, cache, out.at[i].set(nxt), key
 
             _, cache, out, _ = jax.lax.fori_loop(
@@ -286,7 +287,8 @@ class Engine:
             cache = KVCache.init(self.cfg, self.kv_dtype)
         cache = self._step_hydrate(self.weights, jnp.int32(0), jnp.int32(0), cache)
         _, _, cache = self._step_sample(self.weights, jnp.int32(0), jnp.int32(0), cache,
-                                        jax.random.PRNGKey(0), jnp.float32(1.0))
+                                        jax.random.PRNGKey(0), jnp.float32(1.0),
+                                        jnp.int32(0), jnp.float32(1.0))
         _, cache = self._step_logits(self.weights, jnp.int32(0), jnp.int32(0), cache)
         for b in PREFILL_BUCKETS:
             if b > self.cfg.max_seq_len:
@@ -344,23 +346,27 @@ class Engine:
         seed: int | None = None,
         stop_tokens: Sequence[int] = (),
         block_size: int = 1,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> Iterator[int]:
         """Prefill then stream sampled token ids (the reference decode loop,
         src/main.cpp:102-112, with sampling moved on-device).
 
         block_size > 1 runs the decode loop on device in blocks of that many
         tokens — one host round-trip per block instead of per token. Tokens
-        past a stop token inside a block are discarded.
+        past a stop token inside a block are discarded. top_k / top_p
+        restrict sampling (0 / 1.0 disable; see sampler.sample_ext).
         """
         self.prefill_tokens(prompt_tokens, want_logits=True)
         key = jax.random.PRNGKey(seed if seed is not None else time.time_ns() & 0x7FFFFFFF)
         temp = jnp.float32(temperature)
+        tk, tp = jnp.int32(top_k), jnp.float32(top_p)
         stop = set(int(s) for s in stop_tokens)
 
         logits = self._last_logits
         assert logits is not None
         key, sub = jax.random.split(key)
-        token = int(sample(logits, sub, temp))
+        token = int(sample_ext(logits, sub, temp, tk, tp))
         steps = 0
 
         if block_size <= 1:
@@ -371,7 +377,8 @@ class Engine:
                     return
                 key, sub = jax.random.split(key)
                 token_arr, logits, self.cache = self._step_sample(
-                    self.weights, jnp.int32(token), jnp.int32(self.pos), self.cache, sub, temp)
+                    self.weights, jnp.int32(token), jnp.int32(self.pos),
+                    self.cache, sub, temp, tk, tp)
                 self._last_logits = logits
                 self.pos += 1
                 token = int(token_arr)
@@ -386,7 +393,7 @@ class Engine:
             key, sub = jax.random.split(key)
             out, self.cache = self._decode_block(
                 self.weights, jnp.int32(token), jnp.int32(self.pos), self.cache,
-                sub, temp, n=block_size)
+                sub, temp, n=block_size, top_k=tk, top_p=tp)
             self.pos += block_size
             block = [int(t) for t in np.asarray(out)]  # one host fetch per block
             for t in block:
@@ -453,7 +460,7 @@ class Engine:
                 while max_steps == -1 or steps < max_steps:
                     tok_arr, logits, self.cache = self._step_sample(
                         self.weights, jnp.int32(cur), jnp.int32(self.pos),
-                        self.cache, key, zero)
+                        self.cache, key, zero, jnp.int32(0), jnp.float32(1.0))
                     self._last_logits = logits
                     self.pos += 1
                     draft.pos += 1  # keep in sync (draft unused past here)

@@ -173,3 +173,41 @@ def test_chat_completions_endpoint(tmp_path):
     finally:
         httpd.shutdown()
         engine.close()
+
+
+def test_chat_streaming_deltas_and_stop_string(tmp_path):
+    """Streaming chat: delta-shaped SSE chunks, and a synthetic stop string
+    ends the stream early (request cancelled, no template leak)."""
+    import threading
+    from yalm_tpu import chat as chat_mod
+    from yalm_tpu.server import ServingEngine, serve
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, tiny_config(), seed=1)
+    engine = ServingEngine.from_checkpoint(path, batch=2, kv_dtype=jnp.float16)
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        payload = {"messages": [{"role": "user", "content": "hello"}],
+                   "max_tokens": 12, "temperature": 0.0, "stream": True}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        pieces = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = r.read().decode()
+        for line in body.splitlines():
+            if line.startswith("data: ") and line != "data: [DONE]":
+                obj = json.loads(line[6:])
+                assert obj["object"] == "chat.completion.chunk"
+                pieces.append(obj["choices"][0]["delta"]["content"])
+        text = "".join(pieces)
+        for ss in STOP_STRINGS["chatml"]:
+            assert ss not in text
+        assert "data: [DONE]" in body
+    finally:
+        httpd.shutdown()
+        engine.close()

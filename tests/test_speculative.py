@@ -89,3 +89,35 @@ def test_speculative_stops_at_stop_token(tmp_path):
     got = list(target.generate_speculative(prompt, draft=draft, n_draft=3,
                                            max_steps=30, stop_tokens=[stop]))
     assert got == want_stop
+
+
+def test_speculative_draft_with_smaller_window(tmp_path):
+    """A draft whose window is SMALLER than the target's must stop
+    speculating at the DRAFT's window (its ring-regime sink rotations can't
+    be rolled back) — output still exactly matches plain greedy."""
+    cfg_t = tiny_config(max_seq_len=96)
+    cfg_d = tiny_config(max_seq_len=32)
+    t_path, d_path = str(tmp_path / "t.yalm"), str(tmp_path / "d.yalm")
+    synth_checkpoint(t_path, cfg_t, seed=6)
+    synth_checkpoint(d_path, cfg_d, seed=6)
+    target = Engine.from_checkpoint(t_path)
+    draft = Engine.from_checkpoint(d_path)
+    ref = Engine.from_checkpoint(t_path)
+
+    prompt = [1, 2, 3]
+    n = 40  # crosses the draft's 32-window while inside the target's 96
+    want = list(ref.generate(prompt, max_steps=n, temperature=0.0))
+    got = list(target.generate_speculative(prompt, draft=draft,
+                                           n_draft=4, max_steps=n))
+    assert got == want
+
+
+def test_speculative_huge_n_draft_clamped(tmp_path):
+    cfg = tiny_config(max_seq_len=64)
+    target = _mk_engine(tmp_path, "t.yalm", cfg, seed=8)
+    draft = _mk_engine(tmp_path, "d.yalm", cfg, seed=8)
+    ref = _mk_engine(tmp_path, "r.yalm", cfg, seed=8)
+    want = list(ref.generate([1, 4], max_steps=10, temperature=0.0))
+    got = list(target.generate_speculative([1, 4], draft=draft,
+                                           n_draft=10_000, max_steps=10))
+    assert got == want

@@ -33,7 +33,7 @@ from .models.fast import (FastWeights, decode_step_fast, fast_supported,
                           load_fast_weights, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights, load_weights
-from .sampler import logprob_of, sample, sample_ext
+from .sampler import logprob_of, sample_ext
 from .tokenizer import Tokenizer
 
 # Prefill chunk buckets: prompts are processed in full chunks of the largest
@@ -449,13 +449,17 @@ class Engine:
         if cur in stop:
             return
 
-        K = max(1, int(n_draft))
-        bucket = _bucket_for(K)
+        # the verify chunk holds K+1 tokens ([cur] + all K proposals)
+        K = min(max(1, int(n_draft)), PREFILL_BUCKETS[-1] - 1)
+        bucket = _bucket_for(K + 1)
+        # the DRAFT's window binds too: its ring regime rotates sink keys,
+        # which a rejection cannot undo — its cache would silently corrupt
+        edge = min(cfg.max_seq_len, draft.cfg.max_seq_len)
         while max_steps == -1 or steps < max_steps:
             # the padded verify chunk must fit before the window edge, else
             # dynamic_update_slice would clamp its start (chunk_schedule's
             # rule) — and the ring regime can't roll back anyway
-            if self.pos + bucket >= cfg.max_seq_len:
+            if self.pos + bucket >= edge:
                 # window edge: plain greedy decode from here on
                 while max_steps == -1 or steps < max_steps:
                     tok_arr, logits, self.cache = self._step_sample(
@@ -471,26 +475,31 @@ class Engine:
                         return
                 return
 
-            # 1) draft proposes K greedy tokens after `cur`
+            # 1) draft proposes K greedy tokens after `cur`. It decodes K+1:
+            #    the extra step's CACHE WRITE hydrates the draft's row for
+            #    d[K-1] at pos0+K, which the full-acceptance rewind (a == K)
+            #    leaves inside the draft's visible history.
             d_out, draft.cache = draft._decode_block(
                 draft.weights, jnp.int32(cur), jnp.int32(draft.pos),
-                draft.cache, key, zero, n=K)
-            draft.pos += K
-            d = [int(t) for t in np.asarray(d_out)]           # d[0..K-1]
+                draft.cache, key, zero, n=K + 1)
+            draft.pos += K + 1
+            d = [int(t) for t in np.asarray(d_out)][:K]       # d[0..K-1]
 
-            # 2) target verifies the whole window in ONE chunked forward:
+            # 2) target verifies ALL K proposals in ONE chunked forward:
             #    logits at row i answer "what follows [.., cur, d0..d_{i-1}]"
             chunk = np.zeros(bucket, np.int32)
-            chunk[:K] = [cur] + d[: K - 1]
+            chunk[: K + 1] = [cur] + d
             pos0 = self.pos
             all_logits, self.cache = self._prefill(
                 self.weights, jnp.asarray(chunk), jnp.int32(pos0),
-                jnp.int32(K), self.cache, logits_mode="all")
-            t = np.asarray(jnp.argmax(all_logits[:K], axis=-1))
+                jnp.int32(K + 1), self.cache, logits_mode="all")
+            t = np.asarray(jnp.argmax(all_logits[: K + 1], axis=-1))
 
-            # 3) longest agreeing prefix, then the target's correction
+            # 3) longest agreeing prefix, then the target's own next token
+            #    (row K's logits when every proposal matched): up to K+1
+            #    tokens per target sweep
             a = 0
-            while a < K - 1 and d[a] == int(t[a]):
+            while a < K and d[a] == int(t[a]):
                 a += 1
             emitted = [int(x) for x in d[:a]] + [int(t[a])]
             draft_stats["rounds"] += 1

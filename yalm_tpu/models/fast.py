@@ -47,6 +47,29 @@ from .cache import KVCache
 from .weights import Weights
 
 
+def shard_major(parts, tp: int, axis: int):
+    """Concat `parts` along `axis` in SHARD-MAJOR order: the result's tp
+    contiguous chunks each hold every part's shard —
+    [a, b, ...] -> [a_0; b_0; a_1; b_1; ...]. tp=1 degenerates to a plain
+    concat. Works on numpy or jnp arrays; the single canonical
+    implementation for both the checkpoint loader and parallel/fast_tp
+    (a divergence would silently mismatch the P(None,'tp',None) placement).
+    """
+    import numpy as np
+    xp = np if isinstance(parts[0], np.ndarray) else jnp
+    if tp == 1:
+        return xp.concatenate(parts, axis=axis)
+    split = []
+    for p in parts:
+        n = p.shape[axis]
+        assert n % tp == 0, (p.shape, axis, tp)
+        split.append(p.reshape(p.shape[:axis] + (tp, n // tp) + p.shape[axis + 1:]))
+    cat = xp.concatenate(split, axis=axis + 1)
+    return cat.reshape(cat.shape[:axis]
+                       + (cat.shape[axis] * cat.shape[axis + 1],)
+                       + cat.shape[axis + 2:])
+
+
 class FastScales(NamedTuple):
     """Per-output-channel dequant scales for int8 checkpoints, laid out to
     mirror FastWeights' concatenated row order (y = (W_q @ x) * scale)."""
@@ -130,24 +153,9 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
     def stack(fmt, shape):
         return np.stack([get(fmt.format(l), shape) for l in range(cfg.n_layers)])
 
-    def cat_sm(parts, axis):
-        """Concat along `axis`; with tp > 1, interleave so each of tp
-        contiguous chunks holds every part's shard (shard-major)."""
-        if tp == 1:
-            return np.concatenate(parts, axis=axis)
-        sp = []
-        for p in parts:
-            n = p.shape[axis]
-            assert n % tp == 0, (p.shape, axis, tp)
-            sp.append(p.reshape(p.shape[:axis] + (tp, n // tp) + p.shape[axis + 1:]))
-        cat = np.concatenate(sp, axis=axis + 1)
-        return cat.reshape(cat.shape[:axis]
-                           + (cat.shape[axis] * cat.shape[axis + 1],)
-                           + cat.shape[axis + 2:])
-
     def stack_cat(fmts_shapes, axis=0):
         return np.stack([
-            cat_sm([get(f.format(l), s) for f, s in fmts_shapes], axis)
+            shard_major([get(f.format(l), s) for f, s in fmts_shapes], tp, axis)
             for l in range(cfg.n_layers)])
 
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))

@@ -704,7 +704,7 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 # fetched block is one contiguous page range.
 
 
-def _paged_attn_body(b, layer, q_in, knew_in, vnew_in, kp_hbm, vp_hbm, o_out,
+def _paged_attn_body(layer, q_in, knew_in, vnew_in, kp_hbm, vp_hbm, o_out,
                      kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
                      sem, rowsem, page_of, *, S, block_s, Hk, P, kv_sinks,
                      theta, rotary_dim, kv_pos, kv_len, kv_sink, pos,
@@ -836,7 +836,7 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     def page_of(blk):
         return scal_ref[pages_off + blk]
 
-    _paged_attn_body(b, layer, q_ref[0], knew_ref[0], vnew_ref[0],
+    _paged_attn_body(layer, q_ref[0], knew_ref[0], vnew_ref[0],
                      kp_hbm, vp_hbm, o_ref.at[0],
                      kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
                      sem, rowsem, page_of, S=S, block_s=block_s,

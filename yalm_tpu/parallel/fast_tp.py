@@ -58,21 +58,7 @@ from .sharding import cache_pspecs
 # Weight layout + placement
 # ---------------------------------------------------------------------------
 
-def _shard_major(parts, tp: int, axis: int):
-    """Interleave row-blocks so tp contiguous chunks each hold every part's
-    shard: [a, b, ...] -> [a_0; b_0; a_1; b_1; ...] along `axis`."""
-    import numpy as np
-    xp = np if isinstance(parts[0], np.ndarray) else jnp
-    split = []
-    for p in parts:
-        n = p.shape[axis]
-        assert n % tp == 0, (p.shape, axis, tp)
-        shape = p.shape[:axis] + (tp, n // tp) + p.shape[axis + 1:]
-        split.append(p.reshape(shape))
-    cat = xp.concatenate(split, axis=axis + 1)
-    out_shape = cat.shape[:axis] + (cat.shape[axis] * cat.shape[axis + 1],) \
-        + cat.shape[axis + 2:]
-    return cat.reshape(out_shape)
+from ..models.fast import shard_major as _shard_major
 
 
 def fast_tp_weights(w: Weights, cfg: ModelConfig, tp: int) -> FastWeights:

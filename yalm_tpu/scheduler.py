@@ -36,7 +36,7 @@ from .models.fast import (FastWeights, decode_step_fast_batched,
                           fast_batched_supported, prefill_fast)
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
-from .sampler import sample, sample_ext
+from .sampler import sample_ext
 from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
@@ -49,6 +49,9 @@ class Request:
     seed: int = 0
     top_k: int = 0        # 0 = full-vocab sampling
     top_p: float = 1.0    # 1.0 = no nucleus cut
+    # control
+    cancelled: bool = False   # set by the owner (e.g. server stream close /
+                              # stop-string hit); freed at the next tick edge
     # outputs
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -178,7 +181,11 @@ class Scheduler:
                 keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
                     jax.random.PRNGKey(s_), p_))(seeds, positions)
                 nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-                return nxt, pool
+                # logits returned too: ring-regime admission samples the
+                # first token OUTSIDE the tick with the same key math as the
+                # dense path (_finish_admission folds at the post-increment
+                # position)
+                return nxt, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
                      donate_argnums=(4,))
@@ -350,27 +357,22 @@ class Scheduler:
         slot.request._emit(first)
         self._maybe_finish(slot, first)
 
-    def _hydrate_paged_lane(self, b: int, token: int, pos: int,
-                            want_sample: bool) -> int:
+    def _hydrate_paged_lane(self, b: int, token: int, pos: int):
         """Ring-regime hydration of ONE paged lane: one masked tick (only
         lane b writes), reusing the compiled batched program. Returns the
-        lane's sampled next token (meaningful when want_sample)."""
-        req = self.slots[b].request
+        lane's logits row (for the dense-parity first-token sample)."""
         B = self.B
         tokens = np.zeros(B, np.int32); tokens[b] = token
         positions = np.array([s.pos for s in self.slots], np.int32)
         positions[b] = pos
         write = np.zeros(B, np.int32); write[b] = 1
-        seeds = np.zeros(B, np.int32); seeds[b] = req.seed
-        temps = np.zeros(B, np.float32); temps[b] = req.temperature
-        topks = np.zeros(B, np.int32); topks[b] = req.top_k
-        topps = np.ones(B, np.float32); topps[b] = req.top_p
-        nxt, self.cache = self._tick_paged(
+        zeros_i = jnp.zeros(B, jnp.int32)
+        _, logits, self.cache = self._tick_paged(
             self.weights, jnp.asarray(tokens), jnp.asarray(positions),
-            self.cache, jnp.asarray(seeds), jnp.asarray(temps),
-            jnp.asarray(write), jnp.asarray(topks), jnp.asarray(topps),
+            self.cache, zeros_i, jnp.zeros(B, jnp.float32),
+            jnp.asarray(write), zeros_i, jnp.ones(B, jnp.float32),
             jnp.asarray(self.alloc.table_array()))
-        return int(np.asarray(nxt)[b])
+        return logits[b]
 
     def _advance_admission(self) -> None:
         """Advance every admitting slot by at most ONE prefill chunk (or a
@@ -425,7 +427,7 @@ class Scheduler:
                 last = slot.admit_i + 1 >= n
                 if self.paged:
                     out = self._hydrate_paged_lane(b, toks[slot.admit_i],
-                                                   slot.pos, last)
+                                                   slot.pos)
                 else:
                     out, self.cache = self._hydrate_slot(
                         self.weights, jnp.int32(toks[slot.admit_i]),
@@ -434,17 +436,14 @@ class Scheduler:
                 slot.admit_i += 1
                 budget -= 1
                 if last:
-                    if self.paged:
-                        # the masked tick already sampled the first token
-                        self._finish_admission_token(slot, int(out))
-                    else:
-                        self._finish_admission(slot, out)
+                    self._finish_admission(slot, out)
 
     def _maybe_finish(self, slot: _Slot, tok: int) -> None:
         req = slot.request
         if req is None:
             return
-        if tok in req.stop_tokens or len(req.generated) >= req.max_new_tokens:
+        if req.cancelled or tok in req.stop_tokens \
+                or len(req.generated) >= req.max_new_tokens:
             req.done = True
             slot.request = None
             slot.admitting = False
@@ -476,7 +475,7 @@ class Scheduler:
                 [s.request.top_p if s.decoding else 1.0 for s in self.slots],
                 jnp.float32)
             if self.paged:
-                nxt, self.cache = self._tick_paged(
+                nxt, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, seeds,
                     temps, write, topks, topps,
                     jnp.asarray(self.alloc.table_array()))

@@ -247,6 +247,13 @@ def make_handler(engine: ServingEngine):
                         break
                     if item not in req.stop_tokens:
                         text.append(engine.tokenizer.decode_one(prev, int(item)))
+                        if stop_strings and not req.cancelled:
+                            # free the lane as soon as a template stop
+                            # marker lands instead of burning max_tokens
+                            tail = b"".join(text[-8:]).decode(
+                                "utf-8", errors="replace")
+                            if any(ss in tail for ss in stop_strings):
+                                req.cancelled = True
                     prev = int(item)
                 out = b"".join(text).decode("utf-8", errors="replace")
                 for ss in stop_strings:   # trim template stop markers
@@ -276,7 +283,12 @@ def make_handler(engine: ServingEngine):
                     })
                 return
 
-            # server-sent events, one data: line per token
+            # server-sent events, one data: line per token. Chat streams
+            # use delta-shaped chunks, honor the template's stop strings
+            # (held back via a tail buffer so a marker split across tokens
+            # still matches), and CANCEL the request once a stop string
+            # lands — the lane frees at the next tick instead of burning
+            # the rest of max_tokens.
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -286,19 +298,48 @@ def make_handler(engine: ServingEngine):
             def chunk(data: bytes) -> None:
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
+            def emit(piece: str) -> None:
+                if not piece:
+                    return
+                if chat:
+                    payload = {"object": "chat.completion.chunk",
+                               "choices": [{"index": 0,
+                                            "delta": {"content": piece}}]}
+                else:
+                    payload = {"choices": [{"index": 0, "text": piece}]}
+                chunk(b"data: " + json.dumps(payload).encode() + b"\n\n")
+
+            hold = max((len(ss) for ss in stop_strings), default=0)
+            pending = ""
+            stopped = False
             prev = req.prompt_tokens[-1] if req.prompt_tokens else engine.cfg.bos_token_id
             while True:
                 item = out_q.get()
                 if item is _SENTINEL:
                     break
+                if stopped:
+                    continue  # drain until the scheduler frees the lane
                 if item in req.stop_tokens:
                     prev = int(item)
                     continue
-                piece = engine.tokenizer.decode_one(prev, int(item)).decode(
+                pending += engine.tokenizer.decode_one(prev, int(item)).decode(
                     "utf-8", errors="replace")
                 prev = int(item)
-                chunk(b"data: " + json.dumps(
-                    {"choices": [{"index": 0, "text": piece}]}).encode() + b"\n\n")
+                cut = min((i for i in (pending.find(ss) for ss in stop_strings)
+                           if i >= 0), default=-1)
+                if cut >= 0:
+                    emit(pending[:cut])
+                    req.cancelled = True
+                    stopped = True
+                    continue
+                if hold and len(pending) > hold:
+                    emit(pending[:-hold])
+                    pending = pending[-hold:]
+                elif not hold:
+                    emit(pending)
+                    pending = ""
+            if not stopped:
+                emit(pending)
             chunk(b"data: [DONE]\n\n")
             chunk(b"")  # terminal chunk
 

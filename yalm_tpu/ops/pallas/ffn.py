@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gemv import _bf16, _emulate, _gemv_ref, pick_blocks
+from .gemv import _bf16, _emulate, pick_blocks
 
 
 _DEPTH = 2  # outstanding weight-tile DMAs per stream. Measured on v5e: a

@@ -37,7 +37,7 @@ from .models.fast import (FastWeights, decode_step_fast_batched,
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
 from .sampler import sample_ext
-from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
+from .engine import PREFILL_BUCKETS, _bucket_for
 
 
 @dataclasses.dataclass

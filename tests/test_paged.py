@@ -168,3 +168,38 @@ def test_paged_kernel_interpret_parity():
         np.testing.assert_allclose(np.asarray(vi, np.float32),
                                    np.asarray(ve, np.float32),
                                    rtol=1e-2, atol=1e-2)
+
+
+def test_server_paged(tmp_path):
+    """End-to-end HTTP serving over the PAGED scheduler."""
+    import json
+    import threading
+    import urllib.request
+    from yalm_tpu.convert import convert
+    from yalm_tpu.server import ServingEngine, serve
+    from yalm_tpu.utils.testing import synth_hf_dir
+
+    cfg = fast_config()
+    hf = str(tmp_path / "hf")
+    synth_hf_dir(hf, cfg, seed=51)
+    p = str(tmp_path / "m.yalm")
+    convert(hf, p, "fp8")
+    engine = ServingEngine.from_checkpoint(p, batch=8,
+                                           paged_pages=1 + 8 * 2,
+                                           page_size=PAGE)
+    assert engine.sched.paged
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=json.dumps({"prompt": "hello", "max_tokens": 5,
+                             "temperature": 0.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["usage"]["completion_tokens"] >= 1
+    finally:
+        httpd.shutdown()
+        engine.close()

@@ -39,7 +39,8 @@ class ServingEngine:
     def __init__(self, cfg: ModelConfig, weights, tokenizer: Tokenizer, *,
                  batch: int = 8, kv_dtype=jnp.bfloat16, fast: bool | str = "auto",
                  max_prompt_tokens: int | None = None,
-                 chat_template: str = "chatml"):
+                 chat_template: str = "chatml",
+                 paged_pages: int = 0, page_size: int = 256):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -49,7 +50,8 @@ class ServingEngine:
         # default (0/None = unlimited).
         self.max_prompt_tokens = max_prompt_tokens or 0
         self.sched = Scheduler(cfg, weights, batch=batch, kv_dtype=kv_dtype,
-                               compute_dtype=jnp.bfloat16, fast=fast)
+                               compute_dtype=jnp.bfloat16, fast=fast,
+                               paged_pages=paged_pages, page_size=page_size)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         self._stop = threading.Event()
@@ -364,12 +366,19 @@ def main(argv=None) -> None:
                     help="reject prompts longer than this (policy knob; default/0 disables)")
     ap.add_argument("--chat-template", default="chatml",
                     help="template for /v1/chat/completions (chatml | inst)")
+    ap.add_argument("--paged-pages", type=int, default=0,
+                    help="paged KV cache with this many pool pages (0 = dense "
+                         "cache); cache HBM then scales with tokens in flight")
+    ap.add_argument("--page-size", type=int, default=256,
+                    help="tokens per KV page (must divide the context window)")
     args = ap.parse_args(argv)
 
     engine = ServingEngine.from_checkpoint(args.checkpoint, context=args.context,
                                            batch=args.batch,
                                            max_prompt_tokens=args.max_prompt_tokens,
-                                           chat_template=args.chat_template)
+                                           chat_template=args.chat_template,
+                                           paged_pages=args.paged_pages,
+                                           page_size=args.page_size)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

@@ -10,9 +10,10 @@ with synthetic device-side weights, and prints ONE JSON line:
 vs_baseline is measured tok/s divided by the reference's published 63.8
 tok/s (yalm on RTX 4090, FP16, ~120-token generation — BASELINE.md).
 
-Env knobs: YALM_BENCH_DTYPE=fp8|bf16 (default fp8), YALM_BENCH_STEPS,
-YALM_BENCH_PRESET=mistral7b|small, YALM_BENCH_BATCH=N (N>0 switches the
-metric to continuous-batching aggregate tok/s at batch N; N%8==0).
+Env knobs: YALM_BENCH_DTYPE=fp8|bf16|int8 (default fp8), YALM_BENCH_STEPS,
+YALM_BENCH_PRESET=mistral7b|small, YALM_BENCH_BATCH=N (continuous-batching
+aggregate at batch N; N%8==0), YALM_BENCH_PAGED_BATCH=N (paged-KV batching
+aggregate), YALM_BENCH_PREFILL=1 (chunked prefill tok/s).
 """
 
 from __future__ import annotations
@@ -143,6 +144,8 @@ def main() -> None:
     pbatch = int(os.environ.get("YALM_BENCH_PAGED_BATCH", "0"))
     if pbatch:
         return bench_paged(cfg, weights, pbatch, steps)
+    if os.environ.get("YALM_BENCH_PREFILL"):
+        return bench_prefill(cfg, weights)
 
     eng = Engine(cfg, weights, kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
                  fast=True)
@@ -260,6 +263,46 @@ def bench_batched(cfg, weights, batch: int, steps: int) -> None:
         "value": round(agg, 1),
         "unit": "tok/s",
         "vs_baseline": round(agg / BASELINE_TOK_S, 3),
+    }))
+
+
+def bench_prefill(cfg, weights) -> None:
+    """Chunked prefill throughput: 256-token chunks hydrating the cache
+    (the reference hydrates token-at-a-time, src/main.cpp:91-97)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import prefill_fast
+
+    T = 256
+    n_chunks = 8  # 2048 tokens per dispatch
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def run(w, cache, tokens):
+        def body(i, c):
+            _, c = prefill_fast(cfg, w, tokens, i * T, jnp.int32(T), c,
+                                logits_mode="none")
+            return c
+        return jax.lax.fori_loop(0, n_chunks, body, cache)
+
+    cache = KVCache.init(cfg, jnp.bfloat16)
+    toks = jnp.ones((T,), jnp.int32)
+    cache = run(weights, cache, toks)
+    _ = np.asarray(cache.k[0, 0, 0])
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        cache = run(weights, cache, toks)
+        _ = np.asarray(cache.k[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+        log(f"  rep {rep}: {n_chunks*T/times[-1]:.0f} tok/s prefill")
+    dt = sorted(times)[1]
+    print(json.dumps({
+        "metric": f"{cfg.weight_dtype}_prefill_throughput",
+        "value": round(n_chunks * T / dt, 1),
+        "unit": "tok/s",
+        "vs_baseline": round((n_chunks * T / dt) / BASELINE_TOK_S, 3),
     }))
 
 

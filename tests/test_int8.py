@@ -179,3 +179,26 @@ def test_moe_int8(tmp_path):
         lf, cache_f = decode_step_fast(cfg, fw, tok, jnp.int32(pos), cache_f)
         assert np.argmax(np.asarray(lo)) == np.argmax(np.asarray(lf)), pos
         tok = jnp.int32(int(np.argmax(np.asarray(lo))))
+
+
+def test_engine_mesh_int8_end_to_end(tmp_path):
+    """Engine.from_checkpoint with a mesh + int8 checkpoint: shard-major
+    int8 loading (tp=2), scale-aware TP prefill AND decode, vs the
+    single-device oracle stream."""
+    from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    cfg = fast_config()
+    hf = str(tmp_path / "hf")
+    synth_hf_dir(hf, cfg, seed=19)
+    p = str(tmp_path / "m.yalm")
+    convert(hf, p, "int8")
+
+    mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
+    eng = Engine.from_checkpoint(p, mesh=mesh, kv_dtype=jnp.bfloat16)
+    assert eng.fast and eng.weights.scales is not None
+    eng_o = Engine.from_checkpoint(p, fast=False, kv_dtype=jnp.bfloat16,
+                                   compute_dtype=jnp.bfloat16)
+    got = list(eng.generate([1, 7, 42, 3], max_steps=10, temperature=0.0))
+    want = list(eng_o.generate([1, 7, 42, 3], max_steps=10, temperature=0.0))
+    agree = sum(a == b for a, b in zip(got, want))
+    assert agree >= len(want) - 1, (got, want)

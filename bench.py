@@ -167,7 +167,7 @@ def main() -> None:
 
     times = []
     pos0 = steps
-    for rep in range(3):
+    for rep in range(4):
         t0 = time.perf_counter()
         out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])),
                                        jnp.int32(pos0), cache, key, temp, n=steps)
@@ -176,7 +176,9 @@ def main() -> None:
         pos0 += steps
         log(f"  rep {rep}: {steps/times[-1]:.2f} tok/s")
     assert len(set(toks.tolist())) > 1 or steps < 4, "degenerate decode"
-    dt = sorted(times)[1]  # median of 3
+    # rep 0 is reliably a clock-ramp outlier right after the long compile
+    # (45-61 tok/s vs 94-96 steady-state); median of the steady reps
+    dt = sorted(times[1:])[1]
 
     tok_s = steps / dt
     # speed-of-light context for the log
@@ -185,34 +187,40 @@ def main() -> None:
     log(f"decode: {tok_s:.2f} tok/s ({dt/steps*1e3:.2f} ms/tok); "
         f"roofline ~{sol:.1f} tok/s -> {100*tok_s/sol:.1f}% of v5e SoL")
 
-    # full-window regime: positions past max_seq_len attend the whole ring
-    # buffer every step (the reference's long-generation row, README.md:14)
-    fw_pos = cfg.max_seq_len + 8
-    out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])),
-                                   jnp.int32(fw_pos), cache, key, temp, n=steps)
-    _ = np.asarray(out)
-    fw_times = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])),
-                                       jnp.int32(fw_pos + (rep + 1) * steps),
-                                       cache, key, temp, n=steps)
-        _ = np.asarray(out)
-        fw_times.append(time.perf_counter() - t0)
-    fw_tok_s = steps / sorted(fw_times)[1]
-    fw_sol = hbm_gbs * 1e9 / cfg.active_bytes(cfg.max_seq_len)
-    log(f"full-window decode: {fw_tok_s:.2f} tok/s; roofline ~{fw_sol:.1f} "
-        f"-> {100*fw_tok_s/fw_sol:.1f}% of v5e SoL")
-
-    print(json.dumps({
+    result = {
         "metric": f"{preset}_{dtype}_decode_throughput",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
         "pct_of_sol": round(100 * tok_s / sol, 1),
-        "full_window_tok_s": round(fw_tok_s, 2),
-        "full_window_pct_of_sol": round(100 * fw_tok_s / fw_sol, 1),
-    }))
+    }
+    try:
+        # full-window regime: positions past max_seq_len attend the whole
+        # ring buffer every step (the reference's long-generation row,
+        # README.md:14). Best-effort: a slow compile tunnel must not cost
+        # the primary metric.
+        fw_pos = cfg.max_seq_len + 8
+        out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])),
+                                       jnp.int32(fw_pos), cache, key, temp,
+                                       n=steps)
+        _ = np.asarray(out)
+        fw_times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            out, cache = eng._decode_block(weights, jnp.int32(int(out[-1])),
+                                           jnp.int32(fw_pos + (rep + 1) * steps),
+                                           cache, key, temp, n=steps)
+            _ = np.asarray(out)
+            fw_times.append(time.perf_counter() - t0)
+        fw_tok_s = steps / sorted(fw_times)[1]
+        fw_sol = hbm_gbs * 1e9 / cfg.active_bytes(cfg.max_seq_len)
+        log(f"full-window decode: {fw_tok_s:.2f} tok/s; roofline ~{fw_sol:.1f} "
+            f"-> {100*fw_tok_s/fw_sol:.1f}% of v5e SoL")
+        result["full_window_tok_s"] = round(fw_tok_s, 2)
+        result["full_window_pct_of_sol"] = round(100 * fw_tok_s / fw_sol, 1)
+    except Exception as e:  # noqa: BLE001
+        log(f"full-window phase skipped: {e}")
+    print(json.dumps(result))
 
 
 def bench_batched(cfg, weights, batch: int, steps: int) -> None:

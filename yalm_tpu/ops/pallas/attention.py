@@ -331,22 +331,149 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               S: int, block_s: int, n_kv_heads: int,
                               p_rows: int, kv_sinks: int, theta: float,
                               rotary_dim: int):
-    """Grid is (B,): one program per batch lane; scalars are per-lane arrays
-    laid out [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B], write[B]]."""
-    b = pl.program_id(0)
-    B = pl.num_programs(0)
+    """ONE program sweeps all B lanes with CROSS-LANE pipelined KV fetches:
+    while lane b's block j is being flash-attended, the next block — lane
+    b's j+1, or lane b+1's block 0 at a lane boundary — is already in
+    flight. The naive grid-(B,) formulation paid each lane's first-fetch
+    latency serially (measured 197 µs/layer at batch 16 for ~44 µs of
+    bytes); the pipeline keeps exactly one fetch outstanding across the
+    whole sweep. Scalars: [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B],
+    write[B]].
+
+    Correctness of the early prefetch: a lane's new-row/sink HBM writes are
+    async and may land before OR after any fetch of the region — every
+    fetched block is PATCHED in VMEM with the same values (computed from
+    the kernel inputs, not from HBM), so both orders agree. See
+    _fused_attn_body's race note.
+    """
+    B = q_ref.shape[0]
+    Hk = n_kv_heads
+    P = p_rows
+    D = q_ref.shape[-1]
+    n_blocks = S // block_s
     layer = scal_ref[0]
-    kv_pos, kv_len, kv_sink, pos = (scal_ref[1 + b], scal_ref[1 + B + b],
-                                    scal_ref[1 + 2 * B + b],
-                                    scal_ref[1 + 3 * B + b])
-    write = scal_ref[1 + 4 * B + b] != 0
-    _fused_attn_body((b, layer), q_ref[0], knew_ref[0], vnew_ref[0],
-                     ko_hbm, vo_hbm, o_ref.at[0],
-                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
-                     sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
-                     P=p_rows, kv_sinks=kv_sinks, theta=theta,
-                     rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
-                     kv_sink=kv_sink, pos=pos, do_write=write)
+
+    def lane_scal(name_off, b):
+        return scal_ref[1 + name_off * B + b]
+
+    def n_act_of(b):
+        return jnp.minimum((lane_scal(1, b) + block_s - 1) // block_s,
+                           n_blocks)
+
+    def kv_dma(slot, b, blk, buf, hbm):
+        return pltpu.make_async_copy(
+            hbm.at[b, layer, pl.ds(blk * block_s, block_s)],
+            buf.at[slot], sem.at[slot])
+
+    # prime the pipeline: lane 0, block 0 into slot 0
+    kv_dma(0, 0, 0, kbuf, ko_hbm).start()
+    kv_dma(0, 0, 0, vbuf, vo_hbm).start()
+
+    def lane_body(b, slot0):
+        kv_pos = lane_scal(0, b)
+        kv_len = lane_scal(1, b)
+        kv_sink = lane_scal(2, b)
+        pos = lane_scal(3, b)
+        wr = lane_scal(4, b) != 0
+
+        q_rot = _rot_lanes(q_ref[b].astype(jnp.float32), theta, rotary_dim,
+                           pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+        k_rot = _rot_lanes(knew_ref[b].astype(jnp.float32), theta,
+                           rotary_dim, pos.astype(jnp.float32))
+        kdt = k_rot.astype(newbuf.dtype)
+        vdt = vnew_ref[b].astype(newbuf.dtype)
+
+        @pl.when(wr)
+        def _():
+            newbuf[0] = kdt
+            pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[b, layer, kv_pos],
+                                  rowsem.at[0]).start()
+            newbuf[1] = vdt
+            pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[b, layer, kv_pos],
+                                  rowsem.at[1]).start()
+
+        @pl.when((kv_sink > 0) & wr)
+        def _():
+            rd = pltpu.make_async_copy(
+                ko_hbm.at[b, layer, slice(0, kv_sinks)], rowbuf, rowsem.at[2])
+            rd.start()
+            rd.wait()
+            rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+            rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, rows.shape, 0) < kv_sink * Hk
+            rowbuf[...] = jnp.where(sel, rot, rows).reshape(
+                kv_sinks, Hk, D).astype(rowbuf.dtype)
+            pltpu.make_async_copy(rowbuf,
+                                  ko_hbm.at[b, layer, slice(0, kv_sinks)],
+                                  rowsem.at[2]).start()
+
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        na = n_act_of(b)
+
+        def block_step(j, slot):
+            nslot = (slot + 1) % 2
+            last = j + 1 >= na
+            nb = jnp.where(last, b + 1, b)
+            nj = jnp.where(last, 0, j + 1)
+
+            @pl.when(nb < B)
+            def _():
+                kv_dma(nslot, nb, nj, kbuf, ko_hbm).start()
+                kv_dma(nslot, nb, nj, vbuf, vo_hbm).start()
+
+            kv_dma(slot, b, j, kbuf, ko_hbm).wait()
+            kv_dma(slot, b, j, vbuf, vo_hbm).wait()
+
+            @pl.when((j == 0) & (kv_sink > 0) & wr)
+            def _():
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_s, Hk, D), 0)
+                patched = kbuf[slot]
+                for r in range(kv_sinks):
+                    sel = (ridx == r) & (r < kv_sink)
+                    patched = jnp.where(sel, rowbuf[r][None], patched)
+                kbuf[slot] = patched
+
+            row = kv_pos - j * block_s
+
+            @pl.when((row >= 0) & (row < block_s) & wr)
+            def _():
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_s, Hk, D), 0)
+                sel = ridx == row
+                kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
+                vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+
+            slot_idx = j * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (P, block_s), 1)
+            _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+                         m_ref, l_ref, acc_ref, Hk, P)
+            return nslot
+
+        slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
+        o_ref[b] = acc_ref[...] / l_ref[:, 0:1]
+
+        # drain this lane's async writes before its buffers are reused
+        @pl.when(wr)
+        def _():
+            pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[b, layer, kv_pos],
+                                  rowsem.at[0]).wait()
+            pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[b, layer, kv_pos],
+                                  rowsem.at[1]).wait()
+
+        @pl.when((kv_sink > 0) & wr)
+        def _():
+            pltpu.make_async_copy(rowbuf,
+                                  ko_hbm.at[b, layer, slice(0, kv_sinks)],
+                                  rowsem.at[2]).wait()
+
+        return slot_end
+
+    jax.lax.fori_loop(0, B, lane_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -409,16 +536,16 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
-            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
-            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
+            pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
+            pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -704,116 +831,6 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 # fetched block is one contiguous page range.
 
 
-def _paged_attn_body(layer, q_in, knew_in, vnew_in, kp_hbm, vp_hbm, o_out,
-                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
-                     sem, rowsem, page_of, *, S, block_s, Hk, P, kv_sinks,
-                     theta, rotary_dim, kv_pos, kv_len, kv_sink, pos,
-                     do_write):
-    """Paged twin of _fused_attn_body: `page_of(blk)` maps this lane's
-    block index to a pool page id (a scalar read from SMEM)."""
-    D = q_in.shape[-1]
-    n_blocks = S // block_s
-    wr = do_write
-
-    q_rot = _rot_lanes(q_in.astype(jnp.float32), theta, rotary_dim,
-                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
-    k_rot = _rot_lanes(knew_in.astype(jnp.float32).reshape(Hk, D),
-                       theta, rotary_dim, pos.astype(jnp.float32))
-    kdt = k_rot.astype(newbuf.dtype)
-    vdt = vnew_in.astype(newbuf.dtype).reshape(Hk, D)
-    page_w = page_of(kv_pos // block_s)
-    row_w = kv_pos % block_s
-
-    @pl.when(wr)
-    def _():
-        newbuf[0] = kdt
-        pltpu.make_async_copy(newbuf.at[0], kp_hbm.at[page_w, layer, row_w],
-                              rowsem.at[0]).start()
-        newbuf[1] = vdt
-        pltpu.make_async_copy(newbuf.at[1], vp_hbm.at[page_w, layer, row_w],
-                              rowsem.at[1]).start()
-
-    page0 = page_of(0)
-
-    @pl.when((kv_sink > 0) & wr)
-    def _():
-        rd = pltpu.make_async_copy(
-            kp_hbm.at[page0, layer, slice(0, kv_sinks)], rowbuf, rowsem.at[2])
-        rd.start()
-        rd.wait()
-        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-        rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
-        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) < kv_sink * Hk
-        rowbuf[...] = jnp.where(sel, rot, rows).reshape(
-            kv_sinks, Hk, D).astype(rowbuf.dtype)
-        pltpu.make_async_copy(rowbuf,
-                              kp_hbm.at[page0, layer, slice(0, kv_sinks)],
-                              rowsem.at[2]).start()
-
-    def kv_dma(slot, blk, buf, hbm):
-        return pltpu.make_async_copy(hbm.at[page_of(blk), layer],
-                                     buf.at[slot], sem.at[slot])
-
-    kv_dma(0, 0, kbuf, kp_hbm).start()
-    kv_dma(0, 0, vbuf, vp_hbm).start()
-
-    m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
-
-    def block_step(sblk, _):
-        slot = sblk % 2
-
-        @pl.when(sblk + 1 < n_act)
-        def _():
-            kv_dma((sblk + 1) % 2, sblk + 1, kbuf, kp_hbm).start()
-            kv_dma((sblk + 1) % 2, sblk + 1, vbuf, vp_hbm).start()
-
-        kv_dma(slot, sblk, kbuf, kp_hbm).wait()
-        kv_dma(slot, sblk, vbuf, vp_hbm).wait()
-
-        @pl.when((sblk == 0) & (kv_sink > 0) & wr)
-        def _():
-            ridx = jax.lax.broadcasted_iota(jnp.int32, (block_s, Hk, D), 0)
-            patched = kbuf[slot]
-            for r in range(kv_sinks):
-                sel = (ridx == r) & (r < kv_sink)
-                patched = jnp.where(sel, rowbuf[r][None], patched)
-            kbuf[slot] = patched
-
-        row = kv_pos - sblk * block_s
-        @pl.when((row >= 0) & (row < block_s) & wr)
-        def _():
-            ridx = jax.lax.broadcasted_iota(jnp.int32, (block_s, Hk, D), 0)
-            sel = ridx == row
-            kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
-            vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
-
-        slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
-            jnp.int32, (P, block_s), 1)
-        _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
-                     m_ref, l_ref, acc_ref, Hk, P)
-        return 0
-
-    jax.lax.fori_loop(0, n_act, block_step, 0)
-    o_out[...] = acc_ref[...] / l_ref[:, 0:1]
-
-    @pl.when(wr)
-    def _():
-        pltpu.make_async_copy(newbuf.at[0], kp_hbm.at[page_w, layer, row_w],
-                              rowsem.at[0]).wait()
-        pltpu.make_async_copy(newbuf.at[1], vp_hbm.at[page_w, layer, row_w],
-                              rowsem.at[1]).wait()
-
-    @pl.when((kv_sink > 0) & wr)
-    def _():
-        pltpu.make_async_copy(rowbuf,
-                              kp_hbm.at[page0, layer, slice(0, kv_sinks)],
-                              rowsem.at[2]).wait()
-
-
 def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                             kp_in, vp_in,
                             o_ref, kp_hbm, vp_hbm,
@@ -822,27 +839,142 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                             S: int, block_s: int, n_kv_heads: int,
                             p_rows: int, kv_sinks: int, theta: float,
                             rotary_dim: int, nblk: int):
-    """Scalars: [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B], write[B],
-    pages[B * nblk]]."""
-    b = pl.program_id(0)
-    B = pl.num_programs(0)
+    """One program sweeps all lanes with cross-lane pipelined PAGE fetches
+    (same pipeline as the dense batched kernel; every fetch target resolves
+    through the page table). Scalars: [layer, kv_pos[B], kv_len[B],
+    kv_sink[B], pos[B], write[B], pages[B * nblk]]."""
+    B = q_ref.shape[0]
+    Hk = n_kv_heads
+    P = p_rows
+    D = q_ref.shape[-1]
+    n_blocks = S // block_s
     layer = scal_ref[0]
-    kv_pos, kv_len, kv_sink, pos = (scal_ref[1 + b], scal_ref[1 + B + b],
-                                    scal_ref[1 + 2 * B + b],
-                                    scal_ref[1 + 3 * B + b])
-    write = scal_ref[1 + 4 * B + b] != 0
-    pages_off = 1 + 5 * B + b * nblk
 
-    def page_of(blk):
-        return scal_ref[pages_off + blk]
+    def lane_scal(off, b):
+        return scal_ref[1 + off * B + b]
 
-    _paged_attn_body(layer, q_ref[0], knew_ref[0], vnew_ref[0],
-                     kp_hbm, vp_hbm, o_ref.at[0],
-                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
-                     sem, rowsem, page_of, S=S, block_s=block_s,
-                     Hk=n_kv_heads, P=p_rows, kv_sinks=kv_sinks, theta=theta,
-                     rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
-                     kv_sink=kv_sink, pos=pos, do_write=write)
+    def page_of(b, blk):
+        return scal_ref[1 + 5 * B + b * nblk + blk]
+
+    def kv_dma(slot, b, blk, buf, pool):
+        return pltpu.make_async_copy(pool.at[page_of(b, blk), layer],
+                                     buf.at[slot], sem.at[slot])
+
+    kv_dma(0, 0, 0, kbuf, kp_hbm).start()
+    kv_dma(0, 0, 0, vbuf, vp_hbm).start()
+
+    def lane_body(b, slot0):
+        kv_pos = lane_scal(0, b)
+        kv_len = lane_scal(1, b)
+        kv_sink = lane_scal(2, b)
+        pos = lane_scal(3, b)
+        wr = lane_scal(4, b) != 0
+
+        q_rot = _rot_lanes(q_ref[b].astype(jnp.float32), theta, rotary_dim,
+                           pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+        k_rot = _rot_lanes(knew_ref[b].astype(jnp.float32), theta,
+                           rotary_dim, pos.astype(jnp.float32))
+        kdt = k_rot.astype(newbuf.dtype)
+        vdt = vnew_ref[b].astype(newbuf.dtype)
+        page_w = page_of(b, kv_pos // block_s)
+        row_w = kv_pos % block_s
+        page0 = page_of(b, 0)
+
+        @pl.when(wr)
+        def _():
+            newbuf[0] = kdt
+            pltpu.make_async_copy(newbuf.at[0],
+                                  kp_hbm.at[page_w, layer, row_w],
+                                  rowsem.at[0]).start()
+            newbuf[1] = vdt
+            pltpu.make_async_copy(newbuf.at[1],
+                                  vp_hbm.at[page_w, layer, row_w],
+                                  rowsem.at[1]).start()
+
+        @pl.when((kv_sink > 0) & wr)
+        def _():
+            rd = pltpu.make_async_copy(
+                kp_hbm.at[page0, layer, slice(0, kv_sinks)], rowbuf,
+                rowsem.at[2])
+            rd.start()
+            rd.wait()
+            rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+            rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, rows.shape, 0) < kv_sink * Hk
+            rowbuf[...] = jnp.where(sel, rot, rows).reshape(
+                kv_sinks, Hk, D).astype(rowbuf.dtype)
+            pltpu.make_async_copy(rowbuf,
+                                  kp_hbm.at[page0, layer, slice(0, kv_sinks)],
+                                  rowsem.at[2]).start()
+
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        na = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
+
+        def block_step(j, slot):
+            nslot = (slot + 1) % 2
+            last = j + 1 >= na
+            nb = jnp.where(last, b + 1, b)
+            nj = jnp.where(last, 0, j + 1)
+
+            @pl.when(nb < B)
+            def _():
+                kv_dma(nslot, nb, nj, kbuf, kp_hbm).start()
+                kv_dma(nslot, nb, nj, vbuf, vp_hbm).start()
+
+            kv_dma(slot, b, j, kbuf, kp_hbm).wait()
+            kv_dma(slot, b, j, vbuf, vp_hbm).wait()
+
+            @pl.when((j == 0) & (kv_sink > 0) & wr)
+            def _():
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_s, Hk, D), 0)
+                patched = kbuf[slot]
+                for r in range(kv_sinks):
+                    sel = (ridx == r) & (r < kv_sink)
+                    patched = jnp.where(sel, rowbuf[r][None], patched)
+                kbuf[slot] = patched
+
+            row = kv_pos - j * block_s
+
+            @pl.when((row >= 0) & (row < block_s) & wr)
+            def _():
+                ridx = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_s, Hk, D), 0)
+                sel = ridx == row
+                kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
+                vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+
+            slot_idx = j * block_s + jax.lax.broadcasted_iota(
+                jnp.int32, (P, block_s), 1)
+            _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+                         m_ref, l_ref, acc_ref, Hk, P)
+            return nslot
+
+        slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
+        o_ref[b] = acc_ref[...] / l_ref[:, 0:1]
+
+        @pl.when(wr)
+        def _():
+            pltpu.make_async_copy(newbuf.at[0],
+                                  kp_hbm.at[page_w, layer, row_w],
+                                  rowsem.at[0]).wait()
+            pltpu.make_async_copy(newbuf.at[1],
+                                  vp_hbm.at[page_w, layer, row_w],
+                                  rowsem.at[1]).wait()
+
+        @pl.when((kv_sink > 0) & wr)
+        def _():
+            pltpu.make_async_copy(rowbuf,
+                                  kp_hbm.at[page0, layer, slice(0, kv_sinks)],
+                                  rowsem.at[2]).wait()
+
+        return slot_end
+
+    jax.lax.fori_loop(0, B, lane_body, 0)
 
 
 def _gather_lane(pool, table_b):
@@ -928,16 +1060,16 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
-            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
-            pl.BlockSpec((1, Hk, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
+            pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
+            pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, Hk * P, D), lambda b, sc: (b, 0, 0)),
+            pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

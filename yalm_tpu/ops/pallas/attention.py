@@ -277,24 +277,18 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
 
         # patch rows whose in-flight HBM writes may not have landed before
         # this block's fetch read them
+        # direct dynamic row stores (rowbuf already holds rotated-or-original
+        # per row, so unconditional stores are correct either way)
         @pl.when((sblk == 0) & (kv_sink > 0) & wr)
         def _():
-            ridx = jax.lax.broadcasted_iota(
-                jnp.int32, (block_s, Hk, D), 0)
-            patched = kbuf[slot]
             for r in range(kv_sinks):
-                sel = (ridx == r) & (r < kv_sink)
-                patched = jnp.where(sel, rowbuf[r][None], patched)
-            kbuf[slot] = patched
+                kbuf[slot, r] = rowbuf[r]
 
         row = kv_pos - sblk * block_s
         @pl.when((row >= 0) & (row < block_s) & wr)
         def _():
-            ridx = jax.lax.broadcasted_iota(
-                jnp.int32, (block_s, Hk, D), 0)
-            sel = ridx == row
-            kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
-            vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+            kbuf[slot, row] = kdt
+            vbuf[slot, row] = vdt
 
         slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (P, block_s), 1)
@@ -430,23 +424,15 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
             @pl.when((j == 0) & (kv_sink > 0) & wr)
             def _():
-                ridx = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_s, Hk, D), 0)
-                patched = kbuf[slot]
                 for r in range(kv_sinks):
-                    sel = (ridx == r) & (r < kv_sink)
-                    patched = jnp.where(sel, rowbuf[r][None], patched)
-                kbuf[slot] = patched
+                    kbuf[slot, r] = rowbuf[r]
 
             row = kv_pos - j * block_s
 
             @pl.when((row >= 0) & (row < block_s) & wr)
             def _():
-                ridx = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_s, Hk, D), 0)
-                sel = ridx == row
-                kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
-                vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+                kbuf[slot, row] = kdt
+                vbuf[slot, row] = vdt
 
             slot_idx = j * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (P, block_s), 1)
@@ -930,23 +916,15 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
             @pl.when((j == 0) & (kv_sink > 0) & wr)
             def _():
-                ridx = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_s, Hk, D), 0)
-                patched = kbuf[slot]
                 for r in range(kv_sinks):
-                    sel = (ridx == r) & (r < kv_sink)
-                    patched = jnp.where(sel, rowbuf[r][None], patched)
-                kbuf[slot] = patched
+                    kbuf[slot, r] = rowbuf[r]
 
             row = kv_pos - j * block_s
 
             @pl.when((row >= 0) & (row < block_s) & wr)
             def _():
-                ridx = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_s, Hk, D), 0)
-                sel = ridx == row
-                kbuf[slot] = jnp.where(sel, kdt[None], kbuf[slot])
-                vbuf[slot] = jnp.where(sel, vdt[None], vbuf[slot])
+                kbuf[slot, row] = kdt
+                vbuf[slot, row] = vdt
 
             slot_idx = j * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (P, block_s), 1)

@@ -33,6 +33,52 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def measure_rtt() -> float:
+    """Median host dispatch+fetch round trip of a trivial program (the axon
+    dev tunnel adds ~26 ms; a host-attached TPU is ~µs). Subtracted from the
+    streaming probe so the ceiling reflects the machine, not the harness."""
+    import jax
+    import jax.numpy as jnp
+    tiny = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    _ = np.asarray(tiny(x))  # compile
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def measure_hbm_ceiling() -> float:
+    """Measured single-stream HBM read bandwidth (GB/s) — the reference
+    builds its roofline from mem_bench the same way (src/test.cpp:218-305).
+
+    Honest per the round-2 methodology notes: random data passed as a jit
+    ARGUMENT (jnp.ones folds to a constant; closed-over arrays bake into the
+    HLO), repeated async host dispatches with ONE fetch as the fence, and
+    the separately-measured tunnel RTT subtracted. Emitting this next to
+    the idealized 819 GB/s number makes the pct_of_measured_sol claim
+    reproducible from the bench artifact alone."""
+    import jax
+    import jax.numpy as jnp
+    rtt = measure_rtt()
+    big = jax.random.normal(jax.random.PRNGKey(0), (16384, 16384),
+                            jnp.bfloat16)  # 512 MB
+    red = jax.jit(lambda b: jnp.sum(b.astype(jnp.float32)))
+    _ = np.asarray(red(big))  # compile
+    iters = 24
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [red(big) for _ in range(iters)]
+        _ = np.asarray(outs[-1])
+        dt = max(time.perf_counter() - t0 - rtt, 1e-6) / iters
+        best = max(best, big.size * 2 / dt / 1e9)
+    log(f"measured HBM ceiling: {best:.0f} GB/s (rtt {rtt*1e3:.1f} ms)")
+    return best
+
+
 def build_cfg(preset: str, dtype: str):
     from yalm_tpu.config import ModelConfig
     if preset == "mistral7b":
@@ -120,6 +166,7 @@ def main() -> None:
     # ms/token instead of dominating a per-token loop.
     steps = int(os.environ.get("YALM_BENCH_STEPS", "128"))
     preset = os.environ.get("YALM_BENCH_PRESET", "mistral7b")
+    kv = os.environ.get("YALM_BENCH_KV", "bf16")
 
     import jax
     import jax.numpy as jnp
@@ -129,8 +176,10 @@ def main() -> None:
     from yalm_tpu.engine import Engine
 
     dev = jax.devices()[0]
-    log(f"device: {dev} | preset={preset} dtype={dtype} steps={steps}")
+    log(f"device: {dev} | preset={preset} dtype={dtype} kv={kv} steps={steps}")
     cfg = build_cfg(preset, dtype)
+    kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[kv]
+    kv_bytes = jnp.dtype(kv_dtype).itemsize
 
     t0 = time.perf_counter()
     weights = _synth_fast_weights(cfg)
@@ -147,7 +196,7 @@ def main() -> None:
     if os.environ.get("YALM_BENCH_PREFILL"):
         return bench_prefill(cfg, weights)
 
-    eng = Engine(cfg, weights, kv_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16,
+    eng = Engine(cfg, weights, kv_dtype=kv_dtype, compute_dtype=jnp.bfloat16,
                  fast=True)
     key = jax.random.PRNGKey(0)
     temp = jnp.float32(0.0)
@@ -181,11 +230,16 @@ def main() -> None:
     dt = sorted(times[1:])[1]
 
     tok_s = steps / dt
-    # speed-of-light context for the log
+    # speed-of-light context: idealized (v5e spec sheet) AND measured (the
+    # machine's actual streaming ceiling, probed in this same run so the
+    # roofline defense is reproducible from the artifact)
     hbm_gbs = 819.0  # v5e spec
-    sol = hbm_gbs * 1e9 / cfg.active_bytes(pos0 + steps)
+    measured_gbs = measure_hbm_ceiling()
+    sol = hbm_gbs * 1e9 / cfg.active_bytes(pos0 + steps, kv_bytes)
+    msol = measured_gbs * 1e9 / cfg.active_bytes(pos0 + steps, kv_bytes)
     log(f"decode: {tok_s:.2f} tok/s ({dt/steps*1e3:.2f} ms/tok); "
-        f"roofline ~{sol:.1f} tok/s -> {100*tok_s/sol:.1f}% of v5e SoL")
+        f"idealized SoL ~{sol:.1f} tok/s -> {100*tok_s/sol:.1f}%; "
+        f"measured SoL ~{msol:.1f} tok/s -> {100*tok_s/msol:.1f}%")
 
     result = {
         "metric": f"{preset}_{dtype}_decode_throughput",
@@ -193,6 +247,9 @@ def main() -> None:
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
         "pct_of_sol": round(100 * tok_s / sol, 1),
+        "measured_ceiling_gbps": round(measured_gbs, 1),
+        "pct_of_measured_sol": round(100 * tok_s / msol, 1),
+        "kv_dtype": kv,
     }
     try:
         # full-window regime: positions past max_seq_len attend the whole
@@ -213,11 +270,15 @@ def main() -> None:
             _ = np.asarray(out)
             fw_times.append(time.perf_counter() - t0)
         fw_tok_s = steps / sorted(fw_times)[1]
-        fw_sol = hbm_gbs * 1e9 / cfg.active_bytes(cfg.max_seq_len)
-        log(f"full-window decode: {fw_tok_s:.2f} tok/s; roofline ~{fw_sol:.1f} "
-            f"-> {100*fw_tok_s/fw_sol:.1f}% of v5e SoL")
+        fw_sol = hbm_gbs * 1e9 / cfg.active_bytes(cfg.max_seq_len, kv_bytes)
+        fw_msol = measured_gbs * 1e9 / cfg.active_bytes(cfg.max_seq_len, kv_bytes)
+        log(f"full-window decode: {fw_tok_s:.2f} tok/s; idealized ~{fw_sol:.1f} "
+            f"-> {100*fw_tok_s/fw_sol:.1f}%; measured -> "
+            f"{100*fw_tok_s/fw_msol:.1f}%")
         result["full_window_tok_s"] = round(fw_tok_s, 2)
         result["full_window_pct_of_sol"] = round(100 * fw_tok_s / fw_sol, 1)
+        result["full_window_pct_of_measured_sol"] = round(
+            100 * fw_tok_s / fw_msol, 1)
     except Exception as e:  # noqa: BLE001
         log(f"full-window phase skipped: {e}")
     print(json.dumps(result))

@@ -94,6 +94,56 @@ def test_paged_pool_pressure_completes_in_waves(tmp_path):
     assert paged.alloc.n_free == 3
 
 
+def test_paged_lazy_growth_concurrent_occupancy(tmp_path):
+    """Lazy allocation admits lanes whose WORST-CASE footprint exceeds the
+    pool: two requests with a 2-page worst case (prompt 3 + max_new 20 + 1)
+    run CONCURRENTLY in a 3-usable-page pool (worst-case reservation would
+    have serialized them: 4 > 3). When lane B's block-boundary growth finds
+    the pool dry, the newest lane is preempted and resumed exactly — final
+    streams still match the dense scheduler token for token."""
+    cfg, weights = _weights(tmp_path)
+    assert cfg.max_seq_len == 2 * PAGE  # 2 blocks per lane
+    reqs_d = _reqs(2, max_new=20)
+    dense = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    want = _run(dense, reqs_d)
+
+    paged = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      paged_pages=4, page_size=PAGE)
+    reqs = _reqs(2, max_new=20)
+    for r in reqs:
+        paged.submit(r)
+    paged.step()
+    # both admitted concurrently despite 2+2 worst-case pages > 3 usable
+    assert paged.n_active == 2
+    saw_preempt = False
+    for _ in range(200):
+        if not paged.queue and paged.n_active == 0:
+            break
+        before = {id(s.request) for s in paged.slots if s.request}
+        paged.step()
+        if any(r._resume is not None for r in reqs) or \
+                any(r in paged.queue for r in reqs):
+            saw_preempt = True
+    assert [r.generated for r in reqs] == want
+    assert saw_preempt  # the pool really was too small without preemption
+    assert paged.alloc.n_free == 3
+
+
+def test_paged_request_larger_than_pool_fails_cleanly(tmp_path):
+    """A request whose worst case exceeds the WHOLE pool can never finish;
+    it must fail with an error instead of livelocking on self-preemption."""
+    cfg, weights = _weights(tmp_path)
+    paged = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      paged_pages=2, page_size=PAGE)  # 1 usable page
+    bad = Request(prompt_tokens=[1] * 3, max_new_tokens=20, temperature=0.0)
+    ok = Request(prompt_tokens=[1, 5, 9], max_new_tokens=6, temperature=0.0)
+    paged.submit(bad)
+    paged.submit(ok)
+    paged.run()
+    assert bad.done and bad.error and "pages" in bad.error
+    assert ok.done and ok.error is None and len(ok.generated) == 6
+
+
 def test_paged_ring_regime_long_prompt(tmp_path):
     """A beyond-window prompt drives the paged lane through ring+sink
     hydration (masked-tick path) and still matches the dense scheduler."""

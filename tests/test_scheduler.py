@@ -193,3 +193,53 @@ def test_admission_interleaves_with_decode(tmp_path):
     assert b.done and len(b.generated) == 4
     # concurrent admission did not perturb A's stream
     assert a.generated == a_solo.generated
+
+
+def test_poisoned_request_isolation(setup):
+    """A request whose on_token callback raises fails ALONE: the concurrent
+    healthy stream still completes with the exact solo-engine tokens."""
+    cfg, weights = setup
+    n = 6
+    ref = _engine_reference(cfg, weights, [1, 5, 9], n)
+
+    sched = Scheduler(cfg, weights, batch=2)
+
+    def boom(tok):
+        raise RuntimeError("poisoned callback")
+
+    bad = Request(prompt_tokens=[1, 7, 2], max_new_tokens=n, temperature=0.0,
+                  on_token=boom)
+    good = Request(prompt_tokens=[1, 5, 9], max_new_tokens=n, temperature=0.0)
+    sched.submit(bad)
+    sched.submit(good)
+    sched.run()
+    assert bad.done and bad.error and "poisoned" in bad.error
+    assert good.done and good.error is None
+    assert good.generated == ref
+
+
+def test_recover_fails_active_keeps_queue(setup):
+    """Scheduler.recover (the server driver's device-error path) fails only
+    ACTIVE requests; queued ones survive and complete on later ticks."""
+    cfg, weights = setup
+    n = 4
+    ref = _engine_reference(cfg, weights, [1, 3], n)
+
+    sched = Scheduler(cfg, weights, batch=2)
+    active = Request(prompt_tokens=[1, 5, 9], max_new_tokens=64, temperature=0.0)
+    # batch=2 slots filled by `active` + one more; the third stays queued
+    active2 = Request(prompt_tokens=[1, 7], max_new_tokens=64, temperature=0.0)
+    queued = Request(prompt_tokens=[1, 3], max_new_tokens=n, temperature=0.0)
+    for r in (active, active2, queued):
+        sched.submit(r)
+    sched.step()
+    assert sched.n_active == 2 and len(sched.queue) == 1
+
+    sched.recover(RuntimeError("simulated device error"))
+    assert active.done and "device error" in active.error
+    assert active2.done and active2.error
+    assert not queued.done and sched.queue == [queued]
+
+    sched.run()
+    assert queued.done and queued.error is None
+    assert queued.generated == ref

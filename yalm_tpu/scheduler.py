@@ -55,7 +55,12 @@ class Request:
     # outputs
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None   # set when the request failed (isolation)
     on_token: Optional[Callable[[int], None]] = None
+    # paged-preemption resume point: (prefix_tokens, last_token) — the lane
+    # re-hydrates prefix_tokens WITHOUT re-emitting, then resumes decoding
+    # from last_token (scheduler._preempt / _advance_admission)
+    _resume: Optional[tuple[list[int], int]] = None
 
     def _emit(self, tok: int) -> None:
         self.generated.append(tok)
@@ -70,6 +75,9 @@ class _Slot:
     last_token: int = 0     # token to feed next tick
     admitting: bool = False  # prompt still hydrating (chunked, interleaved)
     admit_i: int = 0        # prompt tokens consumed so far
+    admit_tokens: list[int] = dataclasses.field(default_factory=list)
+    resuming: bool = False  # admission is a preemption-resume re-hydration
+    seq: int = 0            # admission order (paged preemption picks newest)
 
     @property
     def free(self) -> bool:
@@ -105,9 +113,11 @@ class Scheduler:
         paged_pages > 0 switches the cache to a PAGED pool of that many
         pages (models/paged.py): lanes map logical KV blocks through
         per-lane page tables, so cache HBM scales with tokens in flight
-        instead of batch x window. Admission reserves min(window,
-        prompt+max_new+1) worth of pages up front (deadlock-free) and
-        requests queue when the pool is exhausted. Dense fast path only."""
+        instead of batch x window. Pages are allocated LAZILY — one at
+        admission, then chunk-by-chunk / at block boundaries as positions
+        grow; on pool exhaustion the newest lane is preempted (requeued
+        with an exact resume point) and new requests wait in the queue.
+        Dense fast path only."""
         self.cfg = cfg
         self.mesh = mesh
         self.paged = paged_pages > 0
@@ -322,26 +332,84 @@ class Scheduler:
         bounded chunks INTERLEAVED with decode ticks (_advance_admission),
         so active lanes keep generating while long prompts admit.
 
-        Paged mode reserves each request's worst-case page footprint
-        (min(window, prompt+max_new+1)) before admission; when the pool is
-        exhausted the request WAITS in the queue until completions release
-        pages — the occupancy contract that lets total cache HBM track
-        tokens in flight."""
+        Paged mode allocates LAZILY: admission maps only the first page;
+        later pages are mapped chunk-by-chunk during admission and at block
+        boundaries during decode (models/paged.py occupancy contract). When
+        the pool is exhausted, new requests wait in the queue, and an
+        in-flight lane that must grow preempts the NEWEST lane (requeued at
+        the front with a resume point) — see _ensure_pages."""
         for b, slot in enumerate(self.slots):
             if not self.queue or not slot.free:
                 continue
             req = self.queue[0]
             if self.paged:
-                target = min(self.cfg.max_seq_len,
-                             len(req.prompt_tokens) + req.max_new_tokens + 1)
-                if not self.alloc.can_grow(b, target):
+                # a request whose worst case exceeds the whole pool can
+                # never finish — even alone, growth would preempt itself
+                # forever. Fail it now instead of livelocking later.
+                worst = self.alloc.pages_for(min(
+                    self.cfg.max_seq_len,
+                    len(req.prompt_tokens) + req.max_new_tokens + 1))
+                if worst > self.alloc.n_pages - 1:
+                    self.queue.pop(0)
+                    req.error = (f"request needs {worst} pages; pool has "
+                                 f"{self.alloc.n_pages - 1}")
+                    req.done = True
+                    continue
+                first = min(self.cfg.max_seq_len, self.page_size)
+                # never preempt to ADMIT (that could livelock admission);
+                # new requests simply wait for released pages
+                if not self.alloc.can_grow(b, first):
                     break  # pool exhausted: wait for releases
-                self.alloc.grow(b, target)
+                self.alloc.grow(b, first)
             self.queue.pop(0)
             slot.request = req
             slot.admitting = True
             slot.pos = 0
             slot.admit_i = 0
+            slot.seq = self._admit_seq = getattr(self, "_admit_seq", 0) + 1
+            if req._resume is not None:
+                slot.admit_tokens, slot.last_token = req._resume
+                slot.resuming = True
+            else:
+                slot.admit_tokens = req.prompt_tokens
+                slot.resuming = False
+
+    # -- paged lazy growth / preemption --------------------------------
+    def _preempt(self, b: int) -> None:
+        """Release lane b's pages and requeue its request at the FRONT with
+        a resume point, so its stream continues without re-emitting: the
+        lane re-hydrates prompt+generated[:-1] silently and then resumes
+        decoding from generated[-1]. Sampling keys derive from (seed,
+        position), so the resumed stream is identical to the uninterrupted
+        one."""
+        slot = self.slots[b]
+        req = slot.request
+        if not slot.admitting and req.generated:
+            req._resume = (list(req.prompt_tokens) + req.generated[:-1],
+                           req.generated[-1])
+        # admitting lanes restart their (possibly resumed) hydration; no
+        # tokens were emitted by the partial pass, so a plain retry is safe
+        self.alloc.release(b)
+        slot.request = None
+        slot.admitting = False
+        self.queue.insert(0, req)
+
+    def _ensure_pages(self, b: int, target_len: int) -> bool:
+        """Grow lane b's table to hold target_len tokens, preempting the
+        newest busy lane(s) while the pool is exhausted. Returns False if
+        lane b itself was the newest and got preempted (callers skip it)."""
+        while not self.alloc.can_grow(b, target_len):
+            victim, vseq = None, -1
+            for i, s in enumerate(self.slots):
+                if s.request is not None and s.seq > vseq:
+                    victim, vseq = i, s.seq
+            if victim is None:
+                raise RuntimeError("page pool exhausted with no lane to preempt")
+            self._preempt(victim)
+            if victim == b:
+                return False
+        self.alloc.grow(b, target_len)
+        return True
 
     def _finish_admission(self, slot: _Slot, logits) -> None:
         """Sample the first generated token (seeded per request)."""
@@ -354,8 +422,17 @@ class Scheduler:
     def _finish_admission_token(self, slot: _Slot, first: int) -> None:
         slot.admitting = False
         slot.last_token = first
-        slot.request._emit(first)
-        self._maybe_finish(slot, first)
+        if self._emit_checked(slot, first):
+            self._maybe_finish(slot, first)
+
+    def _finish_resume(self, slot: _Slot) -> None:
+        """End a preemption-resume re-hydration: the stream's tokens were
+        all emitted before the preemption, so nothing is emitted here —
+        the lane just rejoins the batched decode at its old position."""
+        slot.admitting = False
+        slot.resuming = False
+        slot.request._resume = None
+        self._maybe_finish(slot, slot.last_token)
 
     def _hydrate_paged_lane(self, b: int, token: int, pos: int):
         """Ring-regime hydration of ONE paged lane: one masked tick (only
@@ -385,7 +462,7 @@ class Scheduler:
             if not slot.admitting:
                 continue
             req = slot.request
-            toks = req.prompt_tokens
+            toks = slot.admit_tokens
             n = len(toks)
             if slot.pos < window and slot.admit_i < n:
                 room = window - slot.pos
@@ -394,6 +471,9 @@ class Scheduler:
                     # keep each chunk inside ONE page (single dus target)
                     take = min(take,
                                self.page_size - slot.pos % self.page_size)
+                    # lazy growth: map the page this chunk writes into now
+                    if not self._ensure_pages(b, min(window, slot.pos + take)):
+                        continue  # this lane was the preemption victim
                 bucket = _bucket_for(take)
                 if bucket > room:
                     bucket = take
@@ -402,7 +482,7 @@ class Scheduler:
                 padded = np.zeros(bucket, np.int32)
                 padded[:take] = toks[slot.admit_i: slot.admit_i + take]
                 last = slot.admit_i + take >= n
-                mode = "last" if last else "none"
+                mode = "last" if (last and not slot.resuming) else "none"
                 if self.paged:
                     blk = slot.pos // self.page_size
                     page = int(self.alloc.tables[b, blk])
@@ -419,24 +499,31 @@ class Scheduler:
                 slot.pos += take
                 slot.admit_i += take
                 if last:
-                    self._finish_admission(slot, out)
+                    if slot.resuming:
+                        self._finish_resume(slot)
+                    else:
+                        self._finish_admission(slot, out)
                 continue
             # ring-buffer regime (or odd tail): bounded per-token hydration
             budget = self.RING_HYDRATE_PER_TICK
             while budget > 0 and slot.admit_i < n:
                 last = slot.admit_i + 1 >= n
+                want = last and not slot.resuming
                 if self.paged:
                     out = self._hydrate_paged_lane(b, toks[slot.admit_i],
                                                    slot.pos)
                 else:
                     out, self.cache = self._hydrate_slot(
                         self.weights, jnp.int32(toks[slot.admit_i]),
-                        jnp.int32(slot.pos), b, self.cache, output_logits=last)
+                        jnp.int32(slot.pos), b, self.cache, output_logits=want)
                 slot.pos += 1
                 slot.admit_i += 1
                 budget -= 1
                 if last:
-                    self._finish_admission(slot, out)
+                    if slot.resuming:
+                        self._finish_resume(slot)
+                    else:
+                        self._finish_admission(slot, out)
 
     def _maybe_finish(self, slot: _Slot, tok: int) -> None:
         req = slot.request
@@ -450,6 +537,56 @@ class Scheduler:
             if self.paged:
                 self.alloc.release(self.slots.index(slot))
 
+    def _fail_slot(self, slot: _Slot, err: Exception) -> None:
+        """Fail ONE request (e.g. its on_token callback raised) without
+        touching any other lane — per-request failure isolation."""
+        req = slot.request
+        if req is not None:
+            req.error = f"{type(err).__name__}: {err}"
+            req.done = True
+        slot.request = None
+        slot.admitting = False
+        if self.paged:
+            self.alloc.release(self.slots.index(slot))
+
+    def _emit_checked(self, slot: _Slot, tok: int) -> bool:
+        """Emit a token to a request, failing only that request if its
+        callback raises. Returns False when the slot was failed."""
+        try:
+            slot.request._emit(tok)
+            return True
+        except Exception as e:  # noqa: BLE001 — isolate the poisoned request
+            self._fail_slot(slot, e)
+            return False
+
+    def recover(self, err: Exception | None = None) -> None:
+        """Recover from a failed tick: fail every ACTIVE request (their
+        donated cache buffers may be gone), reinitialize the cache, and
+        keep all QUEUED requests — they never touched the device. The
+        serving driver calls this so one device error costs the in-flight
+        streams, not the process or the backlog (reference aborts outright,
+        src/infer.cu:13-31)."""
+        msg = f"{type(err).__name__}: {err}" if err is not None else "tick failed"
+        for slot in self.slots:
+            if slot.request is not None:
+                slot.request.error = msg
+                slot.request.done = True
+            slot.request = None
+            slot.admitting = False
+        if self.paged:
+            from .models.paged import PageAllocator, PagedKVPool
+            self.cache = PagedKVPool.init(self.cfg, self.kv_dtype,
+                                          self.alloc.n_pages, self.page_size)
+            self.alloc = PageAllocator(self.cfg, self.alloc.n_pages, self.B,
+                                       self.page_size)
+        elif self.mesh is not None:
+            from .parallel.sharding import shard_cache
+            self.cache = shard_cache(
+                KVCache.init(self.cfg, self.kv_dtype, batch=self.B),
+                self.cfg, self.mesh, batched=True)
+        else:
+            self.cache = KVCache.init(self.cfg, self.kv_dtype, batch=self.B)
+
     # ------------------------------------------------------------------
     def step(self) -> int:
         """Admit, advance in-flight admissions by one bounded chunk, then
@@ -457,6 +594,13 @@ class Scheduler:
         slots (decoding or admitting)."""
         self._admit()
         self._advance_admission()
+        if self.paged:
+            # lazy growth at block boundaries: map the page the next write
+            # lands in (ring regime needs none — the lane is fully mapped
+            # by the time pos reaches the window)
+            for b, slot in enumerate(self.slots):
+                if slot.decoding and slot.pos < self.cfg.max_seq_len:
+                    self._ensure_pages(b, slot.pos + 1)
         decoding = [s.decoding for s in self.slots]
         if any(decoding):
             tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
@@ -490,8 +634,8 @@ class Scheduler:
                 tok = int(nxt[b])
                 slot.pos += 1
                 slot.last_token = tok
-                slot.request._emit(tok)
-                self._maybe_finish(slot, tok)
+                if self._emit_checked(slot, tok):
+                    self._maybe_finish(slot, tok)
         return sum(not s.free for s in self.slots)
 
     def run(self, max_ticks: int = 100000) -> None:

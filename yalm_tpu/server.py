@@ -99,20 +99,15 @@ class ServingEngine:
                 elif not moved:
                     time.sleep(0.005)  # idle
             except Exception as e:  # noqa: BLE001 — the driver must survive
-                # A bad request (or a transient device error) must not kill
-                # the only thread that ticks the scheduler: fail everything
-                # in flight with a sentinel and keep serving.
+                # A transient device error must not kill the only thread
+                # that ticks the scheduler. recover() fails only the ACTIVE
+                # requests (their donated cache buffers may be invalid) and
+                # reinitializes the cache; QUEUED requests stay queued and
+                # are served on the next tick — per-request isolation, not
+                # process-wide failure.
                 import sys, traceback
                 traceback.print_exc(file=sys.stderr)
-                for slot in self.sched.slots:
-                    if slot.request is not None:
-                        slot.request.done = True
-                        slot.request = None
-                for req in self.sched.queue:
-                    req.done = True
-                self.sched.queue.clear()
-                for r, q_ in self._watch:
-                    r.done = True
+                self.sched.recover(e)
             # completion sentinels (done is set by the scheduler after the
             # final token's on_token fired, so ordering here is safe)
             still = []

@@ -86,9 +86,16 @@ class NumpySim:
             kb, vb = self.kcache[l], self.vcache[l]
             kb[kv_pos] = kv.astype(F16)
             vb[kv_pos] = vv.astype(F16)
+            # lazy sink rotation: the cache keeps sink keys as written;
+            # attention sees a VIEW rotated by the accumulated offset
+            # max(0, pos - L + 1) — same total rotation as the reference's
+            # per-step mutation (src/infer.cpp:303-317), applied once
+            kb = kb.copy()
+            rot = max(0, pos - L + 1)
             for r in range(kv_sink):
                 row = kb[r].astype(np.float32)
-                kb[r] = rope(row, cfg.head_dim, 1, cfg.rope_theta, cfg.rotary_dim).astype(F16)
+                kb[r] = rope(row, cfg.head_dim, rot, cfg.rope_theta,
+                             cfg.rotary_dim).astype(F16)
 
             qpk = cfg.n_heads // cfg.n_kv_heads
             out = np.zeros(cfg.q_dim, np.float32)

@@ -118,9 +118,10 @@ def test_attend_one_l_matches_oracle(kv_len, qpk):
 
 @pytest.mark.parametrize("interpret", [None, True],
                          ids=["emulation", "pallas-interpret"])
-@pytest.mark.parametrize("kv_pos,kv_len,kv_sink",
-                         [(5, 6, 0), (3, 32, 2), (0, 1, 0)])
-def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
+@pytest.mark.parametrize("kv_pos,kv_len,kv_sink,pos",
+                         [(5, 6, 0, 5), (3, 32, 2, 35), (0, 1, 0, 0)])
+def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len,
+                                           kv_sink, pos):
     L, S, Hk, D, qpk = 2, 32, 2, 128, 2
     theta = 1e4
     rng = np.random.default_rng(7)
@@ -130,20 +131,22 @@ def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
     kn = jnp.asarray(rng.standard_normal((Hk, D), np.float32))
     vn = jnp.asarray(rng.standard_normal((Hk, D), np.float32))
 
-    # reference composition: rope on q/k + dus writes + sink rotation +
-    # standalone attention kernel
+    # reference composition: rope on q/k + dus row write + standalone
+    # attention kernel over the LAZY sink view (first kv_sink rows rotated
+    # forward by max(0, pos - S + 1); the cache itself keeps them as
+    # written — reference semantics src/infer.cpp:303-317, applied lazily)
     from yalm_tpu.ops.core import apply_rope
-    layer, pos = 0, kv_pos  # decode step at absolute position == kv_pos here
+    layer = 0
     q_rot = apply_rope(q.reshape(Hk * qpk, D), jnp.int32(pos), theta, D
                        ).reshape(Hk, qpk, D)
     kn_rot = apply_rope(kn, jnp.int32(pos), theta, D)
     k2 = k_all.at[layer, kv_pos].set(kn_rot.astype(k_all.dtype))
     v2 = v_all.at[layer, kv_pos].set(vn.astype(v_all.dtype))
     rows = k2[layer, 0:2].astype(jnp.float32)
-    rot = rope_rotate_cached(rows, theta, D).astype(k2.dtype)
+    rot = rope_rotate_cached(rows, theta, D, max(0, pos - S + 1)).astype(k2.dtype)
     mask = (jnp.arange(2) < kv_sink)[:, None, None]
-    k2 = k2.at[layer, 0:2].set(jnp.where(mask, rot, rows.astype(k2.dtype)))
-    want = attend_one_l(q_rot, k2, v2, jnp.int32(layer), jnp.int32(kv_len))
+    k_view = k2.at[layer, 0:2].set(jnp.where(mask, rot, rows.astype(k2.dtype)))
+    want = attend_one_l(q_rot, k_view, v2, jnp.int32(layer), jnp.int32(kv_len))
 
     got, gk, gv = attend_step_l(
         q, kn, vn, k_all, v_all, jnp.int32(layer), jnp.int32(kv_pos),
@@ -151,6 +154,7 @@ def test_attend_step_l_matches_composition(interpret, kv_pos, kv_len, kv_sink):
         kv_sinks=2, theta=theta, rotary_dim=D, interpret=interpret)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-2, atol=3e-2)
+    # the cache holds the new row but NEVER a rotated sink
     np.testing.assert_allclose(np.asarray(gk, np.float32),
                                np.asarray(k2, np.float32), rtol=1e-2, atol=1e-2)
     np.testing.assert_allclose(np.asarray(gv, np.float32),

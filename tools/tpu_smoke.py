@@ -131,6 +131,39 @@ def main() -> int:
             (got[0].generated, want[0].generated)
     check("PAGED scheduler tick == dense [fp8, B=8, page=16]", run_sched_paged)
 
+    # --- window-edge decode: ring overwrite + LAZY sink rotation ---------
+    def run_window_edge():
+        # teacher-forced logit comparison fast-vs-oracle across the edge:
+        # free-running greedy streams amplify bf16 tie-breaks, but the
+        # per-position logits must stay within plain bf16 noise and agree
+        # on argmax while the sink path is live
+        cfg = tiny_config(**base, weight_dtype="bf16")
+        p = f"{tmp}/edge.yalm"
+        synth_checkpoint(p, cfg, seed=7)
+        fast = Engine.from_checkpoint(p, fast=True)
+        orac = Engine.from_checkpoint(p, fast=False, kv_dtype=jnp.bfloat16,
+                                      compute_dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        toks = [1, 7] + list(rng.integers(3, cfg.vocab_size,
+                                          cfg.max_seq_len + 10))
+        fast.prefill_tokens(toks[:2])
+        orac.prefill_tokens(toks[:2])
+        for i in range(2, len(toks)):
+            lf, fast.cache = fast._step_logits(
+                fast.weights, jnp.int32(toks[i]), jnp.int32(fast.pos),
+                fast.cache)
+            lo, orac.cache = orac._step_logits(
+                orac.weights, jnp.int32(toks[i]), jnp.int32(orac.pos),
+                orac.cache)
+            fast.pos += 1
+            orac.pos += 1
+            if fast.pos >= cfg.max_seq_len - 2:  # sink region and beyond
+                a, b = np.asarray(lf), np.asarray(lo)
+                assert np.max(np.abs(a - b)) < 0.06, (fast.pos,
+                                                      np.max(np.abs(a - b)))
+                assert int(a.argmax()) == int(b.argmax()), fast.pos
+    check("window-edge decode w/ lazy sinks == oracle [bf16]", run_window_edge)
+
     # --- odd-size exact-fit prefill chunks (full-dim activation blocks) --
     def run_odd_prefill():
         cfg = tiny_config(dim=256, hidden_dim=512, head_dim=128, n_layers=2,

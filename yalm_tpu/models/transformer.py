@@ -148,21 +148,25 @@ def decode_step(
         kc = jax.lax.dynamic_update_slice(kc, k[None].astype(kc.dtype), (kv_pos, 0, 0))
         vc = jax.lax.dynamic_update_slice(vc, v[None].astype(vc.dtype), (kv_pos, 0, 0))
 
-        # Rotate frozen sink keys forward by one position so they keep a
-        # constant relative distance (reference src/infer.cpp:303-317). The
-        # f32 round-trip through the cache dtype matches the reference's
-        # f16 read-rotate-write.
+        # LAZY sink rotation (StreamingLLM, reference src/infer.cpp:303-317):
+        # frozen sink keys must appear a constant relative distance away.
+        # The cache stores them as originally written; attention rotates a
+        # VIEW forward by the accumulated offset max(0, pos - L + 1) — the
+        # same total rotation the reference applies one step at a time, in
+        # one exact application (no per-step cache-dtype round-trips).
+        rot = jnp.maximum(pos - L + 1, 0)
         sink_rows = kc[:KV_SINKS].astype(jnp.float32)
         rotated = rope_rotate_cached(sink_rows, cfg.rope_theta,
-                                     cfg.rotary_dim).astype(kc.dtype)
+                                     cfg.rotary_dim, rot)
         sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
-        kc = jax.lax.dynamic_update_slice(
-            kc, jnp.where(sink_mask, rotated, kc[:KV_SINKS]), (0, 0, 0))
+        k_view = jax.lax.dynamic_update_slice(
+            kc.astype(jnp.float32),
+            jnp.where(sink_mask, rotated, sink_rows), (0, 0, 0))
 
         # -- GQA attention over the ring buffer ---------------------------
         qpk = cfg.n_heads // cfg.n_kv_heads
         q3 = q.reshape(cfg.n_kv_heads, qpk, cfg.head_dim)
-        mixed = attend_one(q3, kc, vc, slot_valid).reshape(cfg.q_dim)
+        mixed = attend_one(q3, k_view, vc, slot_valid).reshape(cfg.q_dim)
 
         x = x + _proj(mixed, lw.wo, compute_dtype)
 

@@ -59,17 +59,23 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float, rotary_dim: int
     return out.reshape(x.shape).astype(orig_dtype)
 
 
-def rope_rotate_cached(k_rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
-    """Rotate cached key rows forward by one position (StreamingLLM sinks).
+def rope_rotate_cached(k_rows: jax.Array, theta: float, rotary_dim: int,
+                       n=1) -> jax.Array:
+    """Rotate cached sink-key rows forward by `n` positions (StreamingLLM).
 
     Sink slots stay physically frozen in the ring buffer but must remain a
-    fixed *relative* distance from the current token, so each decode step
-    their keys are rotated by the pos=1 angle (reference src/infer.cpp:303-317,
-    arXiv:2309.17453). k_rows: [..., n_kv_heads, head_dim]; the round-trip
-    through the cache dtype is the caller's business.
+    fixed *relative* distance from the current token (reference
+    src/infer.cpp:303-317, arXiv:2309.17453). The reference mutates the
+    stored keys by one position every step; here the rotation is LAZY —
+    the cache keeps the keys as originally written and attention rotates a
+    VIEW by the accumulated offset n = max(0, pos - window + 1). One big
+    rotation instead of pos-window incremental ones is mathematically
+    identical and numerically strictly better (no per-step requantization
+    through the cache dtype — which matters once the cache is fp8).
+    k_rows: [..., n_kv_heads, head_dim]; n: () scalar or python int.
     """
-    one = jnp.ones(k_rows.shape[:-2], dtype=jnp.float32)
-    return apply_rope(k_rows, one, theta, rotary_dim)
+    pos = jnp.broadcast_to(jnp.asarray(n, jnp.float32), k_rows.shape[:-2])
+    return apply_rope(k_rows, pos, theta, rotary_dim)
 
 
 def masked_softmax(scores: jax.Array, mask: jax.Array) -> jax.Array:

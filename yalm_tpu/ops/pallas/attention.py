@@ -181,28 +181,48 @@ def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
         acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
 
 
+def _lazy_sink_rotate(kbuf, slot, rot, kv_sink, *, kv_sinks, theta,
+                      rotary_dim):
+    """Rotate the first kv_sink sink rows of the fetched block 0 IN VMEM by
+    the accumulated offset `rot` (StreamingLLM lazy view — the HBM cache
+    keeps sink keys as originally written; see _attn_step_ref)."""
+    for r in range(kv_sinks):
+        rowf = kbuf[slot, r].astype(jnp.float32)
+        rowr = _rot_lanes(rowf, theta, rotary_dim, rot)
+
+        @pl.when(r < kv_sink)
+        def _(rowr=rowr):
+            kbuf[slot, r] = rowr.astype(kbuf.dtype)
+
+
 def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
-                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, *, S, block_s, Hk, P, kv_sinks, theta,
                      rotary_dim, kv_pos, kv_len, kv_sink, pos,
                      do_write=True):
-    """The whole fused step: in-kernel RoPE, kv-row write, sink rotation,
-    and double-buffered flash attention. `idx` is the HBM index prefix for
-    this lane's cache (e.g. (layer,) or (b, layer)).
+    """The whole fused step: in-kernel RoPE, kv-row write, lazy sink
+    rotation, and double-buffered flash attention. `idx` is the HBM index
+    prefix for this lane's cache (e.g. (layer,) or (b, layer)).
 
-    All HBM cache WRITES (new k/v row, rotated sink keys) are issued
-    asynchronously and only drained at the end of the body: the flash loop
-    never waits on them because any block it fetches that overlaps the
-    written rows gets PATCHED in VMEM with the same values. Write-lands-
-    before-fetch and write-lands-after-fetch are therefore both correct,
-    and the serial DMA round-trips that used to precede the KV stream
-    (row-write wait + sink read-modify-write wait) are off the critical
-    path — they ride under the flash stream instead.
+    The new-row HBM write is issued asynchronously and only drained at the
+    end of the body: the flash loop never waits on it because any block it
+    fetches that overlaps the written row gets PATCHED in VMEM with the
+    same values. Write-lands-before-fetch and write-lands-after-fetch are
+    therefore both correct.
+
+    Sink keys are NEVER rewritten in HBM (the reference mutates them by one
+    position per step, src/infer.cpp:303-317): the cache stores them as
+    originally written and attention rotates the fetched copy forward by
+    the accumulated offset max(0, pos - S + 1) — mathematically identical,
+    numerically better (no per-step cache-dtype round-trips, which matters
+    for quantized caches), and one less serial HBM read-modify-write per
+    layer per step.
 
     do_write (traced bool or python True) gates EVERY cache mutation: a
     False lane computes attention read-only — the continuous-batching tick
     uses this so lanes mid-admission (chunked prefill owns their cache) can
-    ride the batched step without corruption.
+    ride the batched step without corruption. The lazy sink VIEW applies to
+    read-only lanes too (it is part of attention, not a mutation).
     """
     D = q_in.shape[-1]
     n_blocks = S // block_s
@@ -216,38 +236,21 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                        pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
     k_rot = _rot_lanes(knew_in.astype(jnp.float32).reshape(Hk, D),
                        theta, rotary_dim, pos.astype(jnp.float32))
-    kdt = k_rot.astype(newbuf.dtype)           # the exact bits HBM will hold
-    vdt = vnew_in.astype(newbuf.dtype).reshape(Hk, D)
+    kdt = k_rot.astype(newk.dtype)             # the exact bits HBM will hold
+    vdt = vnew_in.astype(newv.dtype).reshape(Hk, D)
+    sink_rot = jnp.maximum(pos - S + 1, 0).astype(jnp.float32)
 
     @pl.when(wr)
     def _():
-        newbuf[0] = kdt
-        pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[(*idx, kv_pos)],
+        newk[...] = kdt
+        pltpu.make_async_copy(newk, ko_hbm.at[(*idx, kv_pos)],
                               rowsem.at[0]).start()
-        newbuf[1] = vdt
-        pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[(*idx, kv_pos)],
+        newv[...] = vdt
+        pltpu.make_async_copy(newv, vo_hbm.at[(*idx, kv_pos)],
                               rowsem.at[1]).start()
 
-    # sink-key re-rotation (only once past the window; StreamingLLM).
-    # Only the first kv_sink sink rows rotate — matching the jnp emulation's
-    # mask exactly; callers only ever pass 0 or kv_sinks today, but a partial
-    # value must not silently diverge between kernel and emulation.
-    @pl.when((kv_sink > 0) & wr)
-    def _():
-        rd = pltpu.make_async_copy(ko_hbm.at[(*idx, slice(0, kv_sinks))],
-                                   rowbuf, rowsem.at[2])
-        rd.start()
-        rd.wait()
-        rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-        rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
-        sel = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) < kv_sink * Hk
-        rowbuf[...] = jnp.where(sel, rot, rows).reshape(
-            kv_sinks, Hk, D).astype(rowbuf.dtype)
-        pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
-                              rowsem.at[2]).start()
-
-    # flash attention over the ring buffer (fetches race the writes above;
-    # affected rows are patched after each fetch)
+    # flash attention over the ring buffer (fetches race the row write
+    # above; the affected block is patched after its fetch)
     def kv_dma(slot, blk, buf, hbm):
         return pltpu.make_async_copy(
             hbm.at[(*idx, pl.ds(blk * block_s, block_s))],
@@ -275,15 +278,15 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
         kv_dma(slot, sblk, kbuf, ko_hbm).wait()
         kv_dma(slot, sblk, vbuf, vo_hbm).wait()
 
-        # patch rows whose in-flight HBM writes may not have landed before
-        # this block's fetch read them
-        # direct dynamic row stores (rowbuf already holds rotated-or-original
-        # per row, so unconditional stores are correct either way)
-        @pl.when((sblk == 0) & (kv_sink > 0) & wr)
+        # lazy sink view on the fetched copy (block 0 holds the sink rows)
+        @pl.when((sblk == 0) & (kv_sink > 0))
         def _():
-            for r in range(kv_sinks):
-                kbuf[slot, r] = rowbuf[r]
+            _lazy_sink_rotate(kbuf, slot, sink_rot, kv_sink,
+                              kv_sinks=kv_sinks, theta=theta,
+                              rotary_dim=rotary_dim)
 
+        # patch the row whose in-flight HBM write may not have landed
+        # before this block's fetch read it
         row = kv_pos - sblk * block_s
         @pl.when((row >= 0) & (row < block_s) & wr)
         def _():
@@ -299,18 +302,13 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     jax.lax.fori_loop(0, n_act, block_step, 0)
     o_out[...] = acc_ref[...] / l_ref[:, 0:1]
 
-    # drain the async cache writes before the kernel (or this lane) ends
+    # drain the async row writes before the kernel (or this lane) ends
     @pl.when(wr)
     def _():
-        pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[(*idx, kv_pos)],
+        pltpu.make_async_copy(newk, ko_hbm.at[(*idx, kv_pos)],
                               rowsem.at[0]).wait()
-        pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[(*idx, kv_pos)],
+        pltpu.make_async_copy(newv, vo_hbm.at[(*idx, kv_pos)],
                               rowsem.at[1]).wait()
-
-    @pl.when((kv_sink > 0) & wr)
-    def _():
-        pltpu.make_async_copy(rowbuf, ko_hbm.at[(*idx, slice(0, kv_sinks))],
-                              rowsem.at[2]).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +318,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
 def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               k_hbm, v_hbm,
                               o_ref, ko_hbm, vo_hbm,
-                              kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                              kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                               sem, rowsem, *,
                               S: int, block_s: int, n_kv_heads: int,
                               p_rows: int, kv_sinks: int, theta: float,
@@ -334,11 +332,11 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     whole sweep. Scalars: [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B],
     write[B]].
 
-    Correctness of the early prefetch: a lane's new-row/sink HBM writes are
-    async and may land before OR after any fetch of the region — every
-    fetched block is PATCHED in VMEM with the same values (computed from
-    the kernel inputs, not from HBM), so both orders agree. See
-    _fused_attn_body's race note.
+    Correctness of the early prefetch: a lane's new-row HBM write is async
+    and may land before OR after any fetch of the region — every fetched
+    block is PATCHED in VMEM with the same values (computed from the kernel
+    inputs, not from HBM), so both orders agree. Sink keys use the LAZY
+    rotation view (never rewritten in HBM) — see _fused_attn_body.
     """
     B = q_ref.shape[0]
     Hk = n_kv_heads
@@ -374,33 +372,18 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                            pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
         k_rot = _rot_lanes(knew_ref[b].astype(jnp.float32), theta,
                            rotary_dim, pos.astype(jnp.float32))
-        kdt = k_rot.astype(newbuf.dtype)
-        vdt = vnew_ref[b].astype(newbuf.dtype)
+        kdt = k_rot.astype(newk.dtype)
+        vdt = vnew_ref[b].astype(newv.dtype)
+        sink_rot = jnp.maximum(pos - S + 1, 0).astype(jnp.float32)
 
         @pl.when(wr)
         def _():
-            newbuf[0] = kdt
-            pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[b, layer, kv_pos],
+            newk[...] = kdt
+            pltpu.make_async_copy(newk, ko_hbm.at[b, layer, kv_pos],
                                   rowsem.at[0]).start()
-            newbuf[1] = vdt
-            pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[b, layer, kv_pos],
+            newv[...] = vdt
+            pltpu.make_async_copy(newv, vo_hbm.at[b, layer, kv_pos],
                                   rowsem.at[1]).start()
-
-        @pl.when((kv_sink > 0) & wr)
-        def _():
-            rd = pltpu.make_async_copy(
-                ko_hbm.at[b, layer, slice(0, kv_sinks)], rowbuf, rowsem.at[2])
-            rd.start()
-            rd.wait()
-            rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-            rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
-            sel = jax.lax.broadcasted_iota(
-                jnp.int32, rows.shape, 0) < kv_sink * Hk
-            rowbuf[...] = jnp.where(sel, rot, rows).reshape(
-                kv_sinks, Hk, D).astype(rowbuf.dtype)
-            pltpu.make_async_copy(rowbuf,
-                                  ko_hbm.at[b, layer, slice(0, kv_sinks)],
-                                  rowsem.at[2]).start()
 
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
@@ -422,10 +405,11 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             kv_dma(slot, b, j, kbuf, ko_hbm).wait()
             kv_dma(slot, b, j, vbuf, vo_hbm).wait()
 
-            @pl.when((j == 0) & (kv_sink > 0) & wr)
+            @pl.when((j == 0) & (kv_sink > 0))
             def _():
-                for r in range(kv_sinks):
-                    kbuf[slot, r] = rowbuf[r]
+                _lazy_sink_rotate(kbuf, slot, sink_rot, kv_sink,
+                                  kv_sinks=kv_sinks, theta=theta,
+                                  rotary_dim=rotary_dim)
 
             row = kv_pos - j * block_s
 
@@ -443,19 +427,13 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
         slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
         o_ref[b] = acc_ref[...] / l_ref[:, 0:1]
 
-        # drain this lane's async writes before its buffers are reused
+        # drain this lane's async row writes before its buffers are reused
         @pl.when(wr)
         def _():
-            pltpu.make_async_copy(newbuf.at[0], ko_hbm.at[b, layer, kv_pos],
+            pltpu.make_async_copy(newk, ko_hbm.at[b, layer, kv_pos],
                                   rowsem.at[0]).wait()
-            pltpu.make_async_copy(newbuf.at[1], vo_hbm.at[b, layer, kv_pos],
+            pltpu.make_async_copy(newv, vo_hbm.at[b, layer, kv_pos],
                                   rowsem.at[1]).wait()
-
-        @pl.when((kv_sink > 0) & wr)
-        def _():
-            pltpu.make_async_copy(rowbuf,
-                                  ko_hbm.at[b, layer, slice(0, kv_sinks)],
-                                  rowsem.at[2]).wait()
 
         return slot_end
 
@@ -495,12 +473,15 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                 q2, kn1, vn1, k1, v1, layer, kp, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
             # write-masked lanes mutate NOTHING and attend the cache as-is
-            # (no new row, no sink rotation) — matching the kernel exactly
+            # except for the lazy sink VIEW, which is part of attention —
+            # matching the kernel exactly
             q2r = _rot_lanes_ref(q2, theta, rotary_dim,
                                  jnp.asarray(p1, jnp.float32)) \
                 * (1.0 / math.sqrt(D))
+            k1l = jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False)
             out_r = _attend_ref(
-                q2r, jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False),
+                q2r, _sink_view_ref(k1l, ks, p1, kv_sinks=kv_sinks,
+                                    theta=theta, rotary_dim=rotary_dim),
                 jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl)
             keep = wr1 != 0
             return (jnp.where(keep, out, out_r).reshape(Hk, qpk, D),
@@ -538,13 +519,13 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
-            pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
-            pltpu.VMEM((2, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), v_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -616,10 +597,21 @@ def _rot_lanes_ref(rows: jax.Array, theta: float, rotary_dim: int,
     return out.reshape(rows.shape)
 
 
-def _rot1(rows: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
-    """Rotate rows forward by ONE position (StreamingLLM sink maintenance,
-    reference src/infer.cpp:303-317) — emulation-path variant."""
-    return _rot_lanes_ref(rows, theta, rotary_dim, 1.0)
+def _sink_view_ref(k: jax.Array, kv_sink, pos, *, kv_sinks: int,
+                   theta: float, rotary_dim: int) -> jax.Array:
+    """Emulation of the kernels' lazy sink view: rotate the first kv_sink
+    rows of one layer's cache (S, Hk, D) forward by max(0, pos - S + 1) and
+    round them through the VMEM working dtype (the cache dtype, or bf16 for
+    sub-byte quantized caches whose blocks are staged to bf16)."""
+    S, Hk, D = k.shape
+    rot = jnp.maximum(jnp.asarray(pos, jnp.int32) - S + 1, 0)
+    rows = k[:kv_sinks].astype(jnp.float32).reshape(kv_sinks * Hk, D)
+    rotr = _rot_lanes_ref(rows, theta, rotary_dim, rot.astype(jnp.float32))
+    mask = (jnp.arange(kv_sinks) < kv_sink)[:, None, None]
+    wd = k.dtype if k.dtype.itemsize >= 2 else jnp.bfloat16
+    view = jnp.where(mask, rotr.reshape(kv_sinks, Hk, D),
+                     rows.reshape(kv_sinks, Hk, D)).astype(wd)
+    return jax.lax.dynamic_update_slice(k.astype(wd), view, (0, 0, 0))
 
 
 def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
@@ -648,14 +640,10 @@ def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
     return rows * cos_full + swapped * sin_signed
 
 
-def _rot1_lanes(rows, theta, rotary_dim):
-    return _rot_lanes(rows, theta, rotary_dim, 1.0)
-
-
 def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                       k_hbm, v_hbm,          # ANY-space inputs (aliased)
                       o_ref, ko_hbm, vo_hbm,  # outputs (ko/vo alias k/v)
-                      kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                      kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                       sem, rowsem, *,
                       S: int, block_s: int, n_kv_heads: int, p_rows: int,
                       kv_sinks: int, theta: float, rotary_dim: int):
@@ -664,7 +652,7 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                                            scal_ref[4])
     _fused_attn_body((layer,), q_ref[...], knew_ref[...], vnew_ref[...],
                      ko_hbm, vo_hbm, o_ref,
-                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
                      P=p_rows, kv_sinks=kv_sinks, theta=theta,
                      rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
@@ -676,7 +664,9 @@ def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
     """jnp emulation of the fused step (off-TPU default; kernel numerics).
 
     q2 (rows, D) and k_new arrive UNrotated/unscaled; RoPE at `pos` and the
-    1/sqrt(D) scale are applied here like the kernel does."""
+    1/sqrt(D) scale are applied here like the kernel does. Sink rotation is
+    LAZY: only the new row mutates the cache; attention sees a VIEW whose
+    sink keys are rotated by the accumulated offset (see _fused_attn_body)."""
     D = k_all.shape[3]
     posf = jnp.asarray(pos, jnp.float32)
     q2 = _rot_lanes_ref(q2.astype(jnp.float32), theta, rotary_dim, posf) \
@@ -686,19 +676,11 @@ def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
         k_all, k_new[None, None].astype(k_all.dtype), (layer, kv_pos, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
         v_all, v_new[None, None].astype(v_all.dtype), (layer, kv_pos, 0, 0))
-    rows = jax.lax.dynamic_slice(
-        k_all, (layer, 0, 0, 0),
-        (1, kv_sinks) + k_all.shape[2:])[0].astype(jnp.float32)
-    Hk, D = k_all.shape[2], k_all.shape[3]
-    rot = _rot1(rows.reshape(kv_sinks * Hk, D), theta,
-                rotary_dim).reshape(rows.shape)
-    mask = (jnp.arange(kv_sinks) < kv_sink)[:, None, None]
-    k_all = jax.lax.dynamic_update_slice(
-        k_all, jnp.where(mask, rot, rows).astype(k_all.dtype)[None],
-        (layer, 0, 0, 0))
     k = jax.lax.dynamic_index_in_dim(k_all, layer, keepdims=False)
     v = jax.lax.dynamic_index_in_dim(v_all, layer, keepdims=False)
-    out = _attend_ref(q2, k, v, kv_len)
+    k_view = _sink_view_ref(k, kv_sink, pos, kv_sinks=kv_sinks, theta=theta,
+                            rotary_dim=rotary_dim)
+    out = _attend_ref(q2, k_view, v, kv_len)
     return out, k_all, v_all
 
 
@@ -763,13 +745,13 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
-            pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
-            pltpu.VMEM((2, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), v_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -820,15 +802,16 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                             kp_in, vp_in,
                             o_ref, kp_hbm, vp_hbm,
-                            kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                            kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                             sem, rowsem, *,
                             S: int, block_s: int, n_kv_heads: int,
                             p_rows: int, kv_sinks: int, theta: float,
                             rotary_dim: int, nblk: int):
     """One program sweeps all lanes with cross-lane pipelined PAGE fetches
     (same pipeline as the dense batched kernel; every fetch target resolves
-    through the page table). Scalars: [layer, kv_pos[B], kv_len[B],
-    kv_sink[B], pos[B], write[B], pages[B * nblk]]."""
+    through the page table). Sink keys use the lazy rotation view, never an
+    HBM rewrite (see _fused_attn_body). Scalars: [layer, kv_pos[B],
+    kv_len[B], kv_sink[B], pos[B], write[B], pages[B * nblk]]."""
     B = q_ref.shape[0]
     Hk = n_kv_heads
     P = p_rows
@@ -860,39 +843,20 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                            pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
         k_rot = _rot_lanes(knew_ref[b].astype(jnp.float32), theta,
                            rotary_dim, pos.astype(jnp.float32))
-        kdt = k_rot.astype(newbuf.dtype)
-        vdt = vnew_ref[b].astype(newbuf.dtype)
+        kdt = k_rot.astype(newk.dtype)
+        vdt = vnew_ref[b].astype(newv.dtype)
+        sink_rot = jnp.maximum(pos - S + 1, 0).astype(jnp.float32)
         page_w = page_of(b, kv_pos // block_s)
         row_w = kv_pos % block_s
-        page0 = page_of(b, 0)
 
         @pl.when(wr)
         def _():
-            newbuf[0] = kdt
-            pltpu.make_async_copy(newbuf.at[0],
-                                  kp_hbm.at[page_w, layer, row_w],
+            newk[...] = kdt
+            pltpu.make_async_copy(newk, kp_hbm.at[page_w, layer, row_w],
                                   rowsem.at[0]).start()
-            newbuf[1] = vdt
-            pltpu.make_async_copy(newbuf.at[1],
-                                  vp_hbm.at[page_w, layer, row_w],
+            newv[...] = vdt
+            pltpu.make_async_copy(newv, vp_hbm.at[page_w, layer, row_w],
                                   rowsem.at[1]).start()
-
-        @pl.when((kv_sink > 0) & wr)
-        def _():
-            rd = pltpu.make_async_copy(
-                kp_hbm.at[page0, layer, slice(0, kv_sinks)], rowbuf,
-                rowsem.at[2])
-            rd.start()
-            rd.wait()
-            rows = rowbuf[...].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-            rot = _rot_lanes(rows, theta, rotary_dim, 1.0)
-            sel = jax.lax.broadcasted_iota(
-                jnp.int32, rows.shape, 0) < kv_sink * Hk
-            rowbuf[...] = jnp.where(sel, rot, rows).reshape(
-                kv_sinks, Hk, D).astype(rowbuf.dtype)
-            pltpu.make_async_copy(rowbuf,
-                                  kp_hbm.at[page0, layer, slice(0, kv_sinks)],
-                                  rowsem.at[2]).start()
 
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
@@ -914,10 +878,11 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             kv_dma(slot, b, j, kbuf, kp_hbm).wait()
             kv_dma(slot, b, j, vbuf, vp_hbm).wait()
 
-            @pl.when((j == 0) & (kv_sink > 0) & wr)
+            @pl.when((j == 0) & (kv_sink > 0))
             def _():
-                for r in range(kv_sinks):
-                    kbuf[slot, r] = rowbuf[r]
+                _lazy_sink_rotate(kbuf, slot, sink_rot, kv_sink,
+                                  kv_sinks=kv_sinks, theta=theta,
+                                  rotary_dim=rotary_dim)
 
             row = kv_pos - j * block_s
 
@@ -937,18 +902,10 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
         @pl.when(wr)
         def _():
-            pltpu.make_async_copy(newbuf.at[0],
-                                  kp_hbm.at[page_w, layer, row_w],
+            pltpu.make_async_copy(newk, kp_hbm.at[page_w, layer, row_w],
                                   rowsem.at[0]).wait()
-            pltpu.make_async_copy(newbuf.at[1],
-                                  vp_hbm.at[page_w, layer, row_w],
+            pltpu.make_async_copy(newv, vp_hbm.at[page_w, layer, row_w],
                                   rowsem.at[1]).wait()
-
-        @pl.when((kv_sink > 0) & wr)
-        def _():
-            pltpu.make_async_copy(rowbuf,
-                                  kp_hbm.at[page0, layer, slice(0, kv_sinks)],
-                                  rowsem.at[2]).wait()
 
         return slot_end
 
@@ -1005,12 +962,15 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kpos, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
-            # write-masked lanes attend the cache as-is (see batched twin)
+            # write-masked lanes attend the cache as-is except for the lazy
+            # sink view (see batched twin)
             q2r = _rot_lanes_ref(q2, theta, rotary_dim,
                                  jnp.asarray(p1, jnp.float32)) \
                 * (1.0 / math.sqrt(D))
+            k1l = jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False)
             out_r = _attend_ref(
-                q2r, jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False),
+                q2r, _sink_view_ref(k1l, ks, p1, kv_sinks=kv_sinks,
+                                    theta=theta, rotary_dim=rotary_dim),
                 jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl)
             keep = wr1 != 0
             out = jnp.where(keep, out, out_r)
@@ -1054,13 +1014,13 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((2, bs, Hk, D), k_pool.dtype),
             pltpu.VMEM((2, bs, Hk, D), v_pool.dtype),
-            pltpu.VMEM((kv_sinks, Hk, D), k_pool.dtype),
-            pltpu.VMEM((2, Hk, D), k_pool.dtype),
+            pltpu.VMEM((Hk, D), k_pool.dtype),
+            pltpu.VMEM((Hk, D), v_pool.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

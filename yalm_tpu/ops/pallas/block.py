@@ -57,7 +57,7 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
     (wqkv_hbm, wo_hbm, k_hbm, v_hbm,
      o_ref, ko_hbm, vo_hbm,
      wqkvbuf, wobuf, qkv_ref,
-     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref, mixbuf,
+     kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref, mixbuf,
      wsem, sem, rowsem) = refs
 
     layer, kv_pos, kv_len, kv_sink, pos = (scal_ref[0], scal_ref[1],
@@ -137,9 +137,9 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
         [qkv[:, kv_off + h * D: kv_off + (h + 1) * D] for h in range(Hk)],
         axis=0)                                               # (Hk, D)
 
-    # ---- phase 2: RoPE + cache write + sinks + flash attention ----------
+    # ---- phase 2: RoPE + cache write + lazy sinks + flash attention -----
     _fused_attn_body((layer,), q2, knew, vnew, ko_hbm, vo_hbm, mixbuf,
-                     kbuf, vbuf, rowbuf, newbuf, m_ref, l_ref, acc_ref,
+                     kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, S=S, block_s=block_s, Hk=Hk, P=P,
                      kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
                      kv_pos=kv_pos, kv_len=kv_len, kv_sink=kv_sink, pos=pos)
@@ -316,15 +316,15 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             pltpu.VMEM((1, Nqkv), jnp.float32),
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
             pltpu.VMEM((2, block_s, Hk, D), v_all.dtype),
-            pltpu.VMEM((kv_sinks, Hk, D), k_all.dtype),
-            pltpu.VMEM((2, Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), k_all.dtype),
+            pltpu.VMEM((Hk, D), v_all.dtype),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, 128), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2 * _DEPTH,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

@@ -189,10 +189,10 @@ def main() -> None:
 
     batch = int(os.environ.get("YALM_BENCH_BATCH", "0"))
     if batch:
-        return bench_batched(cfg, weights, batch, steps)
+        return bench_batched(cfg, weights, batch, steps, kv_dtype, kv)
     pbatch = int(os.environ.get("YALM_BENCH_PAGED_BATCH", "0"))
     if pbatch:
-        return bench_paged(cfg, weights, pbatch, steps)
+        return bench_paged(cfg, weights, pbatch, steps, kv_dtype, kv)
     if os.environ.get("YALM_BENCH_PREFILL"):
         return bench_prefill(cfg, weights)
 
@@ -284,7 +284,8 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def bench_batched(cfg, weights, batch: int, steps: int) -> None:
+def bench_batched(cfg, weights, batch: int, steps: int, kv_dtype=None,
+                  kv: str = "bf16") -> None:
     """Continuous-batching aggregate throughput (new capability vs the
     single-stream reference; B sequences decode against one weight stream)."""
     import jax
@@ -310,7 +311,7 @@ def bench_batched(cfg, weights, batch: int, steps: int) -> None:
         toks, cache, _ = jax.lax.fori_loop(0, n, body, (tokens, cache, key))
         return toks, cache
 
-    cache = KVCache.init(cfg, jnp.bfloat16, batch=batch)
+    cache = KVCache.init(cfg, kv_dtype or jnp.bfloat16, batch=batch)
     toks = jnp.ones((batch,), jnp.int32)
     pos = jnp.zeros((batch,), jnp.int32)
     t0 = time.perf_counter()
@@ -332,6 +333,7 @@ def bench_batched(cfg, weights, batch: int, steps: int) -> None:
         "value": round(agg, 1),
         "unit": "tok/s",
         "vs_baseline": round(agg / BASELINE_TOK_S, 3),
+        "kv_dtype": kv,
     }))
 
 
@@ -375,7 +377,8 @@ def bench_prefill(cfg, weights) -> None:
     }))
 
 
-def bench_paged(cfg, weights, batch: int, steps: int) -> None:
+def bench_paged(cfg, weights, batch: int, steps: int, kv_dtype=None,
+                kv: str = "bf16") -> None:
     """Aggregate throughput with the PAGED cache at a batch the dense
     cache cannot hold: lanes at ~512-token contexts own 2 pages each, so
     batch 32 costs ~2.2 GB of cache instead of the dense ~17 GB (> HBM
@@ -391,7 +394,7 @@ def bench_paged(cfg, weights, batch: int, steps: int) -> None:
     page = 256
     blocks = 2                      # lanes decode inside the first 2 pages
     n_pages = 1 + batch * blocks
-    pool = PagedKVPool.init(cfg, jnp.bfloat16, n_pages, page)
+    pool = PagedKVPool.init(cfg, kv_dtype or jnp.bfloat16, n_pages, page)
     tables = np.zeros((batch, cfg.max_seq_len // page), np.int32)
     for b in range(batch):
         for k in range(blocks):
@@ -437,6 +440,7 @@ def bench_paged(cfg, weights, batch: int, steps: int) -> None:
         "value": round(agg, 1),
         "unit": "tok/s",
         "vs_baseline": round(agg / BASELINE_TOK_S, 3),
+        "kv_dtype": kv,
     }))
 
 

@@ -131,6 +131,57 @@ def main() -> int:
             (got[0].generated, want[0].generated)
     check("PAGED scheduler tick == dense [fp8, B=8, page=16]", run_sched_paged)
 
+    # --- fp8 (e4m3) quantized KV cache on real kernels -------------------
+    # fp8 KV on real kernels needs n_kv_heads % 4 == 0 (packed-tile DMA)
+    base4 = dict(base, n_kv_heads=4)
+
+    def run_fp8_kv():
+        cfg = tiny_config(**base4, weight_dtype="bf16")
+        p = f"{tmp}/fp8kv.yalm"
+        synth_checkpoint(p, cfg, seed=9)
+        fast = Engine.from_checkpoint(p, fast=True,
+                                      kv_dtype=jnp.float8_e4m3fn)
+        ref = Engine.from_checkpoint(p, fast=True, kv_dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        # teacher-forced across the window edge: quantized write, staged
+        # flash, lazy sinks — logits must track the bf16 cache
+        toks = [1, 7] + list(rng.integers(3, cfg.vocab_size,
+                                          cfg.max_seq_len + 8))
+        fast.prefill_tokens(toks[:2])
+        ref.prefill_tokens(toks[:2])
+        for i in range(2, len(toks)):
+            lf, fast.cache = fast._step_logits(
+                fast.weights, jnp.int32(toks[i]), jnp.int32(fast.pos),
+                fast.cache)
+            lr, ref.cache = ref._step_logits(
+                ref.weights, jnp.int32(toks[i]), jnp.int32(ref.pos),
+                ref.cache)
+            fast.pos += 1
+            ref.pos += 1
+            a, b = np.asarray(lf), np.asarray(lr)
+            rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-6)
+            assert rel < 0.2, (fast.pos, rel)
+    check("fp8-e4m3 KV cache decode tracks bf16 [real kernels]", run_fp8_kv)
+
+    def run_fp8_kv_sched():
+        cfg = tiny_config(**base4, weight_dtype="fp8")
+        p = f"{tmp}/fp8kvs.yalm"
+        synth_checkpoint(p, cfg, seed=10)
+        w = load_weights(read_yalm(p), cfg)
+        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.float8_e4m3fn)
+        reqs = [s.submit(Request(prompt_tokens=[1, 4 + i], max_new_tokens=4,
+                                 temperature=0.0)) for i in range(3)]
+        s.run()
+        assert all(len(r.generated) == 4 for r in reqs)
+        sp = Scheduler(cfg, w, batch=8, kv_dtype=jnp.float8_e4m3fn,
+                       paged_pages=1 + 8 * (cfg.max_seq_len // 16),
+                       page_size=16)
+        r = sp.submit(Request(prompt_tokens=[1, 5], max_new_tokens=4,
+                              temperature=0.0))
+        sp.run()
+        assert len(r.generated) == 4
+    check("fp8-KV batched + paged scheduler ticks", run_fp8_kv_sched)
+
     # --- window-edge decode: ring overwrite + LAZY sink rotation ---------
     def run_window_edge():
         # teacher-forced logit comparison fast-vs-oracle across the edge:

@@ -21,6 +21,12 @@ Usage: python -m yalm_tpu.cli <checkpoint.yalm> [options]
                  draft proposes, this model verifies — identical output to
                  plain greedy decode, fewer full-model passes)
   -K <int>       speculative draft length (default 4)
+  -C f16|bf16|fp8   KV-cache dtype (default f16; bf16 on the TPU fast
+                 path; fp8 = e4m3 quantized cache — halves cache traffic)
+  -M 1,EP,TP     run over a ('dp','ep','tp') device mesh (dp must be 1 for
+                 the single-stream CLI). Multi-host: run the SAME command
+                 on every host (SPMD lockstep; jax.distributed initializes
+                 automatically) — tp rides ICI, ep may span DCN.
 """
 
 from __future__ import annotations
@@ -54,6 +60,8 @@ def _parse_args(argv: list[str]) -> dict:
         "top_p": 1.0,
         "draft": None,
         "n_draft": 4,
+        "kv": "f16",
+        "mesh": None,
     }
     i = 1
     def need(i):
@@ -107,6 +115,13 @@ def _parse_args(argv: list[str]) -> dict:
             opts["draft"] = need(i)
         elif c == "K":
             opts["n_draft"] = int(need(i))
+        elif c == "C":
+            v = need(i)
+            if v not in ("f16", "bf16", "fp8"):
+                error_usage()
+            opts["kv"] = v
+        elif c == "M":
+            opts["mesh"] = need(i)
         else:
             error_usage()
         i += 2
@@ -117,10 +132,30 @@ def _build_engine(opts):
     # Device must be pinned before any computation; the environment's TPU
     # plugin takes priority otherwise.
     import jax
+    import jax.numpy as jnp
     if opts["device"] == "cpu":
         jax.config.update("jax_platforms", "cpu")
     from .engine import Engine
-    eng = Engine.from_checkpoint(opts["checkpoint"], context=opts["context"])
+    kv = {"f16": jnp.float16, "bf16": jnp.bfloat16,
+          "fp8": jnp.float8_e4m3fn}[opts.get("kv", "f16")]
+    mesh = None
+    if opts.get("mesh"):
+        # SPMD lockstep: every host executes the same decode loop over a
+        # mesh spanning all hosts' devices; inputs are replicated scalars,
+        # NamedSharding turns the per-layer math into ICI/DCN collectives.
+        # (The reference's declared gap: "TODO: support multiple CUDA
+        # devices", src/model.cpp:385-386.)
+        from .parallel.distributed import initialize, make_hybrid_mesh
+        from .parallel.mesh import MeshConfig
+        initialize()  # no-op off-cluster
+        dp, ep, tp = (int(x) for x in opts["mesh"].split(","))
+        if dp != 1:
+            raise SystemExit("single-stream CLI needs dp=1 (use the server "
+                             "for data-parallel serving)")
+        mesh = make_hybrid_mesh(MeshConfig(dp=dp, ep=ep, tp=tp),
+                                devices=jax.devices()[: dp * ep * tp])
+    eng = Engine.from_checkpoint(opts["checkpoint"], context=opts["context"],
+                                 kv_dtype=kv, mesh=mesh)
     return eng
 
 

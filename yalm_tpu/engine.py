@@ -114,6 +114,13 @@ class Engine:
             weights = upcast_f16_for_tpu(weights)
             if kv_dtype == jnp.float16:
                 kv_dtype = self.kv_dtype = jnp.bfloat16
+            if jnp.dtype(kv_dtype).itemsize == 1 \
+                    and jax.default_backend() == "tpu":
+                from .models.fast import quant_kv_supported
+                if not quant_kv_supported(cfg):
+                    raise ValueError(
+                        "fp8 KV cache on TPU needs n_kv_heads % 4 == 0 "
+                        f"(got {cfg.n_kv_heads}); use bf16")
         # single-chip fast uses the concatenated FastWeights layout; the TP
         # fast path uses the same layout in shard-major row order (see
         # parallel/fast_tp.py) so per-shard kernels stay fully fused

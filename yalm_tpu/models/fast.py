@@ -228,6 +228,15 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
     )
 
 
+def quant_kv_supported(cfg: ModelConfig) -> bool:
+    """Whether the fp8 (1-byte) KV cache works on REAL TPU kernels: packed
+    sub-byte tiling is (4, 128) over the cache's (Hk, D) minor dims, and
+    Mosaic rejects any DMA slice whose Hk extent is not a multiple of 4 —
+    including the full extent. Mistral/Llama (Hk=8) and Qwen2-7B (Hk=4)
+    qualify; the jnp emulation and interpreter accept any Hk."""
+    return cfg.n_kv_heads % 4 == 0
+
+
 def fast_supported(cfg: ModelConfig) -> bool:
     """Whether this model's shapes fit the Pallas kernels' tiling rules."""
     pairs = [

@@ -158,12 +158,14 @@ def attention_supported(cfg) -> bool:
 def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
                  Hk: int, P: int):
     """One KV block's online-softmax update for every kv head (shared by all
-    fused attention kernels; accumulators live in VMEM scratch refs)."""
+    fused attention kernels; accumulators live in VMEM scratch refs).
+    slot=None means kbuf/vbuf are 3-D (block_s, Hk, D) refs (the bf16
+    staging buffers of a quantized cache) instead of 4-D slot buffers."""
     for h in range(Hk):
         r0 = h * P  # python-static row offset, P is a sublane multiple
         qh = q_rot[r0:r0 + P, :]
-        kh = kbuf[slot, :, h, :]
-        vh = vbuf[slot, :, h, :]
+        kh = kbuf[slot, :, h, :] if slot is not None else kbuf[:, h, :]
+        vh = vbuf[slot, :, h, :] if slot is not None else vbuf[:, h, :]
         sh = jax.lax.dot_general(
             qh.astype(jnp.bfloat16), _bf16(kh),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -185,21 +187,23 @@ def _lazy_sink_rotate(kbuf, slot, rot, kv_sink, *, kv_sinks, theta,
                       rotary_dim):
     """Rotate the first kv_sink sink rows of the fetched block 0 IN VMEM by
     the accumulated offset `rot` (StreamingLLM lazy view — the HBM cache
-    keeps sink keys as originally written; see _attn_step_ref)."""
+    keeps sink keys as originally written; see _attn_step_ref). slot=None
+    addresses a 3-D staging ref (quantized caches)."""
     for r in range(kv_sinks):
-        rowf = kbuf[slot, r].astype(jnp.float32)
+        at = (slot, r) if slot is not None else (r,)
+        rowf = kbuf[at].astype(jnp.float32)
         rowr = _rot_lanes(rowf, theta, rotary_dim, rot)
 
         @pl.when(r < kv_sink)
         def _(rowr=rowr):
-            kbuf[slot, r] = rowr.astype(kbuf.dtype)
+            kbuf[at] = rowr.astype(kbuf.dtype)
 
 
 def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                      kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, *, S, block_s, Hk, P, kv_sinks, theta,
                      rotary_dim, kv_pos, kv_len, kv_sink, pos,
-                     do_write=True):
+                     do_write=True, kst=None, vst=None):
     """The whole fused step: in-kernel RoPE, kv-row write, lazy sink
     rotation, and double-buffered flash attention. `idx` is the HBM index
     prefix for this lane's cache (e.g. (layer,) or (b, layer)).
@@ -223,6 +227,14 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     uses this so lanes mid-admission (chunked prefill owns their cache) can
     ride the batched step without corruption. The lazy sink VIEW applies to
     read-only lanes too (it is part of attention, not a mutation).
+
+    kst/vst: bf16 staging refs (block_s, Hk, D), REQUIRED when the cache
+    dtype is 1-byte (fp8 quantized KV). Packed sub-byte tiling rejects the
+    per-head / per-row sub-tile slices the flash path needs, so each
+    fetched block is widened once to bf16 (the same VPU convert the fp8
+    WEIGHT kernels do per tile, proven faster than the HBM stream) and all
+    patches/flash reads hit the staging copy. HBM traffic stays at
+    1 byte/element — halving decode's cache-bound tail vs bf16.
     """
     D = q_in.shape[-1]
     n_blocks = S // block_s
@@ -267,6 +279,8 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     # out anyway, so their DMA would be pure waste
     n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
 
+    quant = kst is not None
+
     def block_step(sblk, _):
         slot = sblk % 2
 
@@ -278,24 +292,36 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
         kv_dma(slot, sblk, kbuf, ko_hbm).wait()
         kv_dma(slot, sblk, vbuf, vo_hbm).wait()
 
+        # quantized cache: widen the fetched block to the bf16 staging
+        # copy once; all patches and flash reads use the staging refs
+        if quant:
+            kst[...] = _bf16(kbuf[slot])
+            vst[...] = _bf16(vbuf[slot])
+        kb, vb, sl = (kst, vst, None) if quant else (kbuf, vbuf, slot)
+
         # lazy sink view on the fetched copy (block 0 holds the sink rows)
         @pl.when((sblk == 0) & (kv_sink > 0))
         def _():
-            _lazy_sink_rotate(kbuf, slot, sink_rot, kv_sink,
+            _lazy_sink_rotate(kb, sl, sink_rot, kv_sink,
                               kv_sinks=kv_sinks, theta=theta,
                               rotary_dim=rotary_dim)
 
         # patch the row whose in-flight HBM write may not have landed
-        # before this block's fetch read it
+        # before this block's fetch read it (the staging patch uses the
+        # STORED bits kdt/vdt widened, so either landing order agrees)
         row = kv_pos - sblk * block_s
         @pl.when((row >= 0) & (row < block_s) & wr)
         def _():
-            kbuf[slot, row] = kdt
-            vbuf[slot, row] = vdt
+            if quant:
+                kst[row] = _bf16(kdt)
+                vst[row] = _bf16(vdt)
+            else:
+                kbuf[slot, row] = kdt
+                vbuf[slot, row] = vdt
 
         slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (P, block_s), 1)
-        _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+        _flash_heads(q_rot, kb, vb, sl, slot_idx < kv_len,
                      m_ref, l_ref, acc_ref, Hk, P)
         return 0
 
@@ -319,7 +345,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               k_hbm, v_hbm,
                               o_ref, ko_hbm, vo_hbm,
                               kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
-                              sem, rowsem, *,
+                              sem, rowsem, *rest,
                               S: int, block_s: int, n_kv_heads: int,
                               p_rows: int, kv_sinks: int, theta: float,
                               rotary_dim: int):
@@ -338,6 +364,8 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     inputs, not from HBM), so both orders agree. Sink keys use the LAZY
     rotation view (never rewritten in HBM) — see _fused_attn_body.
     """
+    kst, vst = rest if rest else (None, None)
+    quant = kst is not None
     B = q_ref.shape[0]
     Hk = n_kv_heads
     P = p_rows
@@ -405,9 +433,15 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             kv_dma(slot, b, j, kbuf, ko_hbm).wait()
             kv_dma(slot, b, j, vbuf, vo_hbm).wait()
 
+            # quantized cache: widen the fetched block once to bf16 staging
+            if quant:
+                kst[...] = _bf16(kbuf[slot])
+                vst[...] = _bf16(vbuf[slot])
+            kb, vb, sl = (kst, vst, None) if quant else (kbuf, vbuf, slot)
+
             @pl.when((j == 0) & (kv_sink > 0))
             def _():
-                _lazy_sink_rotate(kbuf, slot, sink_rot, kv_sink,
+                _lazy_sink_rotate(kb, sl, sink_rot, kv_sink,
                                   kv_sinks=kv_sinks, theta=theta,
                                   rotary_dim=rotary_dim)
 
@@ -415,12 +449,16 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
             @pl.when((row >= 0) & (row < block_s) & wr)
             def _():
-                kbuf[slot, row] = kdt
-                vbuf[slot, row] = vdt
+                if quant:
+                    kst[row] = _bf16(kdt)
+                    vst[row] = _bf16(vdt)
+                else:
+                    kbuf[slot, row] = kdt
+                    vbuf[slot, row] = vdt
 
             slot_idx = j * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (P, block_s), 1)
-            _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+            _flash_heads(q_rot, kb, vb, sl, slot_idx < kv_len,
                          m_ref, l_ref, acc_ref, Hk, P)
             return nslot
 
@@ -508,13 +546,13 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
             pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
@@ -526,7 +564,9 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((block_s, Hk, D), jnp.bfloat16),
+              pltpu.VMEM((block_s, Hk, D), jnp.bfloat16)]
+             if k_all.dtype.itemsize == 1 else []),
     )
 
     scal = jnp.concatenate([
@@ -644,9 +684,10 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                       k_hbm, v_hbm,          # ANY-space inputs (aliased)
                       o_ref, ko_hbm, vo_hbm,  # outputs (ko/vo alias k/v)
                       kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
-                      sem, rowsem, *,
+                      sem, rowsem, *rest,
                       S: int, block_s: int, n_kv_heads: int, p_rows: int,
                       kv_sinks: int, theta: float, rotary_dim: int):
+    kst, vst = rest if rest else (None, None)
     layer, kv_pos, kv_len, kv_sink, pos = (scal_ref[0], scal_ref[1],
                                            scal_ref[2], scal_ref[3],
                                            scal_ref[4])
@@ -656,7 +697,7 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                      sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
                      P=p_rows, kv_sinks=kv_sinks, theta=theta,
                      rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
-                     kv_sink=kv_sink, pos=pos)
+                     kv_sink=kv_sink, pos=pos, kst=kst, vst=vst)
 
 
 def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
@@ -734,13 +775,13 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pl.BlockSpec((Hk * P, D), lambda i, sc: (0, 0)),
             pl.BlockSpec((Hk, D), lambda i, sc: (0, 0)),
             pl.BlockSpec((Hk, D), lambda i, sc: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
             pl.BlockSpec((Hk * P, D), lambda i, sc: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, block_s, Hk, D), k_all.dtype),
@@ -752,7 +793,9 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((block_s, Hk, D), jnp.bfloat16),
+              pltpu.VMEM((block_s, Hk, D), jnp.bfloat16)]
+             if k_all.dtype.itemsize == 1 else []),
     )
 
     scal = jnp.stack([jnp.asarray(layer, jnp.int32),
@@ -803,7 +846,7 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                             kp_in, vp_in,
                             o_ref, kp_hbm, vp_hbm,
                             kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
-                            sem, rowsem, *,
+                            sem, rowsem, *rest,
                             S: int, block_s: int, n_kv_heads: int,
                             p_rows: int, kv_sinks: int, theta: float,
                             rotary_dim: int, nblk: int):
@@ -812,6 +855,8 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     through the page table). Sink keys use the lazy rotation view, never an
     HBM rewrite (see _fused_attn_body). Scalars: [layer, kv_pos[B],
     kv_len[B], kv_sink[B], pos[B], write[B], pages[B * nblk]]."""
+    kst, vst = rest if rest else (None, None)
+    quant = kst is not None
     B = q_ref.shape[0]
     Hk = n_kv_heads
     P = p_rows
@@ -878,9 +923,14 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             kv_dma(slot, b, j, kbuf, kp_hbm).wait()
             kv_dma(slot, b, j, vbuf, vp_hbm).wait()
 
+            if quant:
+                kst[...] = _bf16(kbuf[slot])
+                vst[...] = _bf16(vbuf[slot])
+            kb, vb, sl = (kst, vst, None) if quant else (kbuf, vbuf, slot)
+
             @pl.when((j == 0) & (kv_sink > 0))
             def _():
-                _lazy_sink_rotate(kbuf, slot, sink_rot, kv_sink,
+                _lazy_sink_rotate(kb, sl, sink_rot, kv_sink,
                                   kv_sinks=kv_sinks, theta=theta,
                                   rotary_dim=rotary_dim)
 
@@ -888,12 +938,16 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
             @pl.when((row >= 0) & (row < block_s) & wr)
             def _():
-                kbuf[slot, row] = kdt
-                vbuf[slot, row] = vdt
+                if quant:
+                    kst[row] = _bf16(kdt)
+                    vst[row] = _bf16(vdt)
+                else:
+                    kbuf[slot, row] = kdt
+                    vbuf[slot, row] = vdt
 
             slot_idx = j * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (P, block_s), 1)
-            _flash_heads(q_rot, kbuf, vbuf, slot, slot_idx < kv_len,
+            _flash_heads(q_rot, kb, vb, sl, slot_idx < kv_len,
                          m_ref, l_ref, acc_ref, Hk, P)
             return nslot
 
@@ -1003,13 +1057,13 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
             pl.BlockSpec((B, Hk, D), lambda i, sc: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=[
             pl.BlockSpec((B, Hk * P, D), lambda i, sc: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, bs, Hk, D), k_pool.dtype),
@@ -1021,7 +1075,9 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             pltpu.VMEM((Hk * P, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((bs, Hk, D), jnp.bfloat16),
+              pltpu.VMEM((bs, Hk, D), jnp.bfloat16)]
+             if k_pool.dtype.itemsize == 1 else []),
     )
 
     scal = jnp.concatenate([

@@ -54,6 +54,10 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
     bias_ref = refs.pop(0) if has_bias else None
     sq_ref = refs.pop(0) if has_scale else None
     so_ref = refs.pop(0) if has_scale else None
+    kst = vst = None
+    if len(refs) > 21:  # quantized cache: trailing bf16 staging refs
+        vst = refs.pop()
+        kst = refs.pop()
     (wqkv_hbm, wo_hbm, k_hbm, v_hbm,
      o_ref, ko_hbm, vo_hbm,
      wqkvbuf, wobuf, qkv_ref,
@@ -142,7 +146,8 @@ def _attn_block_kernel(scal_ref, x_ref, nw_ref, *rest,
                      kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, S=S, block_s=block_s, Hk=Hk, P=P,
                      kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-                     kv_pos=kv_pos, kv_len=kv_len, kv_sink=kv_sink, pos=pos)
+                     kv_pos=kv_pos, kv_len=kv_len, kv_sink=kv_sink, pos=pos,
+                     kst=kst, vst=vst)
 
     # ---- flatten (Hk*P, D) sublane-major -> (1, q_dim) lane-major -------
     mix = mixbuf[...]
@@ -302,13 +307,13 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
         ] + extra_specs + [
             pl.BlockSpec(memory_space=pl.ANY),   # wqkv
             pl.BlockSpec(memory_space=pl.ANY),   # wo
-            pl.BlockSpec(memory_space=pl.ANY),   # k cache
-            pl.BlockSpec(memory_space=pl.ANY),   # v cache
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # k cache
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # v cache
         ],
         out_specs=[
             pl.BlockSpec((1, K), lambda i, sc: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         scratch_shapes=[
             pltpu.VMEM((_DEPTH, bnq, K), wqkv_all.dtype),
@@ -325,7 +330,9 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
             pltpu.SemaphoreType.DMA((2 * _DEPTH,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((block_s, Hk, D), jnp.bfloat16),
+              pltpu.VMEM((block_s, Hk, D), jnp.bfloat16)]
+             if k_all.dtype.itemsize == 1 else []),
     )
 
     # operand numbering for aliasing includes the scalar-prefetch arg (0)

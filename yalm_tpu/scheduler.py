@@ -154,6 +154,13 @@ class Scheduler:
             weights = upcast_f16_for_tpu(weights)  # Mosaic has no f16
             if kv_dtype == jnp.float16:
                 kv_dtype = jnp.bfloat16
+            if jnp.dtype(kv_dtype).itemsize == 1 \
+                    and jax.default_backend() == "tpu":
+                from .models.fast import quant_kv_supported
+                if not quant_kv_supported(cfg):
+                    raise ValueError(
+                        "fp8 KV cache on TPU needs n_kv_heads % 4 == 0 "
+                        f"(got {cfg.n_kv_heads}); use bf16")
         if self.fast and mesh is None and isinstance(weights, Weights):
             weights = FastWeights.from_weights(weights, cfg)
         if mesh is not None:

@@ -40,7 +40,8 @@ class ServingEngine:
                  batch: int = 8, kv_dtype=jnp.bfloat16, fast: bool | str = "auto",
                  max_prompt_tokens: int | None = None,
                  chat_template: str = "chatml",
-                 paged_pages: int = 0, page_size: int = 256):
+                 paged_pages: int = 0, page_size: int = 256,
+                 mesh=None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -51,7 +52,8 @@ class ServingEngine:
         self.max_prompt_tokens = max_prompt_tokens or 0
         self.sched = Scheduler(cfg, weights, batch=batch, kv_dtype=kv_dtype,
                                compute_dtype=jnp.bfloat16, fast=fast,
-                               paged_pages=paged_pages, page_size=page_size)
+                               paged_pages=paged_pages, page_size=page_size,
+                               mesh=mesh)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         self._stop = threading.Event()
@@ -69,11 +71,20 @@ class ServingEngine:
         # the host, so device HBM only ever holds one copy
         from .models.fast import fast_batched_supported, load_fast_weights
         from .models.weights import f16_to_bf16_put
+        mesh = kw.get("mesh")
         fast = kw.get("fast", "auto")
         if fast == "auto":
-            fast = fast_batched_supported(cfg) and batch % 8 == 0
+            if mesh is not None:
+                from .parallel.fast_tp import fast_tp_supported
+                fast = fast_tp_supported(cfg, mesh.shape["tp"],
+                                         mesh.shape.get("ep", 1))
+            else:
+                fast = fast_batched_supported(cfg) and batch % 8 == 0
         if fast:
-            weights = load_fast_weights(yf, cfg, device_put=f16_to_bf16_put())
+            # shard-major row order when a mesh will shard the weights
+            tp = mesh.shape["tp"] if mesh is not None else 1
+            weights = load_fast_weights(yf, cfg, device_put=f16_to_bf16_put(),
+                                        tp=tp)
         else:
             weights = load_weights(yf, cfg)
         tok = Tokenizer.from_yalm(yf)
@@ -366,14 +377,80 @@ def main(argv=None) -> None:
                          "cache); cache HBM then scales with tokens in flight")
     ap.add_argument("--page-size", type=int, default=256,
                     help="tokens per KV page (must divide the context window)")
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "fp8"],
+                    help="KV-cache dtype (fp8 = e4m3 quantized cache: halves "
+                         "cache HBM and traffic)")
+    ap.add_argument("--mesh", default=None, metavar="DP,EP,TP",
+                    help="serve over a ('dp','ep','tp') device mesh: slot "
+                         "lanes shard on dp, experts on ep, heads/hidden on "
+                         "tp (e.g. --mesh 2,1,4 on 8 devices)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: jax.distributed.initialize() before "
+                         "building the mesh (run the same command on every "
+                         "host; auto-detects GKE/Cloud-TPU topology)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address for --distributed on manual "
+                         "clusters (host:port)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
+    mesh = None
+    batch = args.batch
+    if args.distributed:
+        from .parallel.distributed import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
+    if args.mesh:
+        import jax
+        from .parallel.distributed import local_batch_slice, make_hybrid_mesh
+        from .parallel.mesh import MeshConfig
+        dp, ep, tp = (int(x) for x in args.mesh.split(","))
+        if args.batch % max(dp, 1):
+            ap.error(f"--batch {args.batch} must be divisible by dp={dp}")
+        n_procs = jax.process_count()
+        if n_procs > 1:
+            # Multi-host serving shards the REQUEST dimension over hosts:
+            # each host runs an independent (1, ep, tp) scheduler over its
+            # own ICI-local devices and serves its local_batch_slice of the
+            # global batch — no tick-lockstep coordination, no cross-host
+            # collectives (dp traffic is the load balancer's job). ep/tp
+            # must therefore fit inside one host's ICI domain; spanning
+            # them across DCN would require every host to dispatch every
+            # tick in lockstep, which a request-driven server cannot do.
+            if dp != n_procs:
+                ap.error(f"--distributed serving shards dp over hosts: "
+                         f"set dp = {n_procs} (got {dp})")
+            if ep * tp > jax.local_device_count():
+                ap.error(f"ep*tp = {ep * tp} exceeds this host's "
+                         f"{jax.local_device_count()} devices; multi-host "
+                         f"serving keeps tp/ep inside the ICI domain")
+            # the global hybrid mesh validates topology packing and yields
+            # this host's batch rows; the scheduler then runs on the local
+            # slice of devices
+            gmesh = make_hybrid_mesh(MeshConfig(dp=dp, ep=ep, tp=tp),
+                                     devices=jax.devices()[: dp * ep * tp])
+            sl = local_batch_slice(args.batch, gmesh)
+            batch = sl.stop - sl.start
+            mesh = make_hybrid_mesh(MeshConfig(dp=1, ep=ep, tp=tp),
+                                    devices=jax.local_devices()[: ep * tp])
+            print(f"host {jax.process_index()}/{n_procs}: serving global "
+                  f"batch rows [{sl.start}, {sl.stop}) on a local "
+                  f"(1,{ep},{tp}) mesh", flush=True)
+        else:
+            mesh = make_hybrid_mesh(MeshConfig(dp=dp, ep=ep, tp=tp),
+                                    devices=jax.devices()[: dp * ep * tp])
+
+    kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[args.kv]
     engine = ServingEngine.from_checkpoint(args.checkpoint, context=args.context,
-                                           batch=args.batch,
+                                           batch=batch,
+                                           kv_dtype=kv_dtype,
                                            max_prompt_tokens=args.max_prompt_tokens,
                                            chat_template=args.chat_template,
                                            paged_pages=args.paged_pages,
-                                           page_size=args.page_size)
+                                           page_size=args.page_size,
+                                           mesh=mesh)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

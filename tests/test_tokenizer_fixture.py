@@ -1,0 +1,95 @@
+"""Tokenizer fidelity against REAL (HF `tokenizers`-produced) fixtures.
+
+tests/fixtures/ holds two genuine tokenizer.json files (llama-style BPE +
+byte_fallback + Metaspace; gpt2-style BPE + ByteLevel) and a golden file of
+tricky strings with HF's ids/decodes, generated once by
+tools/make_tokenizer_fixture.py. This retires the SURVEY §7 correctness
+risk that was previously only exercised with synthetic vocabs: the
+converter's vocab decoding (gpt2 byte table, ▁->space, added tokens,
+NUL->BEL) and the trie's encode/decode against the real format.
+
+Encode parity with HF is asserted on every case where greedy longest-match
+agrees with true BPE (recorded at generation time). The reference's
+tokenizer IS greedy (src/tokenizer.cpp:57-94), so universal BPE agreement
+is not a property even the reference has; on the disagreeing cases we
+require exact byte round-trip instead.
+"""
+
+import json
+import os
+
+import pytest
+
+from yalm_tpu.convert import load_tokens, pack_tokens
+from yalm_tpu.tokenizer import Tokenizer, split_vocab
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load(style):
+    with open(os.path.join(FIX, "tokenizer_golden.json")) as f:
+        golden = json.load(f)[style]
+    path = os.path.join(FIX, f"{style}_tokenizer.json")
+    vocab = load_tokens(path, golden["vocab_size"])
+    return vocab, golden
+
+
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+def test_vocab_parses_and_packs(style):
+    vocab, golden = _load(style)
+    assert len(vocab) == golden["vocab_size"]
+    # pack -> split round trip (the path through the checkpoint tensor)
+    packed = pack_tokens(vocab)
+    assert split_vocab(packed.tobytes()) == [v for v in vocab]
+    if style == "llama_style":
+        # byte-fallback block present and contiguous
+        start = vocab.index(b"<0x00>")
+        for i in range(256):
+            assert vocab[start + i] == f"<0x{i:02X}>".encode()
+        # sentencepiece space mapping applied
+        assert any(v.startswith(b" ") for v in vocab)
+    else:
+        # gpt2 byte table: every single byte is its own piece somewhere —
+        # except NUL, which the packer maps to BEL (strings are
+        # NUL-delimited in the checkpoint tensor; reference convert.py:121)
+        singles = {v for v in vocab if len(v) == 1}
+        assert len(singles) == 255 and b"\x00" not in singles
+
+
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+def test_decode_matches_hf(style):
+    vocab, golden = _load(style)
+    tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)  # no BOS stripping
+    for case in golden["cases"]:
+        got = tok.decode(case["hf_ids"], prev=0)
+        want = case["hf_decoded"]
+        assert got.decode("utf-8", errors="replace") == want, case["text"]
+
+
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+def test_encode_parity_and_roundtrip(style):
+    vocab, golden = _load(style)
+    tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)
+    n_exact = 0
+    for case in golden["cases"]:
+        ids = tok.encode(case["text"])
+        if case["greedy_matches_bpe"]:
+            assert ids == case["hf_ids"], case["text"]
+            n_exact += 1
+        # greedy encode must always round-trip byte-exactly when the vocab
+        # can represent the bytes (byte fallback or full byte alphabet)
+        if style == "llama_style" or True:
+            assert tok.decode(ids, prev=0) == case["text"].encode("utf-8"), \
+                case["text"]
+    assert n_exact >= 8  # the golden records broad agreement
+
+
+def test_python_and_native_tries_agree():
+    vocab, golden = _load("llama_style")
+    tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)
+    if tok._native is None:
+        pytest.skip("native trie not built")
+    py = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)
+    py._native = None
+    for case in golden["cases"]:
+        assert tok.encode(case["text"]) == py.encode(case["text"]), case["text"]

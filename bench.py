@@ -193,6 +193,8 @@ def main() -> None:
     pbatch = int(os.environ.get("YALM_BENCH_PAGED_BATCH", "0"))
     if pbatch:
         return bench_paged(cfg, weights, pbatch, steps, kv_dtype, kv)
+    if os.environ.get("YALM_BENCH_SPEC"):
+        return bench_spec(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_PREFILL"):
         return bench_prefill(cfg, weights)
 
@@ -334,6 +336,86 @@ def bench_batched(cfg, weights, batch: int, steps: int, kv_dtype=None,
         "unit": "tok/s",
         "vs_baseline": round(agg / BASELINE_TOK_S, 3),
         "kv_dtype": kv,
+    }))
+
+
+def bench_spec(cfg, weights, kv_dtype=None) -> None:
+    """Speculative-decoding throughput: target = the 7B synth model, draft
+    = its first 4 layers (sharing embed/head/early blocks, so proposals are
+    CORRELATED with the target — the realistic regime a distilled draft
+    approximates; two independent random models would agree at chance).
+
+    Emits acceptance rate, tokens per target sweep, and wall + RTT-corrected
+    tok/s. The dev tunnel adds ~26 ms per host round-trip and speculation
+    needs TWO per round (draft fetch + verify fetch) — pure harness
+    artifact, measured in-run and subtracted for the corrected number
+    (a host-attached TPU pays µs)."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from yalm_tpu.engine import Engine
+
+    rtt = measure_rtt()
+    dcfg = dataclasses.replace(cfg, n_layers=4)
+    draft_w = weights._replace(
+        rms_att=weights.rms_att[:4], rms_ffn=weights.rms_ffn[:4],
+        wqkv=weights.wqkv[:4], wo=weights.wo[:4],
+        w13=weights.w13[:4], w2=weights.w2[:4],
+        scales=None if weights.scales is None else weights.scales._replace(
+            wqkv=weights.scales.wqkv[:4], wo=weights.scales.wo[:4],
+            w13=weights.scales.w13[:4], w2=weights.scales.w2[:4]))
+    target = Engine(cfg, weights, kv_dtype=kv_dtype or jnp.bfloat16,
+                    compute_dtype=jnp.bfloat16, fast=True)
+    draft = Engine(dcfg, draft_w, kv_dtype=kv_dtype or jnp.bfloat16,
+                   compute_dtype=jnp.bfloat16, fast=True)
+
+    N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
+    K = int(os.environ.get("YALM_BENCH_SPEC_K", "4"))
+    prompt = [1, 7, 9]
+
+    # warmup compiles every program in the loop
+    _ = list(target.generate_speculative(prompt, draft=draft, n_draft=K,
+                                         max_steps=8))
+    target.reset(); draft.reset()
+    t0 = time.perf_counter()
+    toks = list(target.generate_speculative(prompt, draft=draft, n_draft=K,
+                                            max_steps=N))
+    dt = time.perf_counter() - t0
+    st = target._spec_stats
+    rounds = max(st["rounds"], 1)
+    acc = st["accepted"] / (rounds * K)
+    tpr = len(toks) / rounds
+    # two host round trips per round ride the tunnel; subtract them
+    dt_corr = max(dt - 2 * rounds * rtt, 1e-6)
+
+    # plain-decode reference from the same engine/cache setup
+    target.reset()
+    key = jax.random.PRNGKey(0)
+    out, cache = target._decode_block(target.weights, jnp.int32(1),
+                                      jnp.int32(0), target.cache, key,
+                                      jnp.float32(0.0), n=64)
+    _ = np.asarray(out)
+    t0 = time.perf_counter()
+    out, cache = target._decode_block(target.weights, jnp.int32(int(out[-1])),
+                                      jnp.int32(64), cache, key,
+                                      jnp.float32(0.0), n=64)
+    _ = np.asarray(out)
+    plain = 64 / (time.perf_counter() - t0)
+
+    log(f"spec: {len(toks)} toks in {dt:.2f}s wall ({len(toks)/dt:.1f} tok/s; "
+        f"rtt-corrected {len(toks)/dt_corr:.1f}), acceptance {acc:.2f}, "
+        f"{tpr:.2f} tok/target-sweep; plain decode {plain:.1f} tok/s")
+    print(json.dumps({
+        "metric": f"{cfg.weight_dtype}_speculative_decode",
+        "value": round(len(toks) / dt_corr, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(len(toks) / dt_corr / BASELINE_TOK_S, 3),
+        "acceptance_rate": round(acc, 3),
+        "tokens_per_target_sweep": round(tpr, 2),
+        "wall_tok_s": round(len(toks) / dt, 2),
+        "plain_decode_tok_s": round(plain, 2),
+        "draft_layers": 4,
+        "n_draft": K,
     }))
 
 

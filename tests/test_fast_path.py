@@ -429,3 +429,58 @@ def test_engine_fast_perplexity(tmp_path):
     ppl_o, _, n_o = eng_o.perplexity(toks)
     assert n_f == n_o == len(toks) - 1
     assert abs(ppl_f - ppl_o) / ppl_o < 0.02, (ppl_f, ppl_o)
+
+
+def test_prefill_attend_len_parity(tmp_path):
+    """Prefix-bounded prefill (static attend_len) matches the full-window
+    prefill exactly: early chunks only ever attend live history."""
+    import numpy as np
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import FastWeights, prefill_fast
+    from yalm_tpu.utils.testing import synth_checkpoint
+
+    cfg = fast_config(max_seq_len=512)
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=81)
+    fw = FastWeights.from_weights(load_weights(read_yalm(path), cfg), cfg)
+
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(3, cfg.vocab_size, 16), jnp.int32)
+    for pos0, al in [(0, 16), (0, 256), (100, 128), (300, 512)]:
+        ca = KVCache.init(cfg, jnp.bfloat16)
+        cb = KVCache.init(cfg, jnp.bfloat16)
+        la, ca = prefill_fast(cfg, fw, toks, jnp.int32(pos0), jnp.int32(16),
+                              ca, logits_mode="all")
+        lb, cb = prefill_fast(cfg, fw, toks, jnp.int32(pos0), jnp.int32(16),
+                              cb, logits_mode="all", attend_len=al)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        np.testing.assert_array_equal(np.asarray(ca.k, np.float32),
+                                      np.asarray(cb.k, np.float32))
+
+
+def test_engine_long_prompt_uses_buckets(tmp_path):
+    """Engine streams are unchanged by the bucketed attend_len plumbing
+    (window-scale prompt crosses several pow2 buckets)."""
+    import numpy as np
+    from yalm_tpu.engine import Engine, attend_bucket
+    from yalm_tpu.utils.testing import synth_checkpoint
+
+    assert attend_bucket(1, 4096) == 256
+    assert attend_bucket(257, 4096) == 512
+    assert attend_bucket(5000, 4096) == 4096
+
+    cfg = fast_config(max_seq_len=1024)
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=82)
+    rng = np.random.default_rng(1)
+    prompt = [1] + list(rng.integers(3, cfg.vocab_size, 700))
+
+    fast = Engine.from_checkpoint(path, fast=True)
+    got = list(fast.generate(prompt, max_steps=4, temperature=0.0))
+    oracle = Engine.from_checkpoint(path, fast=False,
+                                    kv_dtype=jnp.bfloat16,
+                                    compute_dtype=jnp.bfloat16)
+    want = list(oracle.generate(prompt, max_steps=4, temperature=0.0))
+    assert got == want

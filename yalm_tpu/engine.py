@@ -49,6 +49,55 @@ def _bucket_for(n: int) -> int:
     return PREFILL_BUCKETS[-1]
 
 
+def _softmax_T(logits: np.ndarray, T: float) -> np.ndarray:
+    z = logits.astype(np.float64) / max(T, 1e-8)
+    z -= z.max()
+    e = np.exp(z)
+    return e / e.sum()
+
+
+def rejection_sample_verify(rng, T: float, t_lg: np.ndarray,
+                            d: list[int], d_lg: np.ndarray):
+    """Speculative rejection-sampling acceptance (Leviathan et al.,
+    arXiv:2211.17192). t_lg: target logits rows 0..K (row i scores the
+    token AFTER the i-length accepted prefix); d: the K draft proposals;
+    d_lg: the draft's logits for each proposal. Returns (emitted, accepted)
+    where emitted has accepted+1 tokens whose joint distribution equals
+    target-only temperature sampling exactly."""
+    K = len(d)
+    a = 0
+    emitted: list[int] = []
+    for i in range(K):
+        p = _softmax_T(t_lg[i], T)
+        q = _softmax_T(d_lg[i], T)
+        x = d[i]
+        if rng.random() < min(1.0, p[x] / max(q[x], 1e-300)):
+            emitted.append(x)
+            a += 1
+            continue
+        res = np.clip(p - q, 0.0, None)
+        z = res.sum()
+        tok = int(rng.choice(len(res), p=res / z)) if z > 0 else int(p.argmax())
+        emitted.append(tok)
+        break
+    else:
+        pK = _softmax_T(t_lg[K], T)
+        emitted.append(int(rng.choice(len(pK), p=pK)))
+    return emitted, a
+
+
+def attend_bucket(pos_end: int, window: int) -> int:
+    """Static attention width for a prefill chunk whose last visible slot
+    is pos_end-1: the next power of two >= pos_end (min 256), clamped to
+    the window. Bucketing keeps the number of compiled prefill programs
+    logarithmic while early chunks of long prompts stop paying the full
+    (T, window) score tensor."""
+    n = 256
+    while n < pos_end:
+        n *= 2
+    return min(n, window)
+
+
 def chunk_schedule(n_tokens: int, pos: int, window: int):
     """Yield (i, take, bucket) chunked-prefill steps while inside the window.
 
@@ -169,9 +218,11 @@ class Engine:
                 return decode_step_fast(cfg, w, token, pos, cache,
                                         output_logits=output_logits)
 
-            def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode):
+            def _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode,
+                              attend_len=0):
                 return prefill_fast(cfg, w, tokens, pos0, valid_len, cache,
-                                    logits_mode=logits_mode)
+                                    logits_mode=logits_mode,
+                                    attend_len=attend_len)
         else:
             def _step(w, token, pos, cache, output_logits=True):
                 return decode_step(cfg, w, token, pos, cache,
@@ -198,8 +249,13 @@ class Engine:
             logits, cache = _step(w, token, pos, cache)
             return logits, cache
 
-        @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(4,))
-        def _prefill(w, tokens, pos0, valid_len, cache, logits_mode):
+        @partial(jax.jit, static_argnames=("logits_mode", "attend_len"),
+                 donate_argnums=(4,))
+        def _prefill(w, tokens, pos0, valid_len, cache, logits_mode,
+                     attend_len=0):
+            if self.fast and mesh is None:
+                return _prefill_impl(w, tokens, pos0, valid_len, cache,
+                                     logits_mode, attend_len)
             return _prefill_impl(w, tokens, pos0, valid_len, cache, logits_mode)
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(3,))
@@ -222,11 +278,32 @@ class Engine:
                 0, n, body, (token0, cache, out, key))
             return out, cache
 
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(3,))
+        def _decode_block_logits(w, token0, pos0, cache, key, temperature, n):
+            """_decode_block that also returns every step's full logits —
+            the draft side of rejection-sampling speculative decoding needs
+            q_i(x) for the acceptance test and the residual distribution."""
+            out = jnp.zeros((n,), jnp.int32)
+            lg = jnp.zeros((n, cfg.vocab_size), jnp.float32)
+
+            def body(i, carry):
+                token, cache, out, lg, key = carry
+                key, sub = jax.random.split(key)
+                logits, cache = _step(w, token, pos0 + i, cache)
+                nxt = sample_ext(logits, sub, temperature, jnp.int32(0),
+                                 jnp.float32(1.0))
+                return nxt, cache, out.at[i].set(nxt), lg.at[i].set(logits), key
+
+            _, cache, out, lg, _ = jax.lax.fori_loop(
+                0, n, body, (token0, cache, out, lg, key))
+            return out, lg, cache
+
         self._step_sample = _step_sample
         self._step_hydrate = _step_hydrate
         self._step_logits = _step_logits
         self._prefill = _prefill
         self._decode_block = _decode_block
+        self._decode_block_logits = _decode_block_logits
 
     # ------------------------------------------------------------------
     @classmethod
@@ -303,10 +380,18 @@ class Engine:
             toks = jnp.zeros((b,), jnp.int32)
             for mode in ("none", "last", "all"):
                 out, cache = self._prefill(self.weights, toks, jnp.int32(0),
-                                           jnp.int32(1), cache, logits_mode=mode)
+                                           jnp.int32(1), cache, logits_mode=mode,
+                                           attend_len=self._attn_len(b))
         jax.block_until_ready(cache)
 
     # ------------------------------------------------------------------
+    def _attn_len(self, pos_end: int) -> int:
+        """Bucketed static attention width for a chunk ending at pos_end
+        (prefix-bounded prefill; 0 = full window on paths without it)."""
+        if self.fast and self.mesh is None:
+            return attend_bucket(pos_end, self.cfg.max_seq_len)
+        return 0
+
     def prefill_tokens(self, tokens: Sequence[int], *, want_logits: bool = True) -> None:
         """Hydrate the KV cache with `tokens` starting at self.pos.
 
@@ -325,7 +410,8 @@ class Engine:
             mode = "last" if (want_logits and last_chunk) else "none"
             out, self.cache = self._prefill(
                 self.weights, jnp.asarray(padded), jnp.int32(self.pos),
-                jnp.int32(take), self.cache, logits_mode=mode)
+                jnp.int32(take), self.cache, logits_mode=mode,
+                attend_len=self._attn_len(self.pos + bucket))
             if mode == "last":
                 self._last_logits = out
             self.pos += take
@@ -419,24 +505,34 @@ class Engine:
         n_draft: int = 4,
         max_steps: int = 256,
         stop_tokens: Sequence[int] = (),
+        temperature: float = 0.0,
+        seed: int | None = None,
     ) -> Iterator[int]:
-        """Greedy speculative decoding: a small DRAFT engine proposes
-        n_draft tokens per round and this (target) engine verifies them in
-        ONE chunked forward — emitting the longest agreeing prefix plus the
-        target's correction, so each target weight-sweep yields up to
-        n_draft+1 tokens instead of one.
+        """Speculative decoding: a small DRAFT engine proposes n_draft
+        tokens per round and this (target) engine verifies them in ONE
+        chunked forward, so each target weight-sweep yields up to n_draft+1
+        tokens instead of one.
+
+        temperature == 0 (default): greedy verification — the output is
+        EXACTLY the target's greedy stream (acceptance = argmax agreement).
+
+        temperature > 0: REJECTION-SAMPLING verification (Leviathan et al.,
+        arXiv:2211.17192): the draft samples x_i ~ q_i at the temperature,
+        the target accepts with prob min(1, p_i(x_i)/q_i(x_i)), and on
+        rejection emits a sample from the normalized residual
+        max(p_i - q_i, 0). The emitted stream is distributed EXACTLY as the
+        target's own temperature sampling — acceptance only shortcuts
+        compute, never changes the distribution. (Plain softmax sampling
+        only; top-k/top-p compose with the residual math nontrivially and
+        are not supported here.)
 
         Entirely new capability vs the reference (strictly one token per
-        full-model pass, src/main.cpp:102-112). Output is EXACTLY the
-        target's greedy stream: verification compares the draft's proposals
-        against the target's own argmax at every position, so acceptance
-        only shortcuts compute, never changes tokens.
-
-        Speculated cache rows past the accepted prefix are simply abandoned
-        (slots >= kv_len are invisible to attention and get overwritten as
-        decoding proceeds). The ring regime overwrites OLD rows that a
-        rejection could not restore, so speculation stops at the window and
-        decoding falls back to the normal per-token loop there.
+        full-model pass, src/main.cpp:102-112). Speculated cache rows past
+        the accepted prefix are simply abandoned (slots >= kv_len are
+        invisible to attention and get overwritten as decoding proceeds).
+        The ring regime overwrites OLD rows that a rejection could not
+        restore, so speculation stops at the window and decoding falls back
+        to the normal per-token loop there.
         """
         cfg = self.cfg
         draft_stats = {"rounds": 0, "accepted": 0}
@@ -444,12 +540,25 @@ class Engine:
         self.prefill_tokens(prompt_tokens, want_logits=True)
         draft.prefill_tokens(prompt_tokens, want_logits=False)
         stop = set(int(s) for s in stop_tokens)
+        T = float(temperature)
+        rng = np.random.default_rng(seed if seed is not None else 0)
+
+        def softmax_T(logits: np.ndarray) -> np.ndarray:
+            z = logits.astype(np.float64) / max(T, 1e-8)
+            z -= z.max()
+            e = np.exp(z)
+            return e / e.sum()
 
         assert self._last_logits is not None
-        cur = int(jnp.argmax(self._last_logits))
+        if T == 0.0:
+            cur = int(jnp.argmax(self._last_logits))
+        else:
+            p0 = softmax_T(np.asarray(self._last_logits))
+            cur = int(rng.choice(len(p0), p=p0))
         steps = 0
-        key = jax.random.PRNGKey(0)
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
         zero = jnp.float32(0.0)
+        temp_arr = jnp.float32(T)
 
         yield cur
         steps += 1
@@ -467,11 +576,13 @@ class Engine:
             # dynamic_update_slice would clamp its start (chunk_schedule's
             # rule) — and the ring regime can't roll back anyway
             if self.pos + bucket >= edge:
-                # window edge: plain greedy decode from here on
+                # window edge: plain (greedy or sampled) decode from here on
                 while max_steps == -1 or steps < max_steps:
+                    key, sub = jax.random.split(key)
                     tok_arr, logits, self.cache = self._step_sample(
                         self.weights, jnp.int32(cur), jnp.int32(self.pos),
-                        self.cache, key, zero, jnp.int32(0), jnp.float32(1.0))
+                        self.cache, sub, temp_arr, jnp.int32(0),
+                        jnp.float32(1.0))
                     self._last_logits = logits
                     self.pos += 1
                     draft.pos += 1  # keep in sync (draft unused past here)
@@ -482,13 +593,22 @@ class Engine:
                         return
                 return
 
-            # 1) draft proposes K greedy tokens after `cur`. It decodes K+1:
-            #    the extra step's CACHE WRITE hydrates the draft's row for
-            #    d[K-1] at pos0+K, which the full-acceptance rewind (a == K)
-            #    leaves inside the draft's visible history.
-            d_out, draft.cache = draft._decode_block(
-                draft.weights, jnp.int32(cur), jnp.int32(draft.pos),
-                draft.cache, key, zero, n=K + 1)
+            # 1) draft proposes K tokens after `cur` (greedy at T=0, else
+            #    sampled at the temperature, with its per-step logits for
+            #    the acceptance math). It decodes K+1: the extra step's
+            #    CACHE WRITE hydrates the draft's row for d[K-1] at pos0+K,
+            #    which the full-acceptance rewind (a == K) leaves inside
+            #    the draft's visible history.
+            key, sub = jax.random.split(key)
+            if T == 0.0:
+                d_out, draft.cache = draft._decode_block(
+                    draft.weights, jnp.int32(cur), jnp.int32(draft.pos),
+                    draft.cache, sub, zero, n=K + 1)
+                d_lg = None
+            else:
+                d_out, d_lg, draft.cache = draft._decode_block_logits(
+                    draft.weights, jnp.int32(cur), jnp.int32(draft.pos),
+                    draft.cache, sub, temp_arr, n=K + 1)
             draft.pos += K + 1
             d = [int(t) for t in np.asarray(d_out)][:K]       # d[0..K-1]
 
@@ -499,16 +619,24 @@ class Engine:
             pos0 = self.pos
             all_logits, self.cache = self._prefill(
                 self.weights, jnp.asarray(chunk), jnp.int32(pos0),
-                jnp.int32(K + 1), self.cache, logits_mode="all")
-            t = np.asarray(jnp.argmax(all_logits[: K + 1], axis=-1))
+                jnp.int32(K + 1), self.cache, logits_mode="all",
+                attend_len=self._attn_len(pos0 + bucket))
+            t_lg = np.asarray(all_logits[: K + 1])
 
-            # 3) longest agreeing prefix, then the target's own next token
-            #    (row K's logits when every proposal matched): up to K+1
-            #    tokens per target sweep
-            a = 0
-            while a < K and d[a] == int(t[a]):
-                a += 1
-            emitted = [int(x) for x in d[:a]] + [int(t[a])]
+            if T == 0.0:
+                # 3a) longest agreeing prefix, then the target's own next
+                #     token: up to K+1 tokens per target sweep
+                t = t_lg.argmax(axis=-1)
+                a = 0
+                while a < K and d[a] == int(t[a]):
+                    a += 1
+                emitted = [int(x) for x in d[:a]] + [int(t[a])]
+            else:
+                # 3b) rejection sampling: accept x_i w.p. min(1, p/q); on
+                #     rejection sample the residual max(p-q, 0)/Z; on full
+                #     acceptance sample the bonus token from p_K
+                emitted, a = rejection_sample_verify(
+                    rng, T, t_lg, d, np.asarray(d_lg)[:K])
             draft_stats["rounds"] += 1
             draft_stats["accepted"] += a
 
@@ -546,7 +674,8 @@ class Engine:
             padded[:take] = toks[i0 : i0 + take]
             all_logits, self.cache = self._prefill(
                 self.weights, jnp.asarray(padded), jnp.int32(self.pos),
-                jnp.int32(take), self.cache, logits_mode="all")
+                jnp.int32(take), self.cache, logits_mode="all",
+                attend_len=self._attn_len(self.pos + bucket))
             targets = np.zeros(bucket, np.int32)
             targets[:take] = toks[i0 + 1 : i0 + 1 + take]
             lp = np.asarray(logprob_of(all_logits, jnp.asarray(targets)))[:take]

@@ -546,7 +546,7 @@ def decode_step_fast_batched(
 # Chunked prefill on the fast layout
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "logits_mode"))
+@partial(jax.jit, static_argnames=("cfg", "logits_mode", "attend_len"))
 def prefill_fast(
     cfg: ModelConfig,
     fw: FastWeights,
@@ -556,6 +556,7 @@ def prefill_fast(
     cache: KVCache,
     *,
     logits_mode: str = "last",
+    attend_len: int = 0,
 ) -> tuple[Optional[jax.Array], KVCache]:
     """Chunked prefill over FastWeights (bf16 compute; same semantics and
     preconditions as the oracle `prefill`, models/transformer.py).
@@ -565,9 +566,18 @@ def prefill_fast(
     per-layer weight slices plus XLA's fp8 dequant materialization measured
     ~3x the traffic); attention stays a batched XLA einsum, which is
     MXU-shaped at chunk width. MoE prefill keeps the scan/gather path.
+
+    attend_len (STATIC, 0 = full window): attention score width. Early
+    chunks of a long prompt only have pos0+T rows of live history, so the
+    caller passes a bucketed bound >= pos0+T (engine/scheduler use the next
+    power of two) and the (T, window) score tensor shrinks to (T,
+    attend_len) — the reference hydrates token-at-a-time and has no
+    equivalent cost (src/main.cpp:91-97).
     """
     T = tokens.shape[0]
     L = cfg.max_seq_len
+    S = attend_len or L
+    assert S % 8 == 0 and S <= L, (attend_len, L)
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
@@ -576,7 +586,7 @@ def prefill_fast(
 
     positions = pos0 + jnp.arange(T)
     valid = jnp.arange(T) < valid_len
-    att_mask = jnp.arange(L)[None, :] <= positions[:, None]
+    att_mask = jnp.arange(S)[None, :] <= positions[:, None]
 
     def proj(x, w):
         return jax.lax.dot_general(
@@ -631,8 +641,10 @@ def prefill_fast(
                 v_all, jnp.where(vmask, v.astype(v_all.dtype), old_v[0])[None],
                 (i, pos0, 0, 0))
 
-            kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
-            vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
+            # static prefix-bounded slice: only the first S slots can hold
+            # visible history for this chunk (attend_len contract)
+            kc = jax.lax.dynamic_slice(k_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
+            vc = jax.lax.dynamic_slice(v_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
             mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
             x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
                            sc.wo if sc else None)

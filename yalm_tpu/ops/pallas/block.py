@@ -270,8 +270,9 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
 
     if not block_s:
         block_s = S
+        top = 256 if k_all.dtype.itemsize == 1 else 512  # staging VMEM cap
         for cand in (512, 256, 128, 64, 32, 16, 8):
-            if S % cand == 0:
+            if cand <= top and S % cand == 0:
                 block_s = cand
                 break
     bnq, bkq = pick_blocks(Nqkv, K, wqkv_all.dtype.itemsize)

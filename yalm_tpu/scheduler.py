@@ -249,9 +249,11 @@ class Scheduler:
                 return decode_step_fast_batched(cfg, w, tokens, positions,
                                                 cache, write_mask)
 
-            def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode):
+            def _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode,
+                              attend_len=0):
                 return prefill_fast(cfg, w, tokens, pos0, valid_len, lane,
-                                    logits_mode=logits_mode)
+                                    logits_mode=logits_mode,
+                                    attend_len=attend_len)
 
             def _lane_step(w, token, pos, lane, output_logits):
                 return decode_step_fast(cfg, w, token, pos, lane,
@@ -294,11 +296,18 @@ class Scheduler:
             nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
             return nxt, cache
 
-        @partial(jax.jit, static_argnames=("logits_mode",), donate_argnums=(5,))
-        def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode):
+        @partial(jax.jit, static_argnames=("logits_mode", "attend_len"),
+                 donate_argnums=(5,))
+        def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode,
+                          attend_len=0):
             """Chunk-prefill one slot's cache lane in place."""
             lane = KVCache(k=cache.k[slot], v=cache.v[slot])
-            out, lane = _prefill_impl(w, tokens, pos0, valid_len, lane, logits_mode)
+            if self.fast and mesh is None:
+                out, lane = _prefill_impl(w, tokens, pos0, valid_len, lane,
+                                          logits_mode, attend_len)
+            else:
+                out, lane = _prefill_impl(w, tokens, pos0, valid_len, lane,
+                                          logits_mode)
             cache = KVCache(k=cache.k.at[slot].set(lane.k),
                             v=cache.v.at[slot].set(lane.v))
             return out, cache
@@ -500,9 +509,13 @@ class Scheduler:
                         jnp.asarray(self.alloc.tables[b]), jnp.int32(page),
                         jnp.int32(row0), logits_mode=mode)
                 else:
+                    from .engine import attend_bucket
+                    al = attend_bucket(slot.pos + bucket, window) \
+                        if (self.fast and self.mesh is None) else 0
                     out, self.cache = self._prefill_slot(
                         self.weights, jnp.asarray(padded), jnp.int32(slot.pos),
-                        jnp.int32(take), b, self.cache, logits_mode=mode)
+                        jnp.int32(take), b, self.cache, logits_mode=mode,
+                        attend_len=al)
                 slot.pos += take
                 slot.admit_i += take
                 if last:

@@ -178,7 +178,7 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} | preset={preset} dtype={dtype} kv={kv} steps={steps}")
     cfg = build_cfg(preset, dtype)
-    kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[kv]
+    kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e5m2}[kv]
     kv_bytes = jnp.dtype(kv_dtype).itemsize
 
     t0 = time.perf_counter()

@@ -114,3 +114,57 @@ def test_scheduler_mesh_rejects_bad_batch(tmp_path):
     mesh = make_mesh(MeshConfig(dp=4, tp=2), devices=jax.devices())
     with pytest.raises(ValueError):
         Scheduler(cfg, weights, batch=6, kv_dtype=jnp.bfloat16, mesh=mesh)
+
+
+def test_paged_scheduler_on_mesh_matches_single_device(tmp_path):
+    """Paged KV COMPOSED with the mesh: pool pages shard over dp (per-group
+    allocators, group-local page ids), kv-heads over tp. Streams must match
+    the plain single-device scheduler token for token."""
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=23)
+    weights = load_weights(read_yalm(path), cfg)
+
+    ref = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    want = _run(ref, _reqs(10))
+
+    mesh = make_mesh(MeshConfig(dp=2, ep=1, tp=2), devices=jax.devices()[:4])
+    PAGE = 16
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      mesh=mesh, paged_pages=2 * (1 + 4 * 2),
+                      page_size=PAGE)
+    assert sched.paged and sched.mesh is mesh
+    got = _run(sched, _reqs(10))
+    for i, (a, b) in enumerate(zip(got, want)):
+        assert a == b, f"request {i}: paged-mesh={a} single={b}"
+    # all pages released at the end, per group
+    assert all(g.n_free == 8 for g in sched.alloc.groups)
+
+
+def test_paged_mesh_pool_pressure(tmp_path):
+    """Per-group pools under pressure: lazy growth + same-group preemption
+    still complete every stream identically to the dense run."""
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=24)
+    weights = load_weights(read_yalm(path), cfg)
+
+    def mk():
+        return [Request(prompt_tokens=[1, 8 + i, 9], max_new_tokens=20,
+                        temperature=0.0, seed=3 + i) for i in range(6)]
+
+    ref = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    want = _run(ref, mk())
+
+    mesh = make_mesh(MeshConfig(dp=2, ep=1, tp=2), devices=jax.devices()[:4])
+    # 3 usable pages per group with 4 lanes each: admission waves inside
+    # groups; max_new=20 gives a 2-page worst case, so block-boundary
+    # growth and same-group preemption both fire
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      mesh=mesh, paged_pages=8, page_size=16)
+    reqs = mk()
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for i, (r, b) in enumerate(zip(reqs, want)):
+        assert r.generated == b, f"request {i}"

@@ -140,7 +140,7 @@ def main() -> int:
         p = f"{tmp}/fp8kv.yalm"
         synth_checkpoint(p, cfg, seed=9)
         fast = Engine.from_checkpoint(p, fast=True,
-                                      kv_dtype=jnp.float8_e4m3fn)
+                                      kv_dtype=jnp.float8_e5m2)
         ref = Engine.from_checkpoint(p, fast=True, kv_dtype=jnp.bfloat16)
         rng = np.random.default_rng(0)
         # teacher-forced across the window edge: quantized write, staged
@@ -160,20 +160,23 @@ def main() -> int:
             ref.pos += 1
             a, b = np.asarray(lf), np.asarray(lr)
             rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-6)
-            assert rel < 0.2, (fast.pos, rel)
-    check("fp8-e4m3 KV cache decode tracks bf16 [real kernels]", run_fp8_kv)
+            # e5m2: 2 mantissa bits; worst single logit ~0.22
+            # observed (ppl gates in tests/test_fp8_kv.py hold
+            # the accuracy line — this guards gross breakage)
+            assert rel < 0.4, (fast.pos, rel)
+    check("fp8-e5m2 KV cache decode tracks bf16 [real kernels]", run_fp8_kv)
 
     def run_fp8_kv_sched():
         cfg = tiny_config(**base4, weight_dtype="fp8")
         p = f"{tmp}/fp8kvs.yalm"
         synth_checkpoint(p, cfg, seed=10)
         w = load_weights(read_yalm(p), cfg)
-        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.float8_e4m3fn)
+        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.float8_e5m2)
         reqs = [s.submit(Request(prompt_tokens=[1, 4 + i], max_new_tokens=4,
                                  temperature=0.0)) for i in range(3)]
         s.run()
         assert all(len(r.generated) == 4 for r in reqs)
-        sp = Scheduler(cfg, w, batch=8, kv_dtype=jnp.float8_e4m3fn,
+        sp = Scheduler(cfg, w, batch=8, kv_dtype=jnp.float8_e5m2,
                        paged_pages=1 + 8 * (cfg.max_seq_len // 16),
                        page_size=16)
         r = sp.submit(Request(prompt_tokens=[1, 5], max_new_tokens=4,

@@ -17,12 +17,13 @@ Usage: python -m yalm_tpu.cli <checkpoint.yalm> [options]
   -s <int>       RNG seed
   -k <int>       top-k sampling cut (0 = full vocab)
   -p <float>     nucleus (top-p) sampling cut (1.0 = off)
-  -D <path>      DRAFT checkpoint: speculative completion (greedy; the
-                 draft proposes, this model verifies — identical output to
-                 plain greedy decode, fewer full-model passes)
+  -D <path>      DRAFT checkpoint: speculative completion (the draft
+                 proposes, this model verifies; greedy at -t 0, exact
+                 rejection-sampled target distribution at -t > 0)
   -K <int>       speculative draft length (default 4)
   -C f16|bf16|fp8   KV-cache dtype (default f16; bf16 on the TPU fast
-                 path; fp8 = e4m3 quantized cache — halves cache traffic)
+                 path; fp8 = e5m2 quantized cache — halves cache traffic;
+                 e5m2 converts at full VPU rate on v5e, unlike e4m3)
   -M 1,EP,TP     run over a ('dp','ep','tp') device mesh (dp must be 1 for
                  the single-stream CLI). Multi-host: run the SAME command
                  on every host (SPMD lockstep; jax.distributed initializes
@@ -137,7 +138,7 @@ def _build_engine(opts):
         jax.config.update("jax_platforms", "cpu")
     from .engine import Engine
     kv = {"f16": jnp.float16, "bf16": jnp.bfloat16,
-          "fp8": jnp.float8_e4m3fn}[opts.get("kv", "f16")]
+          "fp8": jnp.float8_e5m2}[opts.get("kv", "f16")]
     mesh = None
     if opts.get("mesh"):
         # SPMD lockstep: every host executes the same decode loop over a
@@ -192,15 +193,15 @@ def run_completion(opts) -> None:
     n_generated = 0
     stop = {eng.tokenizer.eos_id, eng.tokenizer.eot_id}
     if opts["draft"]:
-        # speculative decode: greedy only (verification compares argmax)
-        if opts["temperature"] != 0.0:
-            sys.stderr.write("note: -D (speculative) forces greedy decoding\n")
+        # speculative decode: greedy at t=0, rejection-sampled (exact
+        # target distribution) at t>0
         from .engine import Engine
         draft = Engine.from_checkpoint(opts["draft"], context=opts["context"])
         draft.prefill_tokens(encoding, want_logits=False)
         stream = eng.generate_speculative(
             [], draft=draft, n_draft=opts["n_draft"], max_steps=num_steps,
-            stop_tokens=stop)
+            stop_tokens=stop, temperature=opts["temperature"],
+            seed=opts["seed"])
     else:
         stream = eng.generate([], max_steps=num_steps,
                               temperature=opts["temperature"],

@@ -743,6 +743,114 @@ def prefill_fast(
 
 
 # ---------------------------------------------------------------------------
+# Batched verify chunk (scheduler-level speculative decoding)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def verify_chunk_fast_batched(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (B, T) int32 — per-lane [cur, d0..d_{T-2}]
+    pos0: jax.Array,       # (B,) int32 — per-lane chunk start positions
+    enable: jax.Array,     # (B,) int32 — 0 lanes compute garbage, write nothing
+    cache: KVCache,        # (B, L, S, Hk, D)
+) -> tuple[jax.Array, KVCache]:
+    """ONE target weight-sweep scores T tokens for EVERY lane — the batched
+    half of scheduler-level speculative decoding. Returns logits (B, T,
+    vocab): row (b, i) answers "what follows tokens[b, :i+1]".
+
+    The projections flatten (B, T) into one (B*T, dim) activation block, so
+    the weight stream is shared by all lanes AND all chunk positions (the
+    reference streams weights once per TOKEN, src/main.cpp:102-112).
+    Attention is per-lane causal over cache history + the chunk itself.
+    PRECONDITION: enabled lanes have pos0 + T <= window (no ring wrap
+    inside a chunk — the scheduler's speculation edge rule)."""
+    B, T = tokens.shape
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    sc = fw.scales
+    assert not cfg.is_moe, "spec verify chunk supports dense models"
+
+    # disabled lanes must not clamp their dus start past the window
+    p0 = jnp.where(enable != 0, pos0, 0)
+    positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
+    att_mask = jnp.arange(L)[None, None, :] <= positions[:, :, None]
+
+    x = fw.embed[tokens].astype(jnp.float32)                    # (B, T, dim)
+    if sc is not None:
+        x = x * sc.embed[tokens][..., None]
+    x = x.reshape(B * T, cfg.dim)
+
+    def attend(q4, kc, vc):
+        # (B, T, Hk, qpk, D) x (B, S, Hk, D) -> (B, T, Hk, qpk, D)
+        scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
+                            kc.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) / math.sqrt(D)
+        att = jax.nn.softmax(
+            jnp.where(att_mask[:, None, None], scores, -1e30), axis=-1)
+        return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
+                          vc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    def layer_body(i, carry):
+        x, k_all, v_all = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i,
+                                                     keepdims=False),
+                     cfg.norm_eps)
+        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)   # (B*T, ...)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
+                                                     keepdims=False)
+        qkv = clip(qkv).reshape(B, T, -1)
+        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_theta,
+                                                  cfg.rotary_dim))
+        q = rope_b(qkv[..., : cfg.q_dim].reshape(B, T, Hq, D), positions)
+        k = rope_b(qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+                   .reshape(B, T, Hk, D), positions)
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, T, Hk, D)
+
+        # per-lane masked region writes (XLA dus under vmap; enable=0 lanes
+        # rewrite their old rows — a no-op)
+        def dus_lane(cl, rows, s0, en):
+            old = jax.lax.dynamic_slice(cl, (s0, 0, 0), (T, Hk, D))
+            new = jnp.where(en, rows.astype(cl.dtype), old)
+            return jax.lax.dynamic_update_slice(cl, new, (s0, 0, 0))
+
+        en = (enable != 0)[:, None, None, None]                 # (B,1,1,1)
+        kc_i = jax.lax.dynamic_index_in_dim(k_all, i, axis=1,
+                                            keepdims=False)     # (B, S, Hk, D)
+        vc_i = jax.lax.dynamic_index_in_dim(v_all, i, axis=1,
+                                            keepdims=False)
+        kc_i = jax.vmap(dus_lane)(kc_i, k, p0, en)
+        vc_i = jax.vmap(dus_lane)(vc_i, v, p0, en)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, kc_i[:, None].astype(k_all.dtype), (0, i, 0, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
+
+        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i, vc_i)
+        x = x + gemm_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
+                       sc.wo if sc else None)
+        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                  sc.w13 if sc else None, sc.w2 if sc else None,
+                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        return (x, k_all, v_all)
+
+    x, k_new, v_new = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+    xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+    logits = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
+    return logits.reshape(B, T, -1), KVCache(k=k_new, v=v_new)
+
+
+# ---------------------------------------------------------------------------
 # Paged continuous-batching tick + paged prefill (vLLM-style block tables)
 # ---------------------------------------------------------------------------
 

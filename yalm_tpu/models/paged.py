@@ -102,3 +102,70 @@ class PageAllocator:
         """(batch, blocks_per_lane) int32 — unmapped blocks point at the
         reserved page 0 (never attended: kv_len masks them out)."""
         return self.tables.copy()
+
+    @property
+    def lane_capacity(self) -> int:
+        """Max pages one lane can ever hold (pool minus the reserved 0)."""
+        return self.n_pages - 1
+
+    def same_pool(self, a: int, b: int) -> bool:
+        return True
+
+
+class GroupedPageAllocator:
+    """Per-dp-group allocators for the MESH paged scheduler: the pool's
+    page axis shards over `dp`, so each group of batch/dp lanes allocates
+    GROUP-LOCAL page ids out of its own pool shard (parallel/fast_tp.py
+    paged factories). Same interface as PageAllocator; lanes are global
+    indices, internally routed to (group, local lane)."""
+
+    def __init__(self, cfg: ModelConfig, n_pages: int, batch: int,
+                 page_size: int = 256, groups: int = 1):
+        if n_pages % groups or batch % groups:
+            raise ValueError(f"pages {n_pages} and batch {batch} must "
+                             f"divide over {groups} dp groups")
+        self.page_size = page_size
+        self.n_pages = n_pages
+        self.groups = [PageAllocator(cfg, n_pages // groups, batch // groups,
+                                     page_size) for _ in range(groups)]
+        self.lanes_per_group = batch // groups
+        self.blocks_per_lane = self.groups[0].blocks_per_lane
+
+    def _route(self, lane: int):
+        return (self.groups[lane // self.lanes_per_group],
+                lane % self.lanes_per_group)
+
+    @property
+    def n_free(self) -> int:
+        return sum(g.n_free for g in self.groups)
+
+    @property
+    def lane_capacity(self) -> int:
+        return self.groups[0].n_pages - 1
+
+    @property
+    def tables(self) -> np.ndarray:
+        return np.concatenate([g.tables for g in self.groups])
+
+    def pages_for(self, kv_len: int) -> int:
+        return self.groups[0].pages_for(kv_len)
+
+    def can_grow(self, lane: int, target_len: int) -> bool:
+        g, ll = self._route(lane)
+        return g.can_grow(ll, target_len)
+
+    def grow(self, lane: int, target_len: int) -> None:
+        g, ll = self._route(lane)
+        g.grow(ll, target_len)
+
+    def release(self, lane: int) -> None:
+        g, ll = self._route(lane)
+        g.release(ll)
+
+    def same_pool(self, a: int, b: int) -> bool:
+        """Preemption only helps when the victim's pages come from the SAME
+        group's pool shard."""
+        return a // self.lanes_per_group == b // self.lanes_per_group
+
+    def table_array(self) -> np.ndarray:
+        return self.tables

@@ -529,11 +529,8 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     if not block_s:
         block_s = S
-        # quantized caches add bf16 staging buffers; halve the block so the
-        # kernel stays inside the 16 MB scoped-VMEM limit at 7B scale
-        top = 256 if k_all.dtype.itemsize == 1 else 512
         for cand in (512, 256, 128, 64, 32, 16, 8):
-            if cand <= top and S % cand == 0:
+            if S % cand == 0:
                 block_s = cand
                 break
 
@@ -761,11 +758,8 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     if not block_s:
         block_s = S
-        # quantized caches add bf16 staging buffers; halve the block so the
-        # kernel stays inside the 16 MB scoped-VMEM limit at 7B scale
-        top = 256 if k_all.dtype.itemsize == 1 else 512
         for cand in (512, 256, 128, 64, 32, 16, 8):
-            if cand <= top and S % cand == 0:
+            if S % cand == 0:
                 block_s = cand
                 break
 

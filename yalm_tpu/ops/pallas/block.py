@@ -270,13 +270,21 @@ def attn_block_l(x: jax.Array, norm_w: jax.Array, wqkv_all: jax.Array,
 
     if not block_s:
         block_s = S
-        top = 256 if k_all.dtype.itemsize == 1 else 512  # staging VMEM cap
         for cand in (512, 256, 128, 64, 32, 16, 8):
-            if cand <= top and S % cand == 0:
+            if S % cand == 0:
                 block_s = cand
                 break
     bnq, bkq = pick_blocks(Nqkv, K, wqkv_all.dtype.itemsize)
     bno, bko = pick_blocks(K, q_dim, wo_all.dtype.itemsize)
+    if k_all.dtype.itemsize == 1:
+        # quantized cache adds 2x block_s*Hk*D bf16 staging; halve the
+        # weight tiles instead of the KV block (1 MB tiles still stream at
+        # full rate, and attention at block_s 512 measures faster) to stay
+        # inside the 16 MB scoped-VMEM limit at 7B scale
+        if bnq % 2 == 0 and (Nqkv // bnq) % 1 == 0 and bnq > 128:
+            bnq //= 2
+        if bno % 2 == 0 and bno > 128:
+            bno //= 2
     assert bkq == K and bko == q_dim, "attn_block_l needs full-K weight tiles"
     assert Nqkv % bnq == 0 and K % bno == 0
     P = max(8, ((qpk + 7) // 8) * 8)

@@ -612,3 +612,248 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
         out_specs=(P("dp", None), c_specs),
         check_vma=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# Paged KV cache over the mesh (dp groups own pool shards; heads on tp)
+# ---------------------------------------------------------------------------
+#
+# The page POOL shards its page axis on `dp` and its kv-head axis on `tp`:
+# each dp group runs an independent allocator over its own pool shard, so
+# page TABLES carry GROUP-LOCAL page ids and ride P('dp') with the lanes.
+# Inside shard_map the math is exactly the single-device paged tick
+# (models/fast.py decode_step_fast_batched_paged) on the tp-local heads.
+# Dense models only, like the single-device paged path.
+
+
+def paged_pool_pspecs() -> "PagedKVPool":
+    from ..models.paged import PagedKVPool
+    spec = P("dp", None, None, "tp", None)
+    return PagedKVPool(k=spec, v=spec)
+
+
+def shard_paged_pool(pool, mesh: Mesh):
+    from ..models.paged import PagedKVPool
+    sh = jax.tree.map(lambda s: NamedSharding(mesh, s), paged_pool_pspecs(),
+                      is_leaf=lambda x: isinstance(x, P))
+    return jax.tree.map(jax.device_put, pool, sh)
+
+
+def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
+                            with_scales: bool = False):
+    """Batched decode tick over a PAGED pool on the dp x tp mesh:
+    (fw, tokens, positions, pool, tables, write_mask) -> (logits, pool).
+    tables hold group-LOCAL page ids (each dp group owns its pool shard)."""
+    from ..models.paged import PagedKVPool
+    from ..ops.pallas.attention import attend_step_paged_l
+
+    tp = mesh.shape["tp"]
+    dp = mesh.shape.get("dp", 1)
+    assert mesh.shape.get("ep", 1) == 1 and not cfg.is_moe, \
+        "paged mesh tick: dense models (ep=1)"
+    assert fast_tp_supported(cfg, tp, 1)
+    L = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hk_l = Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
+    V_l = cfg.vocab_size // tp
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
+    p_specs = paged_pool_pspecs()
+
+    def tick(fw: FastWeights, tokens, positions, pool: "PagedKVPool",
+             tables, write_mask):
+        B_l = tokens.shape[0]
+        sc = fw.scales
+        x = _embed_psum(fw.embed, tokens, V_l,
+                        sc.embed if sc is not None else None)
+
+        kv_sink = jnp.where(positions >= L, KV_SINKS, 0)
+        kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
+        kv_len = jnp.minimum(positions + 1, L)
+
+        def layer_body(i, carry):
+            x, kp, vp = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_att, i, keepdims=False), cfg.norm_eps)
+            qkv = gemm_l(xb, fw.wqkv, i,
+                         sc.wqkv if sc is not None else None)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(
+                    fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv)
+            q = qkv[:, :q_l]
+            k = qkv[:, q_l:q_l + kv_l]
+            v = qkv[:, q_l + kv_l:]
+            mixed, kp, vp = attend_step_paged_l(
+                q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
+                v.reshape(B_l, Hk_l, D), kp, vp, tables, i,
+                kv_pos, kv_len, kv_sink, positions, write_mask,
+                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                rotary_dim=cfg.rotary_dim, window=L)
+            x = x + jax.lax.psum(
+                gemm_l(mixed.reshape(B_l, q_l), fw.wo, i,
+                       sc.wo if sc is not None else None), "tp")
+            d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                      sc.w13 if sc is not None else None,
+                      sc.w2 if sc is not None else None,
+                      norm_eps=cfg.norm_eps, act=cfg.act_type,
+                      add_residual=False) \
+                if _use_fused_ffn(cfg, tp, fw.wqkv.dtype.itemsize) else None
+            if d is None:
+                xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                    fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+                h13 = gemm_l(xb2, fw.w13, i,
+                             sc.w13 if sc is not None else None)
+                h = act(h13[:, :h_l]) * h13[:, h_l:]
+                d = gemm_l(h, fw.w2, i, sc.w2 if sc is not None else None)
+            x = x + jax.lax.psum(d, "tp")
+            return (x, kp, vp)
+
+        x, kp, vp = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
+        x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        local = gemm(x, fw.lm_head, sc.lm_head if sc is not None else None)
+        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        return logits, PagedKVPool(k=kp, v=vp)
+
+    return shard_map(
+        tick, mesh=mesh,
+        in_specs=(w_specs, P("dp"), P("dp"), p_specs, P("dp"), P("dp")),
+        out_specs=(P("dp", None), p_specs),
+        check_vma=False,
+    )
+
+
+def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
+                               with_scales: bool = False):
+    """Chunked paged prefill of ONE lane over the mesh:
+    (fw, tokens, pos0, valid_len, pool, table_b, page, row0, group,
+    logits_mode) -> (logits|None, pool). `group` selects which dp shard's
+    pool owns the lane; the other shards execute the same program with
+    writes masked out (SPMD — every device runs every prefill)."""
+    from ..models.paged import PagedKVPool
+
+    tp = mesh.shape["tp"]
+    dp = mesh.shape.get("dp", 1)
+    assert mesh.shape.get("ep", 1) == 1 and not cfg.is_moe
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hq_l, Hk_l = Hq // tp, Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
+    V_l = cfg.vocab_size // tp
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
+    p_specs = paged_pool_pspecs()
+
+    def body(fw, tokens, pos0, valid_len, kp, vp, table_b, page, row0,
+             group, logits_mode):
+        T = tokens.shape[0]
+        sc = fw.scales
+        own = jax.lax.axis_index("dp") == group   # this shard owns the lane
+        x = _embed_psum(fw.embed, tokens, V_l,
+                        sc.embed if sc is not None else None)
+        positions = pos0 + jnp.arange(T)
+        valid = jnp.arange(T) < valid_len
+        att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+
+        def attend_chunk_bf16(q4, kc, vc):
+            scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
+                                kc.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) / math.sqrt(D)
+            att = jax.nn.softmax(
+                jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+            return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
+                              vc.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        def layer_body(i, carry):
+            x, kp, vp = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_att, i, keepdims=False), cfg.norm_eps)
+            qkv = gemm_l(xb, fw.wqkv, i,
+                         sc.wqkv if sc is not None else None)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(
+                    fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv)
+            q = apply_rope(qkv[:, :q_l].reshape(T, Hq_l, D), positions,
+                           cfg.rope_theta, cfg.rotary_dim)
+            k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T, Hk_l, D),
+                           positions, cfg.rope_theta, cfg.rotary_dim)
+            v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
+
+            old_k = jax.lax.dynamic_slice(kp, (page, i, row0, 0, 0),
+                                          (1, 1, T, Hk_l, D))
+            old_v = jax.lax.dynamic_slice(vp, (page, i, row0, 0, 0),
+                                          (1, 1, T, Hk_l, D))
+            wmask = (valid & own)[:, None, None]
+            kp = jax.lax.dynamic_update_slice(
+                kp, jnp.where(wmask, k.astype(kp.dtype),
+                              old_k[0, 0])[None, None],
+                (page, i, row0, 0, 0))
+            vp = jax.lax.dynamic_update_slice(
+                vp, jnp.where(wmask, v.astype(vp.dtype),
+                              old_v[0, 0])[None, None],
+                (page, i, row0, 0, 0))
+
+            kc = kp[table_b, i].reshape(S, Hk_l, D)
+            vc = vp[table_b, i].reshape(S, Hk_l, D)
+            mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
+            x = x + jax.lax.psum(
+                gemm_l(mixed.reshape(T, q_l), fw.wo, i,
+                       sc.wo if sc is not None else None), "tp")
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+            h13 = gemm_l(xb2, fw.w13, i,
+                         sc.w13 if sc is not None else None)
+            h = act(h13[:, :h_l]) * h13[:, h_l:]
+            x = x + jax.lax.psum(
+                gemm_l(h, fw.w2, i, sc.w2 if sc is not None else None), "tp")
+            return (x, kp, vp)
+
+        x, kp, vp = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, kp, vp))
+        if logits_mode == "none":
+            return jnp.zeros((1,), jnp.float32), kp, vp
+        x_last = jnp.take(x, valid_len - 1, axis=0)
+        x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
+        logits = jax.lax.all_gather(
+            gemv(x_last, fw.lm_head,
+                 sc.lm_head if sc is not None else None), "tp").reshape(-1)
+        return logits[None], kp, vp  # (1, V): dp shards stack to (dp, V)
+
+    def wrap(mode):
+        def f(fw, tokens, pos0, valid_len, pool_k, pool_v, table_b, page,
+              row0, group):
+            out, kp, vp = body(fw, tokens, pos0, valid_len, pool_k, pool_v,
+                               table_b, page, row0, group, mode)
+            from ..models.paged import PagedKVPool
+            return out, PagedKVPool(k=kp, v=vp)
+        return f
+
+    fns = {
+        mode: shard_map(
+            wrap(mode), mesh=mesh,
+            in_specs=(w_specs, P(), P(), P(), p_specs.k, p_specs.v,
+                      P(), P(), P(), P()),
+            out_specs=(P("dp") if mode == "none" else P("dp", None),
+                       paged_pool_pspecs()),
+            check_vma=False)
+        for mode in ("none", "last")
+    }
+
+    def prefill(fw, tokens, pos0, valid_len, pool, table_b, page, row0,
+                group, logits_mode="last"):
+        out, pool = fns[logits_mode](fw, tokens, pos0, valid_len,
+                                     pool.k, pool.v, table_b, page, row0,
+                                     jnp.int32(group))
+        if logits_mode == "none":
+            return None, pool
+        return out[group], pool
+
+    return prefill

@@ -37,7 +37,7 @@ from .models.fast import (FastWeights, decode_step_fast_batched,
 from .models.transformer import decode_step, prefill
 from .models.weights import Weights
 from .sampler import sample_ext
-from .engine import PREFILL_BUCKETS, _bucket_for
+from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
 @dataclasses.dataclass
@@ -78,6 +78,7 @@ class _Slot:
     admit_tokens: list[int] = dataclasses.field(default_factory=list)
     resuming: bool = False  # admission is a preemption-resume re-hydration
     seq: int = 0            # admission order (paged preemption picks newest)
+    spec_ok: bool = False   # draft cache hydrated & in sync (spec mode)
 
     @property
     def free(self) -> bool:
@@ -101,6 +102,8 @@ class Scheduler:
         mesh=None,
         paged_pages: int = 0,
         page_size: int = 256,
+        spec_draft=None,
+        spec_k: int = 4,
     ):
         """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
         shard over `dp`, heads/hidden/cache-kv-heads over `tp`, MoE experts
@@ -117,19 +120,37 @@ class Scheduler:
         admission, then chunk-by-chunk / at block boundaries as positions
         grow; on pool exhaustion the newest lane is preempted (requeued
         with an exact resume point) and new requests wait in the queue.
-        Dense fast path only."""
+        Dense fast path only.
+
+        spec_draft=(draft_cfg, draft_weights) turns on SCHEDULER-LEVEL
+        speculative decoding: every round, a small draft model proposes
+        spec_k greedy tokens PER LANE (spec_k+1 cheap batched draft ticks)
+        and ONE batched target sweep verifies every lane's chunk at once
+        (models/fast.verify_chunk_fast_batched) — up to spec_k+1 tokens per
+        target weight-sweep per lane, streams bit-identical to plain greedy
+        decode. Greedy-only (temperature-0 requests), dense fast path,
+        single device, non-paged. Lanes near the window edge (or with
+        beyond-window prompts) fall back to plain ticks — the ring regime
+        cannot roll back a rejection."""
         self.cfg = cfg
         self.mesh = mesh
         self.paged = paged_pages > 0
         self.page_size = page_size
+        self.spec = spec_draft is not None
+        self.spec_k = int(spec_k)
+        if self.spec and (self.paged or mesh is not None or cfg.is_moe):
+            raise ValueError("speculative scheduler mode: dense fast path, "
+                             "single device, non-paged")
         if self.paged:
-            if mesh is not None or cfg.is_moe:
-                raise ValueError("paged cache: dense models, single device")
+            if cfg.is_moe:
+                raise ValueError("paged cache: dense models only")
+            if mesh is not None and mesh.shape.get("ep", 1) != 1:
+                raise ValueError("paged cache + mesh needs ep=1 (dense)")
             if cfg.max_seq_len % page_size:
                 raise ValueError("page_size must divide max_seq_len")
-            if fast == "auto":
+            if fast == "auto" and mesh is None:
                 fast = fast_batched_supported(cfg) and batch % 8 == 0
-            if not fast:
+            if mesh is None and not fast:
                 raise ValueError("paged cache requires the fast path")
         if mesh is not None:
             from .parallel.fast_tp import fast_tp_supported
@@ -163,7 +184,19 @@ class Scheduler:
                         f"(got {cfg.n_kv_heads}); use bf16")
         if self.fast and mesh is None and isinstance(weights, Weights):
             weights = FastWeights.from_weights(weights, cfg)
-        if mesh is not None:
+        if mesh is not None and self.paged:
+            # pool pages shard over dp (one allocator per group, LOCAL page
+            # ids), kv-heads over tp — paged occupancy composed with the
+            # mesh (VERDICT r2 composition gap)
+            from .models.paged import GroupedPageAllocator, PagedKVPool
+            from .parallel.fast_tp import shard_fast_tp_weights, shard_paged_pool
+            dp = mesh.shape.get("dp", 1)
+            weights = shard_fast_tp_weights(weights, cfg, mesh)
+            self.cache = shard_paged_pool(
+                PagedKVPool.init(cfg, kv_dtype, paged_pages, page_size), mesh)
+            self.alloc = GroupedPageAllocator(cfg, paged_pages, batch,
+                                              page_size, groups=dp)
+        elif mesh is not None:
             from .parallel.fast_tp import shard_fast_tp_weights
             from .parallel.sharding import shard_cache
             weights = shard_fast_tp_weights(weights, cfg, mesh)
@@ -184,7 +217,35 @@ class Scheduler:
         self._key = jax.random.PRNGKey(0)
         cd = compute_dtype
 
-        if self.paged:
+        if self.paged and mesh is not None:
+            from .parallel.fast_tp import (make_prefill_paged_fast_tp,
+                                           make_tick_paged_fast_tp)
+            ws = getattr(weights, "scales", None) is not None
+            _ptick = make_tick_paged_fast_tp(cfg, mesh, page_size,
+                                             with_scales=ws)
+            _pprefill = make_prefill_paged_fast_tp(cfg, mesh, page_size,
+                                                   with_scales=ws)
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def _tick_paged(w, tokens, positions, pool, seeds, temps,
+                            write_mask, topks, topps, tables):
+                logits, pool = _ptick(w, tokens, positions, pool, tables,
+                                      write_mask)
+                keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
+                    jax.random.PRNGKey(s_), p_))(seeds, positions)
+                nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
+                return nxt, logits, pool
+
+            @partial(jax.jit, static_argnames=("logits_mode",),
+                     donate_argnums=(4,))
+            def _prefill_paged_mesh(w, tokens, pos0, valid_len, pool,
+                                    table_b, page, row0, group, logits_mode):
+                return _pprefill(w, tokens, pos0, valid_len, pool, table_b,
+                                 page, row0, group, logits_mode=logits_mode)
+
+            self._tick_paged = _tick_paged
+            self._prefill_paged_mesh = _prefill_paged_mesh
+        elif self.paged:
             from .models.fast import (decode_step_fast_batched_paged,
                                       prefill_fast_paged)
             ps = page_size
@@ -327,10 +388,69 @@ class Scheduler:
         self._prefill_slot = _prefill_slot
         self._hydrate_slot = _hydrate_slot
 
+        if self.spec:
+            if not self.fast:
+                raise ValueError("speculative scheduler needs the fast path")
+            # NOTE: decode_step_fast_batched comes from the MODULE import —
+            # re-importing it here would make the name function-local and
+            # break the non-spec closures above
+            from .models.fast import verify_chunk_fast_batched
+            dcfg, dweights = spec_draft
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError("draft and target must share a vocabulary")
+            from .models.weights import upcast_f16_for_tpu
+            dweights = upcast_f16_for_tpu(dweights)
+            if isinstance(dweights, Weights):
+                dweights = FastWeights.from_weights(dweights, dcfg)
+            self.draft_cfg, self.draft_weights = dcfg, dweights
+            self.draft_cache = KVCache.init(dcfg, kv_dtype, batch=batch)
+            self.spec_edge = min(cfg.max_seq_len, dcfg.max_seq_len)
+            K = self.spec_k
+
+            @partial(jax.jit, donate_argnums=(3,))
+            def _draft_propose(dw, tokens, positions, dcache, write):
+                """K+1 greedy draft ticks; the extra step hydrates the
+                draft's row for d[K-1] (full-acceptance rewind keeps it
+                visible — mirrors Engine.generate_speculative)."""
+                B = tokens.shape[0]
+                out = jnp.zeros((B, K + 1), jnp.int32)
+
+                def body(i, carry):
+                    toks, dc, out = carry
+                    logits, dc = decode_step_fast_batched(
+                        dcfg, dw, toks, positions + i, dc, write)
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return nxt, dc, out.at[:, i].set(nxt)
+
+                _, dcache, out = jax.lax.fori_loop(
+                    0, K + 1, body, (tokens, dcache, out))
+                return out, dcache
+
+            @partial(jax.jit, donate_argnums=(4,))
+            def _verify(w, tokens, pos0, enable, cache):
+                return verify_chunk_fast_batched(cfg, w, tokens, pos0,
+                                                 enable, cache)
+
+            @partial(jax.jit, donate_argnums=(5,))
+            def _draft_prefill_slot(dw, tokens, pos0, valid_len, slot, dcache):
+                lane = KVCache(k=dcache.k[slot], v=dcache.v[slot])
+                _, lane = prefill_fast(dcfg, dw, tokens, pos0, valid_len,
+                                       lane, logits_mode="none")
+                return KVCache(k=dcache.k.at[slot].set(lane.k),
+                               v=dcache.v.at[slot].set(lane.v))
+
+            self._draft_propose = _draft_propose
+            self._verify = _verify
+            self._draft_prefill_slot = _draft_prefill_slot
+            self.spec_stats = {"rounds": 0, "accepted": 0}
+
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> Request:
         if not request.prompt_tokens:
             raise ValueError("prompt_tokens must be non-empty (include BOS)")
+        if self.spec and request.temperature != 0.0:
+            raise ValueError("speculative scheduler mode verifies greedy "
+                             "argmax streams; temperature must be 0")
         self.queue.append(request)
         return request
 
@@ -365,17 +485,18 @@ class Scheduler:
                 worst = self.alloc.pages_for(min(
                     self.cfg.max_seq_len,
                     len(req.prompt_tokens) + req.max_new_tokens + 1))
-                if worst > self.alloc.n_pages - 1:
+                if worst > self.alloc.lane_capacity:
                     self.queue.pop(0)
-                    req.error = (f"request needs {worst} pages; pool has "
-                                 f"{self.alloc.n_pages - 1}")
+                    req.error = (f"request needs {worst} pages; a lane's "
+                                 f"pool holds {self.alloc.lane_capacity}")
                     req.done = True
                     continue
                 first = min(self.cfg.max_seq_len, self.page_size)
                 # never preempt to ADMIT (that could livelock admission);
-                # new requests simply wait for released pages
+                # new requests simply wait for released pages. Other slots
+                # may draw from a different dp group's pool — keep scanning.
                 if not self.alloc.can_grow(b, first):
-                    break  # pool exhausted: wait for releases
+                    continue
                 self.alloc.grow(b, first)
             self.queue.pop(0)
             slot.request = req
@@ -417,7 +538,10 @@ class Scheduler:
         while not self.alloc.can_grow(b, target_len):
             victim, vseq = None, -1
             for i, s in enumerate(self.slots):
-                if s.request is not None and s.seq > vseq:
+                # only lanes sharing b's pool (same dp group) free pages
+                # that can satisfy b's growth
+                if s.request is not None and s.seq > vseq \
+                        and self.alloc.same_pool(b, i):
                     victim, vseq = i, s.seq
             if victim is None:
                 raise RuntimeError("page pool exhausted with no lane to preempt")
@@ -438,8 +562,29 @@ class Scheduler:
     def _finish_admission_token(self, slot: _Slot, first: int) -> None:
         slot.admitting = False
         slot.last_token = first
+        if self.spec:
+            self._spec_hydrate(slot)
         if self._emit_checked(slot, first):
             self._maybe_finish(slot, first)
+
+    def _spec_hydrate(self, slot: _Slot) -> None:
+        """Hydrate the DRAFT's cache lane with the finished prompt so the
+        draft can propose from the same history. Lanes whose prompt already
+        reaches the speculation edge stay on plain ticks (spec_ok=False)."""
+        toks = slot.admit_tokens
+        b = self.slots.index(slot)
+        if slot.pos != len(toks) \
+                or slot.pos + self.spec_k + 1 >= self.spec_edge:
+            slot.spec_ok = False
+            return
+        for i0, take, bucket in chunk_schedule(
+                len(toks), 0, self.draft_cfg.max_seq_len):
+            padded = np.zeros(bucket, np.int32)
+            padded[:take] = toks[i0: i0 + take]
+            self.draft_cache = self._draft_prefill_slot(
+                self.draft_weights, jnp.asarray(padded), jnp.int32(i0),
+                jnp.int32(take), b, self.draft_cache)
+        slot.spec_ok = True
 
     def _finish_resume(self, slot: _Slot) -> None:
         """End a preemption-resume re-hydration: the stream's tokens were
@@ -503,11 +648,21 @@ class Scheduler:
                     blk = slot.pos // self.page_size
                     page = int(self.alloc.tables[b, blk])
                     row0 = slot.pos % self.page_size
-                    out, self.cache = self._prefill_paged(
-                        self.weights, jnp.asarray(padded), jnp.int32(slot.pos),
-                        jnp.int32(take), self.cache,
-                        jnp.asarray(self.alloc.tables[b]), jnp.int32(page),
-                        jnp.int32(row0), logits_mode=mode)
+                    if self.mesh is not None:
+                        group = b // self.alloc.lanes_per_group
+                        out, self.cache = self._prefill_paged_mesh(
+                            self.weights, jnp.asarray(padded),
+                            jnp.int32(slot.pos), jnp.int32(take), self.cache,
+                            jnp.asarray(self.alloc.tables[b]),
+                            jnp.int32(page), jnp.int32(row0),
+                            jnp.int32(group), logits_mode=mode)
+                    else:
+                        out, self.cache = self._prefill_paged(
+                            self.weights, jnp.asarray(padded),
+                            jnp.int32(slot.pos), jnp.int32(take), self.cache,
+                            jnp.asarray(self.alloc.tables[b]),
+                            jnp.int32(page), jnp.int32(row0),
+                            logits_mode=mode)
                 else:
                     from .engine import attend_bucket
                     al = attend_bucket(slot.pos + bucket, window) \
@@ -593,7 +748,16 @@ class Scheduler:
                 slot.request.done = True
             slot.request = None
             slot.admitting = False
-        if self.paged:
+        if self.paged and self.mesh is not None:
+            from .models.paged import GroupedPageAllocator, PagedKVPool
+            from .parallel.fast_tp import shard_paged_pool
+            self.cache = shard_paged_pool(
+                PagedKVPool.init(self.cfg, self.kv_dtype, self.alloc.n_pages,
+                                 self.page_size), self.mesh)
+            self.alloc = GroupedPageAllocator(
+                self.cfg, self.alloc.n_pages, self.B, self.page_size,
+                groups=len(self.alloc.groups))
+        elif self.paged:
             from .models.paged import PageAllocator, PagedKVPool
             self.cache = PagedKVPool.init(self.cfg, self.kv_dtype,
                                           self.alloc.n_pages, self.page_size)
@@ -621,6 +785,9 @@ class Scheduler:
             for b, slot in enumerate(self.slots):
                 if slot.decoding and slot.pos < self.cfg.max_seq_len:
                     self._ensure_pages(b, slot.pos + 1)
+        if self.spec:
+            self._spec_round()
+            return sum(not s.free for s in self.slots)
         decoding = [s.decoding for s in self.slots]
         if any(decoding):
             tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
@@ -657,6 +824,83 @@ class Scheduler:
                 if self._emit_checked(slot, tok):
                     self._maybe_finish(slot, tok)
         return sum(not s.free for s in self.slots)
+
+    def _spec_round(self) -> None:
+        """One speculative round: K+1 draft ticks propose per-lane chunks,
+        one batched target sweep verifies them all, each eligible lane
+        emits its longest agreeing prefix + the target's correction (up to
+        spec_k+1 tokens per round). Edge lanes fall back to a plain tick."""
+        K = self.spec_k
+        elig = []
+        for b, s in enumerate(self.slots):
+            if not s.decoding:
+                continue
+            if s.spec_ok and s.pos + K + 1 < self.spec_edge:
+                elig.append(b)
+            else:
+                s.spec_ok = False  # once off the spec path, stay off
+        plain = [b for b, s in enumerate(self.slots)
+                 if s.decoding and b not in set(elig)]
+
+        if elig:
+            B = self.B
+            tokens = np.zeros(B, np.int32)
+            positions = np.zeros(B, np.int32)
+            write = np.zeros(B, np.int32)
+            for b in elig:
+                s = self.slots[b]
+                tokens[b] = s.last_token
+                positions[b] = s.pos
+                write[b] = 1
+            d_out, self.draft_cache = self._draft_propose(
+                self.draft_weights, jnp.asarray(tokens),
+                jnp.asarray(positions), self.draft_cache, jnp.asarray(write))
+            d = np.asarray(d_out)                        # (B, K+1)
+            chunk = np.zeros((B, K + 1), np.int32)
+            for b in elig:
+                chunk[b, 0] = self.slots[b].last_token
+                chunk[b, 1:] = d[b, :K]
+            logits, self.cache = self._verify(
+                self.weights, jnp.asarray(chunk), jnp.asarray(positions),
+                jnp.asarray(write), self.cache)
+            t = np.asarray(jnp.argmax(logits, axis=-1))  # (B, K+1)
+            self.spec_stats["rounds"] += 1
+            for b in elig:
+                s = self.slots[b]
+                a = 0
+                while a < K and d[b, a] == t[b, a]:
+                    a += 1
+                emitted = [int(x) for x in d[b, :a]] + [int(t[b, a])]
+                self.spec_stats["accepted"] += a
+                s.pos = int(positions[b]) + a + 1
+                s.last_token = emitted[-1]
+                for tok in emitted:
+                    if s.request is None:
+                        break  # finished mid-round: discard the tail
+                    if self._emit_checked(s, tok):
+                        self._maybe_finish(s, tok)
+                    else:
+                        break
+
+        if plain:
+            # window-edge lanes: one plain greedy tick (spec lanes masked)
+            tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
+            positions = jnp.asarray([s.pos for s in self.slots], jnp.int32)
+            write = jnp.asarray([1 if b in set(plain) else 0
+                                 for b in range(self.B)], jnp.int32)
+            zeros_f = jnp.zeros((self.B,), jnp.float32)
+            zeros_i = jnp.zeros((self.B,), jnp.int32)
+            nxt, self.cache = self._tick(
+                self.weights, tokens, positions, self.cache, zeros_i,
+                zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
+            nxt = np.asarray(nxt)
+            for b in plain:
+                s = self.slots[b]
+                tok = int(nxt[b])
+                s.pos += 1
+                s.last_token = tok
+                if self._emit_checked(s, tok):
+                    self._maybe_finish(s, tok)
 
     def run(self, max_ticks: int = 100000) -> None:
         """Drive until every queued and active request completes."""

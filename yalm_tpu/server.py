@@ -41,7 +41,7 @@ class ServingEngine:
                  max_prompt_tokens: int | None = None,
                  chat_template: str = "chatml",
                  paged_pages: int = 0, page_size: int = 256,
-                 mesh=None):
+                 mesh=None, spec_draft=None, spec_k: int = 4):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -53,7 +53,8 @@ class ServingEngine:
         self.sched = Scheduler(cfg, weights, batch=batch, kv_dtype=kv_dtype,
                                compute_dtype=jnp.bfloat16, fast=fast,
                                paged_pages=paged_pages, page_size=page_size,
-                               mesh=mesh)
+                               mesh=mesh, spec_draft=spec_draft,
+                               spec_k=spec_k)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         self._stop = threading.Event()
@@ -99,8 +100,15 @@ class ServingEngine:
             try:
                 while True:
                     req, out_q = self._inbox.get_nowait()
-                    self.sched.submit(req)
-                    self._watch.append((req, out_q))
+                    try:
+                        self.sched.submit(req)
+                        self._watch.append((req, out_q))
+                    except ValueError as e:
+                        # invalid for THIS scheduler config (e.g. sampling
+                        # in speculative mode): fail only this request
+                        req.error = str(e)
+                        req.done = True
+                        out_q.put(_SENTINEL)
                     moved = True
             except queue.Empty:
                 pass
@@ -378,8 +386,14 @@ def main(argv=None) -> None:
     ap.add_argument("--page-size", type=int, default=256,
                     help="tokens per KV page (must divide the context window)")
     ap.add_argument("--kv", default="bf16", choices=["bf16", "fp8"],
-                    help="KV-cache dtype (fp8 = e4m3 quantized cache: halves "
+                    help="KV-cache dtype (fp8 = e5m2 quantized cache: halves "
                          "cache HBM and traffic)")
+    ap.add_argument("--draft", default=None, metavar="DRAFT.yalm",
+                    help="serve with SCHEDULER-LEVEL speculative decoding: "
+                         "this small draft checkpoint proposes --spec-k "
+                         "tokens per lane per round, one batched target "
+                         "sweep verifies all lanes (greedy requests only)")
+    ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--mesh", default=None, metavar="DP,EP,TP",
                     help="serve over a ('dp','ep','tp') device mesh: slot "
                          "lanes shard on dp, experts on ep, heads/hidden on "
@@ -442,7 +456,16 @@ def main(argv=None) -> None:
             mesh = make_hybrid_mesh(MeshConfig(dp=dp, ep=ep, tp=tp),
                                     devices=jax.devices()[: dp * ep * tp])
 
-    kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[args.kv]
+    kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e5m2}[args.kv]
+    spec_draft = None
+    if args.draft:
+        from .models.fast import load_fast_weights
+        from .models.weights import f16_to_bf16_put
+        dyf = read_yalm(args.draft)
+        dcfg = ModelConfig.from_metadata(dyf.metadata, context=args.context)
+        dweights = load_fast_weights(dyf, dcfg, device_put=f16_to_bf16_put())
+        dyf.close()
+        spec_draft = (dcfg, dweights)
     engine = ServingEngine.from_checkpoint(args.checkpoint, context=args.context,
                                            batch=batch,
                                            kv_dtype=kv_dtype,
@@ -450,7 +473,8 @@ def main(argv=None) -> None:
                                            chat_template=args.chat_template,
                                            paged_pages=args.paged_pages,
                                            page_size=args.page_size,
-                                           mesh=mesh)
+                                           mesh=mesh, spec_draft=spec_draft,
+                                           spec_k=args.spec_k)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

@@ -166,7 +166,7 @@ def main() -> None:
     # ms/token instead of dominating a per-token loop.
     steps = int(os.environ.get("YALM_BENCH_STEPS", "128"))
     preset = os.environ.get("YALM_BENCH_PRESET", "mistral7b")
-    kv = os.environ.get("YALM_BENCH_KV", "bf16")
+    kv = os.environ.get("YALM_BENCH_KV", "fp8")
 
     import jax
     import jax.numpy as jnp
@@ -482,10 +482,11 @@ def bench_paged(cfg, weights, batch: int, steps: int, kv_dtype=None,
         for k in range(blocks):
             tables[b, k] = 1 + b * blocks + k
     tables = jnp.asarray(tables)
-    gb = (2 * n_pages * cfg.n_layers * page * cfg.kv_dim * 2) / 1e9
+    kvb = jnp.dtype(kv_dtype or jnp.bfloat16).itemsize
+    gb = (2 * n_pages * cfg.n_layers * page * cfg.kv_dim * kvb) / 1e9
     log(f"paged pool: {n_pages} pages ({gb:.2f} GB cache for batch {batch}; "
         f"dense would need "
-        f"{2 * batch * cfg.n_layers * cfg.max_seq_len * cfg.kv_dim * 2 / 1e9:.1f} GB)")
+        f"{2 * batch * cfg.n_layers * cfg.max_seq_len * cfg.kv_dim * kvb / 1e9:.1f} GB)")
 
     @partial(jax.jit, static_argnames=("n",), donate_argnums=(1,))
     def blk(w, pool, tokens, pos0, key, n):

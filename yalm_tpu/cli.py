@@ -20,7 +20,11 @@ Usage: python -m yalm_tpu.cli <checkpoint.yalm> [options]
   -D <path>      DRAFT checkpoint: speculative completion (the draft
                  proposes, this model verifies; greedy at -t 0, exact
                  rejection-sampled target distribution at -t > 0)
-  -K <int>       speculative draft length (default 4)
+  -K <int>       speculative draft/lookup length (default 4)
+  -L             prompt-LOOKUP speculative completion (no draft model:
+                 proposals continue the most recent earlier occurrence of
+                 the trailing n-gram; wins on outputs that reuse prompt
+                 spans, degrades to plain decode otherwise)
   -C f16|bf16|fp8   KV-cache dtype (default f16; bf16 on the TPU fast
                  path; fp8 = e5m2 quantized cache — halves cache traffic;
                  e5m2 converts at full VPU rate on v5e, unlike e4m3)
@@ -60,6 +64,7 @@ def _parse_args(argv: list[str]) -> dict:
         "top_k": 0,
         "top_p": 1.0,
         "draft": None,
+        "lookup": False,
         "n_draft": 4,
         "kv": "f16",
         "mesh": None,
@@ -114,6 +119,9 @@ def _parse_args(argv: list[str]) -> dict:
             opts["top_p"] = float(need(i))
         elif c == "D":
             opts["draft"] = need(i)
+        elif c == "L":
+            opts["lookup"] = True
+            i -= 1  # flag takes no value
         elif c == "K":
             opts["n_draft"] = int(need(i))
         elif c == "C":
@@ -202,6 +210,13 @@ def run_completion(opts) -> None:
             [], draft=draft, n_draft=opts["n_draft"], max_steps=num_steps,
             stop_tokens=stop, temperature=opts["temperature"],
             seed=opts["seed"])
+    elif opts["lookup"]:
+        # draft-model-free speculation: the already-hydrated prompt seeds
+        # the n-gram history (point-mass rejection sampling at t>0)
+        stream = eng.generate_speculative(
+            [], draft=None, n_draft=opts["n_draft"], max_steps=num_steps,
+            stop_tokens=stop, temperature=opts["temperature"],
+            seed=opts["seed"], hist_tokens=encoding)
     else:
         stream = eng.generate([], max_steps=num_steps,
                               temperature=opts["temperature"],
@@ -225,12 +240,14 @@ def run_completion(opts) -> None:
           f"  hydrate: {hydrate_s:.5}s\n"
           f"  bandwidth: {read_bytes/1e9/elapsed:.5}GB/s\n"
           f"  total: {elapsed:.5}s\n")
-    if opts["draft"] and getattr(eng, "_spec_stats", None):
+    if (opts["draft"] or opts["lookup"]) and getattr(eng, "_spec_stats", None):
         st = eng._spec_stats
         if st["rounds"]:
             print(f"Speculative stats: {st['rounds']} verify rounds, "
                   f"{st['accepted'] / st['rounds']:.2f} draft tokens "
-                  f"accepted/round (of {opts['n_draft']})\n")
+                  f"accepted/round (of {opts['n_draft']})"
+                  + (f", {st['plain']} plain steps (no n-gram match)"
+                     if "plain" in st else "") + "\n")
 
 
 def run_perplexity(opts) -> None:

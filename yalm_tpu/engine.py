@@ -501,17 +501,26 @@ class Engine:
         self,
         prompt_tokens: Sequence[int],
         *,
-        draft: "Engine",
+        draft: Optional["Engine"] = None,
         n_draft: int = 4,
         max_steps: int = 256,
         stop_tokens: Sequence[int] = (),
         temperature: float = 0.0,
         seed: int | None = None,
+        ngram_max: int = 3,
+        hist_tokens: Sequence[int] | None = None,
     ) -> Iterator[int]:
         """Speculative decoding: a small DRAFT engine proposes n_draft
         tokens per round and this (target) engine verifies them in ONE
         chunked forward, so each target weight-sweep yields up to n_draft+1
         tokens instead of one.
+
+        draft=None switches the proposal source to PROMPT LOOKUP (n-gram
+        matching over the token history, spec.ngram_propose): no draft
+        model, no extra device work — see _generate_prompt_lookup.
+        hist_tokens (lookup only) seeds the n-gram history with context
+        that was ALREADY prefilled into the cache (the CLI hydrates the
+        prompt itself and then streams from prompt_tokens=[]).
 
         temperature == 0 (default): greedy verification — the output is
         EXACTLY the target's greedy stream (acceptance = argmax agreement).
@@ -534,6 +543,12 @@ class Engine:
         restore, so speculation stops at the window and decoding falls back
         to the normal per-token loop there.
         """
+        if draft is None:
+            yield from self._generate_prompt_lookup(
+                prompt_tokens, n_draft=n_draft, max_steps=max_steps,
+                stop_tokens=stop_tokens, temperature=temperature, seed=seed,
+                ngram_max=ngram_max, hist_tokens=hist_tokens)
+            return
         cfg = self.cfg
         draft_stats = {"rounds": 0, "accepted": 0}
         self._spec_stats = draft_stats
@@ -646,6 +661,125 @@ class Engine:
             draft.pos = pos0 + a + 1
             self._last_logits = all_logits[a]
 
+            for tok in emitted:
+                yield int(tok)
+                steps += 1
+                if tok in stop or (max_steps != -1 and steps >= max_steps):
+                    return
+            cur = emitted[-1]
+
+    # ------------------------------------------------------------------
+    def _generate_prompt_lookup(
+        self,
+        prompt_tokens: Sequence[int],
+        *,
+        n_draft: int = 4,
+        max_steps: int = 256,
+        stop_tokens: Sequence[int] = (),
+        temperature: float = 0.0,
+        seed: int | None = None,
+        ngram_max: int = 3,
+        hist_tokens: Sequence[int] | None = None,
+    ) -> Iterator[int]:
+        """Prompt-lookup speculative decoding (generate_speculative with
+        draft=None): proposals come from the most recent earlier occurrence
+        of the history's trailing n-gram (spec.NgramHistory) instead of a
+        draft model, verified by the same chunked target forward. Rounds
+        with no match run a plain decode step, so worst case degrades to
+        normal decoding plus a dict lookup. T=0 emits exactly the greedy
+        stream; T>0 uses point-mass rejection sampling (exact target
+        distribution, spec.pointmass_rejection_verify)."""
+        from .spec import NgramHistory, pointmass_rejection_verify
+        cfg = self.cfg
+        stats = {"rounds": 0, "accepted": 0, "proposed": 0, "plain": 0}
+        self._spec_stats = stats
+        self.prefill_tokens(prompt_tokens, want_logits=True)
+        hist = NgramHistory(
+            [int(t) for t in (hist_tokens or [])]
+            + [int(t) for t in prompt_tokens], max_ngram=ngram_max)
+        stop = set(int(s) for s in stop_tokens)
+        T = float(temperature)
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        temp_arr = jnp.float32(T)
+
+        assert self._last_logits is not None
+        if T == 0.0:
+            cur = int(jnp.argmax(self._last_logits))
+        else:
+            p0 = _softmax_T(np.asarray(self._last_logits), T)
+            cur = int(rng.choice(len(p0), p=p0))
+        hist.extend([cur])
+        steps = 0
+        yield cur
+        steps += 1
+        if cur in stop:
+            return
+
+        K = min(max(1, int(n_draft)), PREFILL_BUCKETS[-1] - 1)
+        bucket = _bucket_for(K + 1)
+        while max_steps == -1 or steps < max_steps:
+            if self.pos + bucket >= cfg.max_seq_len:
+                # window edge: the ring regime can't roll back a rejection
+                while max_steps == -1 or steps < max_steps:
+                    key, sub = jax.random.split(key)
+                    tok_arr, logits, self.cache = self._step_sample(
+                        self.weights, jnp.int32(cur), jnp.int32(self.pos),
+                        self.cache, sub, temp_arr, jnp.int32(0),
+                        jnp.float32(1.0))
+                    self._last_logits = logits
+                    self.pos += 1
+                    cur = int(tok_arr)
+                    yield cur
+                    steps += 1
+                    if cur in stop:
+                        return
+                return
+
+            d = hist.propose(K)
+            if not d:
+                stats["plain"] += 1
+                key, sub = jax.random.split(key)
+                tok_arr, logits, self.cache = self._step_sample(
+                    self.weights, jnp.int32(cur), jnp.int32(self.pos),
+                    self.cache, sub, temp_arr, jnp.int32(0), jnp.float32(1.0))
+                self._last_logits = logits
+                self.pos += 1
+                cur = int(tok_arr)
+                hist.extend([cur])
+                yield cur
+                steps += 1
+                if cur in stop:
+                    return
+                continue
+
+            # verify [cur] + d in one chunked forward; rows 0..len(d) score
+            # the token after each accepted prefix
+            kd = len(d)
+            chunk = np.zeros(bucket, np.int32)
+            chunk[: kd + 1] = [cur] + d
+            pos0 = self.pos
+            all_logits, self.cache = self._prefill(
+                self.weights, jnp.asarray(chunk), jnp.int32(pos0),
+                jnp.int32(kd + 1), self.cache, logits_mode="all",
+                attend_len=self._attn_len(pos0 + bucket))
+            t_lg = np.asarray(all_logits[: kd + 1])
+
+            if T == 0.0:
+                t = t_lg.argmax(axis=-1)
+                a = 0
+                while a < kd and d[a] == int(t[a]):
+                    a += 1
+                emitted = [int(x) for x in d[:a]] + [int(t[a])]
+            else:
+                emitted, a = pointmass_rejection_verify(rng, T, t_lg, d)
+            stats["rounds"] += 1
+            stats["proposed"] += kd
+            stats["accepted"] += a
+
+            self.pos = pos0 + a + 1
+            self._last_logits = all_logits[a]
+            hist.extend(emitted)
             for tok in emitted:
                 yield int(tok)
                 steps += 1

@@ -79,6 +79,7 @@ class _Slot:
     resuming: bool = False  # admission is a preemption-resume re-hydration
     seq: int = 0            # admission order (paged preemption picks newest)
     spec_ok: bool = False   # draft cache hydrated & in sync (spec mode)
+    hist: object = None     # NgramHistory (prompt-lookup spec mode)
 
     @property
     def free(self) -> bool:
@@ -104,6 +105,8 @@ class Scheduler:
         page_size: int = 256,
         spec_draft=None,
         spec_k: int = 4,
+        spec_lookup: bool = False,
+        spec_ngram: int = 3,
     ):
         """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
         shard over `dp`, heads/hidden/cache-kv-heads over `tp`, MoE experts
@@ -131,12 +134,26 @@ class Scheduler:
         decode. Greedy-only (temperature-0 requests), dense fast path,
         single device, non-paged. Lanes near the window edge (or with
         beyond-window prompts) fall back to plain ticks — the ring regime
-        cannot roll back a rejection."""
+        cannot roll back a rejection.
+
+        spec_lookup=True is DRAFT-MODEL-FREE speculation (prompt lookup,
+        spec.NgramHistory): each lane proposes the continuation of its
+        history's trailing n-gram (size <= spec_ngram) and the same ONE
+        batched target sweep verifies every proposing lane. Lanes with no
+        n-gram match this round join the plain tick and stay eligible —
+        worst case degrades to plain continuous batching plus a dict
+        lookup. Same greedy-only / dense / single-device envelope as
+        spec_draft; mutually exclusive with it."""
         self.cfg = cfg
         self.mesh = mesh
         self.paged = paged_pages > 0
         self.page_size = page_size
-        self.spec = spec_draft is not None
+        self.spec_lookup = bool(spec_lookup)
+        self.spec_ngram = int(spec_ngram)
+        if spec_lookup and spec_draft is not None:
+            raise ValueError("spec_lookup and spec_draft are mutually "
+                             "exclusive proposal sources")
+        self.spec = spec_draft is not None or self.spec_lookup
         self.spec_k = int(spec_k)
         if self.spec and (self.paged or mesh is not None or cfg.is_moe):
             raise ValueError("speculative scheduler mode: dense fast path, "
@@ -395,6 +412,18 @@ class Scheduler:
             # re-importing it here would make the name function-local and
             # break the non-spec closures above
             from .models.fast import verify_chunk_fast_batched
+
+            @partial(jax.jit, donate_argnums=(4,))
+            def _verify(w, tokens, pos0, enable, cache):
+                return verify_chunk_fast_batched(cfg, w, tokens, pos0,
+                                                 enable, cache)
+
+            self._verify = _verify
+            self.spec_stats = {"rounds": 0, "accepted": 0, "proposed": 0}
+
+        if self.spec_lookup:
+            self.spec_edge = cfg.max_seq_len
+        elif self.spec:
             dcfg, dweights = spec_draft
             if dcfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft and target must share a vocabulary")
@@ -426,11 +455,6 @@ class Scheduler:
                     0, K + 1, body, (tokens, dcache, out))
                 return out, dcache
 
-            @partial(jax.jit, donate_argnums=(4,))
-            def _verify(w, tokens, pos0, enable, cache):
-                return verify_chunk_fast_batched(cfg, w, tokens, pos0,
-                                                 enable, cache)
-
             @partial(jax.jit, donate_argnums=(5,))
             def _draft_prefill_slot(dw, tokens, pos0, valid_len, slot, dcache):
                 lane = KVCache(k=dcache.k[slot], v=dcache.v[slot])
@@ -440,9 +464,7 @@ class Scheduler:
                                v=dcache.v.at[slot].set(lane.v))
 
             self._draft_propose = _draft_propose
-            self._verify = _verify
             self._draft_prefill_slot = _draft_prefill_slot
-            self.spec_stats = {"rounds": 0, "accepted": 0}
 
     # ------------------------------------------------------------------
     def submit(self, request: Request) -> Request:
@@ -568,14 +590,23 @@ class Scheduler:
             self._maybe_finish(slot, first)
 
     def _spec_hydrate(self, slot: _Slot) -> None:
-        """Hydrate the DRAFT's cache lane with the finished prompt so the
-        draft can propose from the same history. Lanes whose prompt already
-        reaches the speculation edge stay on plain ticks (spec_ok=False)."""
+        """Hydrate the proposal source with the finished prompt: the DRAFT
+        model's cache lane (spec_draft) or the lane's n-gram index
+        (spec_lookup; includes the just-sampled first token, which is what
+        the next round's proposal must continue). Lanes whose prompt
+        already reaches the speculation edge stay on plain ticks
+        (spec_ok=False)."""
         toks = slot.admit_tokens
         b = self.slots.index(slot)
         if slot.pos != len(toks) \
                 or slot.pos + self.spec_k + 1 >= self.spec_edge:
             slot.spec_ok = False
+            return
+        if self.spec_lookup:
+            from .spec import NgramHistory
+            slot.hist = NgramHistory(list(toks) + [slot.last_token],
+                                     max_ngram=self.spec_ngram)
+            slot.spec_ok = True
             return
         for i0, take, bucket in chunk_schedule(
                 len(toks), 0, self.draft_cfg.max_seq_len):
@@ -826,17 +857,26 @@ class Scheduler:
         return sum(not s.free for s in self.slots)
 
     def _spec_round(self) -> None:
-        """One speculative round: K+1 draft ticks propose per-lane chunks,
+        """One speculative round: the proposal source (K+1 draft ticks, or
+        per-lane prompt lookup when spec_lookup) proposes per-lane chunks,
         one batched target sweep verifies them all, each eligible lane
         emits its longest agreeing prefix + the target's correction (up to
-        spec_k+1 tokens per round). Edge lanes fall back to a plain tick."""
+        spec_k+1 tokens per round). Edge lanes fall back to a plain tick;
+        lookup lanes with no n-gram match join it for the round only."""
         K = self.spec_k
-        elig = []
+        elig, props = [], {}
         for b, s in enumerate(self.slots):
             if not s.decoding:
                 continue
             if s.spec_ok and s.pos + K + 1 < self.spec_edge:
-                elig.append(b)
+                if self.spec_lookup:
+                    d = s.hist.propose(K)
+                    if d:
+                        elig.append(b)
+                        props[b] = d
+                    # no match -> plain tick this round, stays eligible
+                else:
+                    elig.append(b)
             else:
                 s.spec_ok = False  # once off the spec path, stay off
         plain = [b for b, s in enumerate(self.slots)
@@ -844,22 +884,32 @@ class Scheduler:
 
         if elig:
             B = self.B
-            tokens = np.zeros(B, np.int32)
             positions = np.zeros(B, np.int32)
             write = np.zeros(B, np.int32)
             for b in elig:
-                s = self.slots[b]
-                tokens[b] = s.last_token
-                positions[b] = s.pos
+                positions[b] = self.slots[b].pos
                 write[b] = 1
-            d_out, self.draft_cache = self._draft_propose(
-                self.draft_weights, jnp.asarray(tokens),
-                jnp.asarray(positions), self.draft_cache, jnp.asarray(write))
-            d = np.asarray(d_out)                        # (B, K+1)
             chunk = np.zeros((B, K + 1), np.int32)
-            for b in elig:
-                chunk[b, 0] = self.slots[b].last_token
-                chunk[b, 1:] = d[b, :K]
+            if self.spec_lookup:
+                # per-lane variable-length proposals; rows past 1+kd are
+                # zero padding the causal verify never lets rows <= kd see
+                kd = {b: len(props[b]) for b in elig}
+                for b in elig:
+                    chunk[b, 0] = self.slots[b].last_token
+                    chunk[b, 1: 1 + kd[b]] = props[b]
+            else:
+                tokens = np.zeros(B, np.int32)
+                for b in elig:
+                    tokens[b] = self.slots[b].last_token
+                d_out, self.draft_cache = self._draft_propose(
+                    self.draft_weights, jnp.asarray(tokens),
+                    jnp.asarray(positions), self.draft_cache,
+                    jnp.asarray(write))
+                d = np.asarray(d_out)                    # (B, K+1)
+                kd = {b: K for b in elig}
+                for b in elig:
+                    chunk[b, 0] = self.slots[b].last_token
+                    chunk[b, 1:] = d[b, :K]
             logits, self.cache = self._verify(
                 self.weights, jnp.asarray(chunk), jnp.asarray(positions),
                 jnp.asarray(write), self.cache)
@@ -868,12 +918,15 @@ class Scheduler:
             for b in elig:
                 s = self.slots[b]
                 a = 0
-                while a < K and d[b, a] == t[b, a]:
+                while a < kd[b] and chunk[b, a + 1] == t[b, a]:
                     a += 1
-                emitted = [int(x) for x in d[b, :a]] + [int(t[b, a])]
+                emitted = [int(x) for x in chunk[b, 1: a + 1]] + [int(t[b, a])]
                 self.spec_stats["accepted"] += a
+                self.spec_stats["proposed"] += kd[b]
                 s.pos = int(positions[b]) + a + 1
                 s.last_token = emitted[-1]
+                if self.spec_lookup:
+                    s.hist.extend(emitted)
                 for tok in emitted:
                     if s.request is None:
                         break  # finished mid-round: discard the tail
@@ -899,6 +952,8 @@ class Scheduler:
                 tok = int(nxt[b])
                 s.pos += 1
                 s.last_token = tok
+                if self.spec_lookup and s.spec_ok and s.hist is not None:
+                    s.hist.extend([tok])  # stays eligible next round
                 if self._emit_checked(s, tok):
                     self._maybe_finish(s, tok)
 

@@ -41,7 +41,8 @@ class ServingEngine:
                  max_prompt_tokens: int | None = None,
                  chat_template: str = "chatml",
                  paged_pages: int = 0, page_size: int = 256,
-                 mesh=None, spec_draft=None, spec_k: int = 4):
+                 mesh=None, spec_draft=None, spec_k: int = 4,
+                 spec_lookup: bool = False, spec_ngram: int = 3):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -54,7 +55,8 @@ class ServingEngine:
                                compute_dtype=jnp.bfloat16, fast=fast,
                                paged_pages=paged_pages, page_size=page_size,
                                mesh=mesh, spec_draft=spec_draft,
-                               spec_k=spec_k)
+                               spec_k=spec_k, spec_lookup=spec_lookup,
+                               spec_ngram=spec_ngram)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         self._stop = threading.Event()
@@ -394,6 +396,15 @@ def main(argv=None) -> None:
                          "tokens per lane per round, one batched target "
                          "sweep verifies all lanes (greedy requests only)")
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--spec-lookup", action="store_true",
+                    help="draft-model-free speculative decoding: per-lane "
+                         "prompt lookup (n-gram match over the lane's own "
+                         "tokens) proposes up to --spec-k tokens, one "
+                         "batched target sweep verifies all lanes (greedy "
+                         "requests only; biggest wins on input-grounded "
+                         "outputs that reuse prompt spans)")
+    ap.add_argument("--spec-ngram", type=int, default=3,
+                    help="max n-gram size for --spec-lookup matching")
     ap.add_argument("--mesh", default=None, metavar="DP,EP,TP",
                     help="serve over a ('dp','ep','tp') device mesh: slot "
                          "lanes shard on dp, experts on ep, heads/hidden on "
@@ -474,7 +485,9 @@ def main(argv=None) -> None:
                                            paged_pages=args.paged_pages,
                                            page_size=args.page_size,
                                            mesh=mesh, spec_draft=spec_draft,
-                                           spec_k=args.spec_k)
+                                           spec_k=args.spec_k,
+                                           spec_lookup=args.spec_lookup,
+                                           spec_ngram=args.spec_ngram)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

@@ -345,48 +345,64 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     CORRELATED with the target — the realistic regime a distilled draft
     approximates; two independent random models would agree at chance).
 
+    YALM_BENCH_SPEC=lookup swaps the draft for PROMPT LOOKUP (n-gram
+    proposals from the token history, zero draft compute) over a
+    repetitive prompt — the input-grounded regime the technique targets.
+
     Emits acceptance rate, tokens per target sweep, and wall + RTT-corrected
     tok/s. The dev tunnel adds ~26 ms per host round-trip and speculation
-    needs TWO per round (draft fetch + verify fetch) — pure harness
-    artifact, measured in-run and subtracted for the corrected number
-    (a host-attached TPU pays µs)."""
+    needs TWO per round (draft fetch + verify fetch; one for lookup) — pure
+    harness artifact, measured in-run and subtracted for the corrected
+    number (a host-attached TPU pays µs)."""
     import jax
     import jax.numpy as jnp
     import dataclasses
     from yalm_tpu.engine import Engine
 
     rtt = measure_rtt()
-    dcfg = dataclasses.replace(cfg, n_layers=4)
-    draft_w = weights._replace(
-        rms_att=weights.rms_att[:4], rms_ffn=weights.rms_ffn[:4],
-        wqkv=weights.wqkv[:4], wo=weights.wo[:4],
-        w13=weights.w13[:4], w2=weights.w2[:4],
-        scales=None if weights.scales is None else weights.scales._replace(
-            wqkv=weights.scales.wqkv[:4], wo=weights.scales.wo[:4],
-            w13=weights.scales.w13[:4], w2=weights.scales.w2[:4]))
+    lookup = os.environ.get("YALM_BENCH_SPEC", "") == "lookup"
     target = Engine(cfg, weights, kv_dtype=kv_dtype or jnp.bfloat16,
                     compute_dtype=jnp.bfloat16, fast=True)
-    draft = Engine(dcfg, draft_w, kv_dtype=kv_dtype or jnp.bfloat16,
-                   compute_dtype=jnp.bfloat16, fast=True)
+    if lookup:
+        # draft-model-free prompt lookup: proposals come from the token
+        # history, so the bench prompt repeats a span (the input-grounded
+        # regime — summarization/code-edit outputs that reuse prompt text)
+        draft = None
+    else:
+        dcfg = dataclasses.replace(cfg, n_layers=4)
+        draft_w = weights._replace(
+            rms_att=weights.rms_att[:4], rms_ffn=weights.rms_ffn[:4],
+            wqkv=weights.wqkv[:4], wo=weights.wo[:4],
+            w13=weights.w13[:4], w2=weights.w2[:4],
+            scales=None if weights.scales is None else weights.scales._replace(
+                wqkv=weights.scales.wqkv[:4], wo=weights.scales.wo[:4],
+                w13=weights.scales.w13[:4], w2=weights.scales.w2[:4]))
+        draft = Engine(dcfg, draft_w, kv_dtype=kv_dtype or jnp.bfloat16,
+                       compute_dtype=jnp.bfloat16, fast=True)
 
     N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
     K = int(os.environ.get("YALM_BENCH_SPEC_K", "4"))
-    prompt = [1, 7, 9]
+    prompt = ([1, 7, 9] + [5, 11, 23, 42] * 8) if lookup else [1, 7, 9]
 
     # warmup compiles every program in the loop
     _ = list(target.generate_speculative(prompt, draft=draft, n_draft=K,
                                          max_steps=8))
-    target.reset(); draft.reset()
+    target.reset()
+    if draft is not None:
+        draft.reset()
     t0 = time.perf_counter()
     toks = list(target.generate_speculative(prompt, draft=draft, n_draft=K,
                                             max_steps=N))
     dt = time.perf_counter() - t0
     st = target._spec_stats
     rounds = max(st["rounds"], 1)
-    acc = st["accepted"] / (rounds * K)
-    tpr = len(toks) / rounds
-    # two host round trips per round ride the tunnel; subtract them
-    dt_corr = max(dt - 2 * rounds * rtt, 1e-6)
+    proposed = st.get("proposed", rounds * K)
+    acc = st["accepted"] / max(proposed, 1)
+    tpr = len(toks) / (rounds + st.get("plain", 0))
+    # host round trips per round ride the tunnel (draft fetch + verify
+    # fetch; lookup proposals are host-side, one fetch); subtract them
+    trips = rounds + st.get("plain", 0) if lookup else 2 * rounds
+    dt_corr = max(dt - trips * rtt, 1e-6)
 
     # plain-decode reference from the same engine/cache setup
     target.reset()
@@ -402,11 +418,13 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     _ = np.asarray(out)
     plain = 64 / (time.perf_counter() - t0)
 
-    log(f"spec: {len(toks)} toks in {dt:.2f}s wall ({len(toks)/dt:.1f} tok/s; "
-        f"rtt-corrected {len(toks)/dt_corr:.1f}), acceptance {acc:.2f}, "
-        f"{tpr:.2f} tok/target-sweep; plain decode {plain:.1f} tok/s")
+    kind = "lookup" if lookup else "draft"
+    log(f"spec[{kind}]: {len(toks)} toks in {dt:.2f}s wall "
+        f"({len(toks)/dt:.1f} tok/s; rtt-corrected {len(toks)/dt_corr:.1f}), "
+        f"acceptance {acc:.2f}, {tpr:.2f} tok/target-sweep; "
+        f"plain decode {plain:.1f} tok/s")
     print(json.dumps({
-        "metric": f"{cfg.weight_dtype}_speculative_decode",
+        "metric": f"{cfg.weight_dtype}_speculative_decode_{kind}",
         "value": round(len(toks) / dt_corr, 2),
         "unit": "tok/s",
         "vs_baseline": round(len(toks) / dt_corr / BASELINE_TOK_S, 3),
@@ -414,8 +432,9 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
         "tokens_per_target_sweep": round(tpr, 2),
         "wall_tok_s": round(len(toks) / dt, 2),
         "plain_decode_tok_s": round(plain, 2),
-        "draft_layers": 4,
+        "draft_layers": None if lookup else 4,
         "n_draft": K,
+        "plain_steps": st.get("plain"),
     }))
 
 

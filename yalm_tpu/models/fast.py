@@ -1027,3 +1027,103 @@ def prefill_fast_paged(
         x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
         return gemv(x_last, fw.lm_head, sc.lm_head if sc else None), new_pool
     raise ValueError(f"paged prefill: bad logits_mode {logits_mode!r}")
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size"))
+def verify_chunk_fast_batched_paged(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (B, T) int32 — per-lane [cur, d0..d_{T-2}]
+    pos0: jax.Array,       # (B,) int32 — per-lane chunk start positions
+    enable: jax.Array,     # (B,) int32 — 0 lanes compute garbage, write nothing
+    pool: "PagedKVPool",
+    tables: jax.Array,     # (B, window // page_size) int32 page ids
+    *,
+    page_size: int = 256,
+) -> tuple[jax.Array, "PagedKVPool"]:
+    """verify_chunk_fast_batched over a PAGED cache: speculative decoding
+    COMPOSED with vLLM-style paged occupancy. Chunk KV rows scatter through
+    the per-lane page tables (a chunk may straddle a page boundary, so the
+    write is a row scatter, not a dus); disabled lanes scatter into the
+    reserved sink page 0 (the same convention as masked paged ticks).
+    Attention gathers each lane's mapped pages into its (window, Hk, D)
+    view — garbage beyond a lane's history is masked causally.
+    PRECONDITIONS: enabled lanes have pos0 + T <= window (scheduler edge
+    rule) AND pages mapped through pos0 + T (scheduler._ensure_pages)."""
+    from .paged import PagedKVPool
+
+    B, T = tokens.shape
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    sc = fw.scales
+    assert not cfg.is_moe, "paged spec verify chunk supports dense models"
+
+    p0 = jnp.where(enable != 0, pos0, 0)
+    positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
+    att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+    blk = positions // page_size
+    row = positions % page_size
+    pages = jnp.take_along_axis(tables, blk, axis=1)            # (B, T)
+    pages = jnp.where(enable[:, None] != 0, pages, 0)           # sink page
+    pf, rf = pages.reshape(-1), row.reshape(-1)
+
+    x = fw.embed[tokens].astype(jnp.float32)
+    if sc is not None:
+        x = x * sc.embed[tokens][..., None]
+    x = x.reshape(B * T, cfg.dim)
+
+    def attend(q4, kc, vc):
+        scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
+                            kc.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) / math.sqrt(D)
+        att = jax.nn.softmax(
+            jnp.where(att_mask[:, None, None], scores, -1e30), axis=-1)
+        return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
+                          vc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    def layer_body(i, carry):
+        x, kp, vp = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i,
+                                                     keepdims=False),
+                     cfg.norm_eps)
+        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
+                                                     keepdims=False)
+        qkv = clip(qkv).reshape(B, T, -1)
+        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_theta,
+                                                  cfg.rotary_dim))
+        q = rope_b(qkv[..., : cfg.q_dim].reshape(B, T, Hq, D), positions)
+        k = rope_b(qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+                   .reshape(B, T, Hk, D), positions)
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, T, Hk, D)
+
+        # scatter the chunk's rows through the page tables (write BEFORE
+        # the gather so the chunk attends to itself); enabled lanes' (page,
+        # row) pairs are unique, disabled lanes collide harmlessly on the
+        # sink page
+        kp = kp.at[pf, i, rf].set(k.reshape(B * T, Hk, D).astype(kp.dtype))
+        vp = vp.at[pf, i, rf].set(v.reshape(B * T, Hk, D).astype(vp.dtype))
+
+        kc = kp[tables, i].reshape(B, S, Hk, D)
+        vc = vp[tables, i].reshape(B, S, Hk, D)
+        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc, vc)
+        x = x + gemm_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
+                       sc.wo if sc else None)
+        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                  sc.w13 if sc else None, sc.w2 if sc else None,
+                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        return (x, kp, vp)
+
+    x, kp, vp = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
+    xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+    logits = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
+    return logits.reshape(B, T, -1), PagedKVPool(k=kp, v=vp)

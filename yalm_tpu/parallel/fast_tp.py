@@ -615,6 +615,122 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
 
 
 # ---------------------------------------------------------------------------
+# Batched verify chunk over dp x tp (scheduler speculation x mesh)
+# ---------------------------------------------------------------------------
+
+def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
+                              with_scales: bool = False):
+    """Build verify(fast_weights, tokens (B,T), pos0 (B,), enable (B,),
+    cache) -> (logits (B,T,V), cache): the scheduler-level speculative
+    verify sweep (models/fast.verify_chunk_fast_batched) with lanes sharded
+    on `dp` and heads/hidden on `tp`. One target weight-sweep scores every
+    lane's proposed chunk across the whole mesh — speculation COMPOSED with
+    tensor parallelism (nothing comparable in the reference,
+    src/main.cpp:102-112). Dense models only (spec-mode envelope); `ep`
+    must be 1."""
+    tp = mesh.shape["tp"]
+    ep = mesh.shape.get("ep", 1)
+    assert not cfg.is_moe and ep == 1, "spec verify x mesh: dense, ep=1"
+    assert fast_tp_supported(cfg, tp, ep)
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hq_l, Hk_l = Hq // tp, Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
+    V_l = cfg.vocab_size // tp
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
+    c_specs = cache_pspecs(cfg, batched=True)
+
+    def body(fw: FastWeights, tokens, pos0, enable, cache: KVCache):
+        B_l, T = tokens.shape
+        sc = fw.scales
+        p0 = jnp.where(enable != 0, pos0, 0)
+        positions = p0[:, None] + jnp.arange(T)[None, :]        # (B_l, T)
+        att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+
+        x = _embed_psum(fw.embed, tokens.reshape(-1), V_l,
+                        sc.embed if sc is not None else None)   # (B_l*T, dim)
+
+        def attend(q4, kc, vc):
+            scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
+                                kc.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) / math.sqrt(D)
+            att = jax.nn.softmax(
+                jnp.where(att_mask[:, None, None], scores, -1e30), axis=-1)
+            return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
+                              vc.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        def layer_body(i, carry):
+            x, k_all, v_all = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_att, i, keepdims=False), cfg.norm_eps)
+            qkv = gemm_l(xb, fw.wqkv, i,
+                         sc.wqkv if sc is not None else None)  # (B_l*T, local)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(
+                    fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv).reshape(B_l, T, -1)
+            rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_theta,
+                                                      cfg.rotary_dim))
+            q = rope_b(qkv[..., :q_l].reshape(B_l, T, Hq_l, D), positions)
+            k = rope_b(qkv[..., q_l:q_l + kv_l].reshape(B_l, T, Hk_l, D),
+                       positions)
+            v = qkv[..., q_l + kv_l:].reshape(B_l, T, Hk_l, D)
+
+            def dus_lane(cl, rows, s0, en):
+                old = jax.lax.dynamic_slice(cl, (s0, 0, 0), (T, Hk_l, D))
+                new = jnp.where(en, rows.astype(cl.dtype), old)
+                return jax.lax.dynamic_update_slice(cl, new, (s0, 0, 0))
+
+            en = (enable != 0)[:, None, None, None]
+            kc_i = jax.lax.dynamic_index_in_dim(k_all, i, axis=1,
+                                                keepdims=False)
+            vc_i = jax.lax.dynamic_index_in_dim(v_all, i, axis=1,
+                                                keepdims=False)
+            kc_i = jax.vmap(dus_lane)(kc_i, k, p0, en)
+            vc_i = jax.vmap(dus_lane)(vc_i, v, p0, en)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, kc_i[:, None].astype(k_all.dtype), (0, i, 0, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
+
+            mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc_i, vc_i)
+            x = x + jax.lax.psum(
+                gemm_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
+                       sc.wo if sc is not None else None), "tp")
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+            h13 = gemm_l(xb2, fw.w13, i,
+                         sc.w13 if sc is not None else None)
+            h = act(h13[:, :h_l]) * h13[:, h_l:]
+            x = x + jax.lax.psum(
+                gemm_l(h, fw.w2, i,
+                       sc.w2 if sc is not None else None), "tp")
+            return (x, k_all, v_all)
+
+        x, k_new, v_new = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+        xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        local = jax.lax.dot_general(
+            xn.astype(jnp.bfloat16), fw.lm_head.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if sc is not None:
+            local = local * sc.lm_head[None].astype(jnp.float32)
+        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        return logits.reshape(B_l, T, -1), KVCache(k=k_new, v=v_new)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(w_specs, P("dp"), P("dp"), P("dp"), c_specs),
+        out_specs=(P("dp"), c_specs),
+        check_vma=False,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Paged KV cache over the mesh (dp groups own pool shards; heads on tp)
 # ---------------------------------------------------------------------------
 #

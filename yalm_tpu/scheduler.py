@@ -132,9 +132,12 @@ class Scheduler:
         (models/fast.verify_chunk_fast_batched) — up to spec_k+1 tokens per
         target weight-sweep per lane, streams bit-identical to plain greedy
         decode. Greedy-only (temperature-0 requests), dense fast path,
-        single device, non-paged. Lanes near the window edge (or with
-        beyond-window prompts) fall back to plain ticks — the ring regime
-        cannot roll back a rejection.
+        single device. COMPOSES with the paged pool: the verify chunk
+        scatters rows through the page tables
+        (models/fast.verify_chunk_fast_batched_paged) and preempted lanes
+        re-hydrate their proposal source on resume. Lanes near the window
+        edge (or with beyond-window prompts) fall back to plain ticks —
+        the ring regime cannot roll back a rejection.
 
         spec_lookup=True is DRAFT-MODEL-FREE speculation (prompt lookup,
         spec.NgramHistory): each lane proposes the continuation of its
@@ -142,8 +145,11 @@ class Scheduler:
         batched target sweep verifies every proposing lane. Lanes with no
         n-gram match this round join the plain tick and stay eligible —
         worst case degrades to plain continuous batching plus a dict
-        lookup. Same greedy-only / dense / single-device envelope as
-        spec_draft; mutually exclusive with it."""
+        lookup. Greedy-only and dense like spec_draft (mutually exclusive
+        with it), but COMPOSES further: with the paged pool, and with the
+        dp x tp mesh (proposals are host-side, so only the verify sweep
+        shards — parallel/fast_tp.make_verify_chunk_fast_tp). mesh x paged
+        x spec is the one unsupported triple."""
         self.cfg = cfg
         self.mesh = mesh
         self.paged = paged_pages > 0
@@ -155,9 +161,18 @@ class Scheduler:
                              "exclusive proposal sources")
         self.spec = spec_draft is not None or self.spec_lookup
         self.spec_k = int(spec_k)
-        if self.spec and (self.paged or mesh is not None or cfg.is_moe):
-            raise ValueError("speculative scheduler mode: dense fast path, "
-                             "single device, non-paged")
+        if self.spec and cfg.is_moe:
+            raise ValueError("speculative scheduler mode: dense models only")
+        if self.spec and mesh is not None:
+            if not self.spec_lookup:
+                raise ValueError(
+                    "spec x mesh supports prompt-lookup proposals only (a "
+                    "draft model would need its own sharding); use "
+                    "spec_lookup=True")
+            if self.paged:
+                raise ValueError("spec x mesh x paged not supported yet")
+            if mesh.shape.get("ep", 1) != 1:
+                raise ValueError("spec x mesh needs ep=1 (dense)")
         if self.paged:
             if cfg.is_moe:
                 raise ValueError("paged cache: dense models only")
@@ -413,10 +428,33 @@ class Scheduler:
             # break the non-spec closures above
             from .models.fast import verify_chunk_fast_batched
 
-            @partial(jax.jit, donate_argnums=(4,))
-            def _verify(w, tokens, pos0, enable, cache):
-                return verify_chunk_fast_batched(cfg, w, tokens, pos0,
-                                                 enable, cache)
+            if mesh is not None:
+                # speculation COMPOSED with the mesh: one sharded target
+                # sweep (lanes on dp, heads/hidden on tp) verifies every
+                # lane's lookup proposals
+                from .parallel.fast_tp import make_verify_chunk_fast_tp
+                ws = getattr(weights, "scales", None) is not None
+                _vc_tp = make_verify_chunk_fast_tp(cfg, mesh, with_scales=ws)
+
+                @partial(jax.jit, donate_argnums=(4,))
+                def _verify(w, tokens, pos0, enable, cache):
+                    return _vc_tp(w, tokens, pos0, enable, cache)
+            elif self.paged:
+                # speculation COMPOSED with the paged pool: the verify
+                # chunk scatters rows through the page tables
+                from .models.fast import verify_chunk_fast_batched_paged
+                ps = page_size
+
+                @partial(jax.jit, donate_argnums=(4,))
+                def _verify(w, tokens, pos0, enable, pool, tables):
+                    return verify_chunk_fast_batched_paged(
+                        cfg, w, tokens, pos0, enable, pool, tables,
+                        page_size=ps)
+            else:
+                @partial(jax.jit, donate_argnums=(4,))
+                def _verify(w, tokens, pos0, enable, cache):
+                    return verify_chunk_fast_batched(cfg, w, tokens, pos0,
+                                                     enable, cache)
 
             self._verify = _verify
             self.spec_stats = {"rounds": 0, "accepted": 0, "proposed": 0}
@@ -525,6 +563,8 @@ class Scheduler:
             slot.admitting = True
             slot.pos = 0
             slot.admit_i = 0
+            slot.spec_ok = False  # set by _spec_hydrate when the prompt lands
+            slot.hist = None
             slot.seq = self._admit_seq = getattr(self, "_admit_seq", 0) + 1
             if req._resume is not None:
                 slot.admit_tokens, slot.last_token = req._resume
@@ -551,6 +591,8 @@ class Scheduler:
         self.alloc.release(b)
         slot.request = None
         slot.admitting = False
+        slot.spec_ok = False
+        slot.hist = None
         self.queue.insert(0, req)
 
     def _ensure_pages(self, b: int, target_len: int) -> bool:
@@ -620,10 +662,15 @@ class Scheduler:
     def _finish_resume(self, slot: _Slot) -> None:
         """End a preemption-resume re-hydration: the stream's tokens were
         all emitted before the preemption, so nothing is emitted here —
-        the lane just rejoins the batched decode at its old position."""
+        the lane just rejoins the batched decode at its old position. Spec
+        modes re-hydrate their proposal source (admit_tokens is exactly
+        prompt + generated[:-1] and last_token = generated[-1], so the
+        rebuilt history/draft cache matches the uninterrupted one)."""
         slot.admitting = False
         slot.resuming = False
         slot.request._resume = None
+        if self.spec:
+            self._spec_hydrate(slot)
         self._maybe_finish(slot, slot.last_token)
 
     def _hydrate_paged_lane(self, b: int, token: int, pos: int):
@@ -812,10 +859,14 @@ class Scheduler:
         if self.paged:
             # lazy growth at block boundaries: map the page the next write
             # lands in (ring regime needs none — the lane is fully mapped
-            # by the time pos reaches the window)
+            # by the time pos reaches the window). Spec-eligible lanes need
+            # the whole verify chunk's rows (pos .. pos+K) mapped.
+            window = self.cfg.max_seq_len
             for b, slot in enumerate(self.slots):
-                if slot.decoding and slot.pos < self.cfg.max_seq_len:
-                    self._ensure_pages(b, slot.pos + 1)
+                if slot.decoding and slot.pos < window:
+                    ahead = self.spec_k + 1 if (self.spec and slot.spec_ok) \
+                        else 1
+                    self._ensure_pages(b, min(window, slot.pos + ahead))
         if self.spec:
             self._spec_round()
             return sum(not s.free for s in self.slots)
@@ -910,9 +961,15 @@ class Scheduler:
                 for b in elig:
                     chunk[b, 0] = self.slots[b].last_token
                     chunk[b, 1:] = d[b, :K]
-            logits, self.cache = self._verify(
-                self.weights, jnp.asarray(chunk), jnp.asarray(positions),
-                jnp.asarray(write), self.cache)
+            if self.paged:
+                logits, self.cache = self._verify(
+                    self.weights, jnp.asarray(chunk), jnp.asarray(positions),
+                    jnp.asarray(write), self.cache,
+                    jnp.asarray(self.alloc.table_array()))
+            else:
+                logits, self.cache = self._verify(
+                    self.weights, jnp.asarray(chunk), jnp.asarray(positions),
+                    jnp.asarray(write), self.cache)
             t = np.asarray(jnp.argmax(logits, axis=-1))  # (B, K+1)
             self.spec_stats["rounds"] += 1
             for b in elig:
@@ -943,9 +1000,16 @@ class Scheduler:
                                  for b in range(self.B)], jnp.int32)
             zeros_f = jnp.zeros((self.B,), jnp.float32)
             zeros_i = jnp.zeros((self.B,), jnp.int32)
-            nxt, self.cache = self._tick(
-                self.weights, tokens, positions, self.cache, zeros_i,
-                zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
+            if self.paged:
+                nxt, _, self.cache = self._tick_paged(
+                    self.weights, tokens, positions, self.cache, zeros_i,
+                    zeros_f, write, zeros_i,
+                    jnp.ones((self.B,), jnp.float32),
+                    jnp.asarray(self.alloc.table_array()))
+            else:
+                nxt, self.cache = self._tick(
+                    self.weights, tokens, positions, self.cache, zeros_i,
+                    zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
             nxt = np.asarray(nxt)
             for b in plain:
                 s = self.slots[b]

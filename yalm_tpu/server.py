@@ -394,7 +394,8 @@ def main(argv=None) -> None:
                     help="serve with SCHEDULER-LEVEL speculative decoding: "
                          "this small draft checkpoint proposes --spec-k "
                          "tokens per lane per round, one batched target "
-                         "sweep verifies all lanes (greedy requests only)")
+                         "sweep verifies all lanes (greedy requests only; "
+                         "composes with --paged-pages)")
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--spec-lookup", action="store_true",
                     help="draft-model-free speculative decoding: per-lane "
@@ -402,7 +403,8 @@ def main(argv=None) -> None:
                          "tokens) proposes up to --spec-k tokens, one "
                          "batched target sweep verifies all lanes (greedy "
                          "requests only; biggest wins on input-grounded "
-                         "outputs that reuse prompt spans)")
+                         "outputs that reuse prompt spans; composes with "
+                         "--paged-pages OR --mesh)")
     ap.add_argument("--spec-ngram", type=int, default=3,
                     help="max n-gram size for --spec-lookup matching")
     ap.add_argument("--mesh", default=None, metavar="DP,EP,TP",

@@ -8,11 +8,11 @@ risk that was previously only exercised with synthetic vocabs: the
 converter's vocab decoding (gpt2 byte table, ▁->space, added tokens,
 NUL->BEL) and the trie's encode/decode against the real format.
 
-Encode parity with HF is asserted on every case where greedy longest-match
-agrees with true BPE (recorded at generation time). The reference's
-tokenizer IS greedy (src/tokenizer.cpp:57-94), so universal BPE agreement
-is not a property even the reference has; on the disagreeing cases we
-require exact byte round-trip instead.
+Encode parity with HF: the greedy trie (the reference's algorithm,
+src/tokenizer.cpp:57-94) is asserted on every case where greedy agrees
+with true BPE (recorded at generation time); the EXACT-BPE path (merge
+ranks via convert.load_merges -> "tokenizer.merges") is asserted equal to
+HF's ids on EVERY case, including the divergent ones.
 """
 
 import json
@@ -82,6 +82,52 @@ def test_encode_parity_and_roundtrip(style):
             assert tok.decode(ids, prev=0) == case["text"].encode("utf-8"), \
                 case["text"]
     assert n_exact >= 8  # the golden records broad agreement
+
+
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+def test_bpe_encode_exact_hf_parity(style):
+    """With merge ranks loaded (converter "tokenizer.merges" path), encode
+    must equal HF's ids on EVERY golden case — including the ones where
+    greedy longest-match diverges. This surpasses the reference, whose
+    tokenizer is greedy-only (src/tokenizer.cpp:57-94)."""
+    from yalm_tpu.convert import load_merges
+    vocab, golden = _load(style)
+    path = os.path.join(FIX, f"{style}_tokenizer.json")
+    merges, added, pretok = load_merges(path, vocab)
+    assert merges is not None and len(merges) > 100
+    tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000, merges=merges,
+                    added=added, pretok=pretok)
+    for case in golden["cases"]:
+        got = tok.encode(case["text"])
+        assert got == case["hf_ids"], (case["text"], got, case["hf_ids"])
+        # decode of the BPE ids reproduces HF's decode (HF may drop chars
+        # unrepresentable in the model vocab, so compare to ITS decode,
+        # not the input bytes)
+        assert tok.decode(got, prev=0).decode("utf-8", errors="replace") \
+            == case["hf_decoded"], case["text"]
+
+
+def test_bpe_through_checkpoint_roundtrip(tmp_path):
+    """merges/added/pretok survive the .yalm write -> read -> from_yalm
+    path and the loaded tokenizer still matches HF exactly."""
+    import numpy as np
+    from yalm_tpu.codec.format import read_yalm, write_yalm
+    from yalm_tpu.convert import load_merges, pack_tokens
+    vocab, golden = _load("llama_style")
+    path = os.path.join(FIX, "llama_style_tokenizer.json")
+    merges, added, pretok = load_merges(path, vocab)
+    out = str(tmp_path / "tok.yalm")
+    write_yalm(out, {"tokenizer.tokens": pack_tokens(vocab),
+                     "tokenizer.merges": merges,
+                     "tokenizer.added": added},
+               {"bos_token_id": "-1000", "eos_token_id": "-1000",
+                "tokenizer_pretok": pretok})
+    yf = read_yalm(out)
+    tok = Tokenizer.from_yalm(yf)
+    assert tok._ranks is not None
+    for case in golden["cases"]:
+        assert tok.encode(case["text"]) == case["hf_ids"], case["text"]
+    yf.close()
 
 
 def test_python_and_native_tries_agree():

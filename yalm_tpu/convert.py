@@ -138,6 +138,67 @@ def pack_tokens(tokens: list[bytes]) -> np.ndarray:
     return np.frombuffer(blob, dtype=np.uint8).copy()
 
 
+def load_merges(tokenizer_path: str, vocab: list[bytes]):
+    """Extract BPE merge ranks + added-token ids + the pre-tokenizer kind.
+
+    Returns (merges (M, 2) int32 | None, added (A,) int32, pretok str).
+    Merge pairs are mapped into VOCAB IDS through the same byte decoding as
+    load_tokens (gpt2 byte table or sentencepiece ▁->space, NUL->BEL), so
+    the runtime tokenizer can run EXACT rank-based BPE — matching HF
+    everywhere, not just where greedy longest-match agrees (the reference's
+    tokenizer is greedy-only, src/tokenizer.cpp:57-94; this surpasses it).
+    pretok: "metaspace:<scheme>" | "bytelevel" | "" (unknown -> the runtime
+    stays greedy)."""
+    with open(tokenizer_path, "r") as f:
+        tokenizer = json.load(f)
+    model = tokenizer["model"]
+    use_gpt2_bytes = not model.get("byte_fallback", False)
+    gpt2_decode = {v: k for k, v in gpt2_bytes_to_unicode().items()}
+
+    def to_bytes(t: str) -> bytes:
+        if use_gpt2_bytes:
+            b = bytes(gpt2_decode.get(c, 0) for c in t)
+        else:
+            b = t.replace("▁", " ").encode("utf-8")
+        return b.replace(b"\0", b"\7")
+
+    # lowest id wins on byte-string collisions (merge sides refer to the
+    # trained model vocab, which sits at the low ids)
+    piece_id: dict[bytes, int] = {}
+    for i, b in enumerate(vocab):
+        piece_id.setdefault(b, i)
+
+    merges = None
+    raw = model.get("merges")
+    if raw:
+        rows = []
+        for m in raw:
+            left, right = m if isinstance(m, (list, tuple)) else m.split(" ", 1)
+            li = piece_id.get(to_bytes(left))
+            ri = piece_id.get(to_bytes(right))
+            if li is None or ri is None \
+                    or piece_id.get(to_bytes(left) + to_bytes(right)) is None:
+                continue  # unrepresentable after byte mapping: skip the rank
+            rows.append((li, ri))
+        if rows:
+            merges = np.asarray(rows, np.int32)
+
+    added = np.asarray(
+        sorted(a["id"] for a in tokenizer.get("added_tokens", [])
+               if a["id"] < len(vocab)), np.int32)
+
+    pre = tokenizer.get("pre_tokenizer") or {}
+    kind = pre.get("type", "")
+    if kind == "Metaspace":
+        pretok = f"metaspace:{pre.get('prepend_scheme', 'always')}"
+    elif kind == "ByteLevel":
+        pretok = "bytelevel" + (":prefix" if pre.get("add_prefix_space")
+                                else "")
+    else:
+        pretok = ""
+    return merges, added, pretok
+
+
 def permute_reverse(w: np.ndarray, heads: int, rotary_dim: int) -> np.ndarray:
     """Undo HF's rotary half-split Q/K layout back to interleaved pairs.
 
@@ -273,9 +334,15 @@ def convert(hf_dir: str, output: str, dtype: str = "fp16") -> None:
         config = json.load(f)
     md = normalize_config(config, dtype)
     tokens = load_tokens(tokenizer_path, int(md["vocab_size"]))
+    merges, added, pretok = load_merges(tokenizer_path, tokens)
     tensors = load_weights(model_files, dtype, md, bool(config.get("tie_word_embeddings", False)))
-    # Tokenizer tensor goes last to keep model tensors aligned at the front.
+    # Tokenizer tensors go last to keep model tensors aligned at the front.
     tensors["tokenizer.tokens"] = pack_tokens(tokens)
+    if merges is not None:
+        tensors["tokenizer.merges"] = merges
+        md["tokenizer_pretok"] = pretok
+    if added.size:
+        tensors["tokenizer.added"] = added
     print(f"Saving {len(tensors)} tensors to {output} ...")
     write_yalm(output, tensors, md)
 

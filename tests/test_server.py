@@ -42,6 +42,27 @@ def test_health_and_models(server):
     assert data["data"][0]["id"] == "yalm-tpu"
 
 
+def test_metrics_endpoint(server):
+    """Prometheus-text /metrics: counters advance as requests complete."""
+    base, engine = server
+    _post(base + "/v1/completions",
+          {"prompt": "metrics probe", "max_tokens": 3, "temperature": 0.0})
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert "text/plain" in r.headers["Content-Type"]
+        text = r.read().decode()
+    vals = {}
+    for line in text.splitlines():
+        if line and not line.startswith("#"):
+            k, v = line.rsplit(" ", 1)
+            vals[k] = float(v)
+    assert vals["yalm_requests_total"] >= 1
+    assert vals["yalm_tokens_generated_total"] >= 3
+    assert vals["yalm_ticks_total"] >= 1
+    assert vals["yalm_requests_failed_total"] == 0
+    assert vals["yalm_batch_slots"] == engine.sched.B
+    assert vals["yalm_uptime_seconds"] > 0
+
+
 def test_completion(server):
     base, _ = server
     status, body = _post(base + "/v1/completions",

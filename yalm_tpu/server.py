@@ -59,6 +59,12 @@ class ServingEngine:
                                spec_ngram=spec_ngram)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
+        # serving counters for /metrics (observability beyond the
+        # reference, which prints per-run stats only, main.cpp:116-125)
+        self.metrics = {"requests_total": 0, "requests_failed_total": 0,
+                        "tokens_generated_total": 0, "ticks_total": 0,
+                        "recoveries_total": 0}
+        self._start_time = time.time()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._drive, daemon=True,
                                         name="yalm-scheduler")
@@ -117,6 +123,7 @@ class ServingEngine:
             try:
                 if self.sched.queue or self.sched.n_active:
                     self.sched.step()
+                    self.metrics["ticks_total"] += 1
                 elif not moved:
                     time.sleep(0.005)  # idle
             except Exception as e:  # noqa: BLE001 — the driver must survive
@@ -129,11 +136,16 @@ class ServingEngine:
                 import sys, traceback
                 traceback.print_exc(file=sys.stderr)
                 self.sched.recover(e)
+                self.metrics["recoveries_total"] += 1
             # completion sentinels (done is set by the scheduler after the
             # final token's on_token fired, so ordering here is safe)
             still = []
             for req, out_q in self._watch:
                 if req.done:
+                    self.metrics["requests_total"] += 1
+                    self.metrics["tokens_generated_total"] += len(req.generated)
+                    if req.error:
+                        self.metrics["requests_failed_total"] += 1
                     out_q.put(_SENTINEL)
                 else:
                     still.append((req, out_q))
@@ -214,6 +226,37 @@ def make_handler(engine: ServingEngine):
                 self._json(200, {"status": "ok",
                                  "active": engine.sched.n_active,
                                  "queued": len(engine.sched.queue)})
+            elif self.path == "/metrics":
+                # Prometheus text exposition: serving counters + gauges +
+                # speculation stats when a spec mode is on
+                m = engine.metrics
+                lines = []
+                for k, v in m.items():
+                    lines.append(f"# TYPE yalm_{k} counter")
+                    lines.append(f"yalm_{k} {v}")
+                for k, v in (("active_requests", engine.sched.n_active),
+                             ("queued_requests", len(engine.sched.queue)),
+                             ("batch_slots", engine.sched.B),
+                             ("uptime_seconds",
+                              round(time.time() - engine._start_time, 3))):
+                    lines.append(f"# TYPE yalm_{k} gauge")
+                    lines.append(f"yalm_{k} {v}")
+                if getattr(engine.sched, "spec", False):
+                    st = engine.sched.spec_stats
+                    for k in ("rounds", "accepted", "proposed"):
+                        lines.append(f"# TYPE yalm_spec_{k}_total counter")
+                        lines.append(f"yalm_spec_{k}_total {st.get(k, 0)}")
+                if getattr(engine.sched, "paged", False):
+                    al = engine.sched.alloc
+                    lines.append("# TYPE yalm_pages_free gauge")
+                    lines.append(f"yalm_pages_free {al.n_free}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/v1/models":
                 self._json(200, {"object": "list", "data": [{
                     "id": "yalm-tpu", "object": "model",

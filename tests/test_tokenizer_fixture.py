@@ -130,6 +130,31 @@ def test_bpe_through_checkpoint_roundtrip(tmp_path):
     yf.close()
 
 
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+def test_native_bpe_matches_python_and_hf(style):
+    """The C++ exact-BPE encoder must agree with both the Python reference
+    and HF's golden ids on every case (plus extra stress strings)."""
+    from yalm_tpu.convert import load_merges
+    vocab, golden = _load(style)
+    path = os.path.join(FIX, f"{style}_tokenizer.json")
+    merges, added, pretok = load_merges(path, vocab)
+    tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000, merges=merges,
+                    added=added, pretok=pretok)
+    if not tok._native_bpe:
+        pytest.skip("native BPE not built")
+    py = Tokenizer(vocab, bos_id=-1000, eos_id=-1000, merges=merges,
+                   added=added, pretok=pretok)
+    py._native_bpe = False
+    for case in golden["cases"]:
+        got = tok.encode(case["text"])
+        assert got == case["hf_ids"], (case["text"], got)
+        assert got == py.encode(case["text"]), case["text"]
+    for extra in ("it's the dog's    toy\n\nnew  lines", "½⅓⅔ numbers",
+                  "tab\tsep\tvals ", "  ", "\n", "mixed ÿ bytes",
+                  "double  space words", "<0x41> literal fallback piece"):
+        assert tok.encode(extra) == py.encode(extra), repr(extra)
+
+
 def test_python_and_native_tries_agree():
     vocab, golden = _load("llama_style")
     tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)

@@ -57,6 +57,17 @@ def _try_load() -> ctypes.CDLL | None:
     lib.yt_encode.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
                               ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
     lib.yt_encode.restype = ctypes.c_int64
+    try:
+        lib.yt_set_bpe.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_char_p]
+        lib.yt_set_bpe.restype = ctypes.c_int32
+        lib.yt_encode_bpe.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
+        lib.yt_encode_bpe.restype = ctypes.c_int64
+    except AttributeError:
+        pass  # stale .so without the BPE entry points: greedy still works
 
     _lib = lib
     return lib
@@ -164,4 +175,29 @@ class NativeTrie:
         n = self._lib.yt_encode(self._h, data, len(data), out, cap)
         if n < 0:
             raise RuntimeError("yt_encode capacity overflow")
+        return list(out[:n])
+
+    def set_bpe(self, merges, added, pretok: str) -> bool:
+        """Install merge ranks for exact-BPE encode. merges: (M, 2) int32;
+        added: (A,) int32; pretok: 'metaspace[:scheme]'|'bytelevel[:prefix]'.
+        Returns False when the loaded .so predates the BPE entry points."""
+        if not hasattr(self._lib, "yt_set_bpe"):
+            return False
+        m = np.ascontiguousarray(merges, np.int32)
+        a = np.ascontiguousarray(added if added is not None else [], np.int32)
+        self._m_keep, self._a_keep = m, a  # keep buffers alive
+        rc = self._lib.yt_set_bpe(
+            self._h, m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(m), a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(a), pretok.encode())
+        return rc == 0
+
+    def encode_bpe(self, data: bytes) -> list[int]:
+        cap = max(len(data) * 2, 16)
+        out = (ctypes.c_int32 * cap)()
+        n = self._lib.yt_encode_bpe(self._h, data, len(data), out, cap)
+        if n == -2:
+            raise RuntimeError("yt_encode_bpe before set_bpe")
+        if n < 0:
+            raise RuntimeError("yt_encode_bpe capacity overflow")
         return list(out[:n])

@@ -22,6 +22,10 @@
 #include <string>
 #include <vector>
 #include <memory>
+#include <algorithm>
+#include <unordered_map>
+
+#include "unicode_ln.h"
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -362,10 +366,23 @@ struct TrieNode {
   }
 };
 
+struct BpeState {
+  // (left_id << 32 | right_id) -> (rank, merged_id)
+  std::unordered_map<uint64_t, std::pair<int32_t, int32_t>> ranks;
+  std::unordered_map<std::string, int32_t> piece_id;  // lowest id wins
+  std::vector<std::pair<std::string, int32_t>> added;  // longest-first
+  int32_t byte_ids[256];
+  int pretok = 0;   // 0 none, 1 metaspace, 2 bytelevel
+  int prefix = 0;   // metaspace always/first | bytelevel add_prefix_space
+  bool fallback_ok = false;  // byte fallback usable in BPE mode
+};
+
 struct YtTokenizer {
   std::vector<TrieNode> nodes;   // nodes[0] is the root
+  std::vector<std::string> pieces;
   int32_t byte_fallback_start = -1;
   int32_t n_vocab = 0;
+  std::unique_ptr<BpeState> bpe;
 };
 
 extern "C" {
@@ -396,6 +413,8 @@ YtTokenizer* yt_create(const uint8_t* blob, int64_t blob_len) {
     if (len > 0) t->nodes[node].token_id = token_id;
     if (len == 6 && memcmp(blob + start, "<0x00>", 6) == 0)
       t->byte_fallback_start = token_id;
+    t->pieces.emplace_back(reinterpret_cast<const char*>(blob + start),
+                           (size_t)len);
     token_id++;
     i++;  // skip NUL
   }
@@ -443,6 +462,311 @@ int64_t yt_encode(YtTokenizer* t, const uint8_t* text, int64_t text_len,
     }
   }
   return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact rank-based BPE (parity with yalm_tpu/tokenizer.py's BPE path):
+// added-token extraction -> Metaspace / GPT-2 ByteLevel pre-tokenization ->
+// lowest-rank pair merging -> model-vocab-only byte fallback. The reference
+// tokenizer is greedy-only (src/tokenizer.cpp:57-94); this matches HF
+// `tokenizers` byte-for-byte.
+// ---------------------------------------------------------------------------
+
+namespace bpe {
+
+static bool in_ranges(uint32_t cp, const uint32_t (*ranges)[2], size_t n) {
+  size_t lo = 0, hi = n;
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (ranges[mid][1] < cp) lo = mid + 1;
+    else hi = mid;
+  }
+  return lo < n && ranges[lo][0] <= cp && cp <= ranges[lo][1];
+}
+
+static bool is_letter(uint32_t cp) {
+  return in_ranges(cp, kUnicodeLetterRanges, kUnicodeLetterRanges_len);
+}
+static bool is_number(uint32_t cp) {
+  return in_ranges(cp, kUnicodeNumberRanges, kUnicodeNumberRanges_len);
+}
+// Python str.isspace(): Zs plus bidi WS/B/S control characters.
+static bool is_space(uint32_t cp) {
+  return (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F) ||
+         cp == 0x20 || cp == 0x85 || cp == 0xA0 || cp == 0x1680 ||
+         (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 || cp == 0x2029 ||
+         cp == 0x202F || cp == 0x205F || cp == 0x3000;
+}
+
+// Decode one codepoint; invalid bytes come back as 0xDC00+byte (the lone
+// surrogates Python's surrogateescape produces), which classify as
+// non-letter/non-number/non-space — same as Python's category Cs.
+static uint32_t next_cp(const uint8_t* s, int64_t i, int64_t n, int* len) {
+  uint8_t b = s[i];
+  *len = 1;
+  if (b < 0x80) return b;
+  int need;
+  uint32_t cp;
+  if ((b & 0xE0) == 0xC0) { need = 1; cp = b & 0x1F; }
+  else if ((b & 0xF0) == 0xE0) { need = 2; cp = b & 0x0F; }
+  else if ((b & 0xF8) == 0xF0) { need = 3; cp = b & 0x07; }
+  else return 0xDC00u + b;
+  if (i + need >= n) return 0xDC00u + b;  // truncated sequence
+  for (int k = 1; k <= need; k++) {
+    if ((s[i + k] & 0xC0) != 0x80) return 0xDC00u + b;
+    cp = (cp << 6) | (s[i + k] & 0x3F);
+  }
+  // overlong / surrogate / out-of-range: surrogate-escape the lead byte
+  static const uint32_t mins[4] = {0, 0x80, 0x800, 0x10000};
+  if (cp < mins[need] || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+    return 0xDC00u + b;
+  *len = 1 + need;
+  return cp;
+}
+
+// GPT-2 ByteLevel regex over [s, s+n): appends (start, len) word spans.
+static void gpt2_pretok(const uint8_t* s, int64_t n,
+                        std::vector<std::pair<int64_t, int64_t>>* words) {
+  static const char* kContr[7] = {"'s", "'t", "'re", "'ve", "'m", "'ll", "'d"};
+  int64_t i = 0;
+  while (i < n) {
+    if (s[i] == '\'') {
+      bool hit = false;
+      for (const char* c : kContr) {
+        size_t cl = strlen(c);
+        if (i + (int64_t)cl <= n && memcmp(s + i, c, cl) == 0) {
+          words->push_back({i, (int64_t)cl});
+          i += cl;
+          hit = true;
+          break;
+        }
+      }
+      if (hit) continue;
+    }
+    int64_t j = i;
+    if (s[i] == ' ' && i + 1 < n) j = i + 1;
+    int cl;
+    uint32_t cp = j < n ? next_cp(s, j, n, &cl) : 0;
+    if (j < n && is_letter(cp)) {
+      int64_t k = j;
+      while (k < n) {
+        uint32_t c2 = next_cp(s, k, n, &cl);
+        if (!is_letter(c2)) break;
+        k += cl;
+      }
+      words->push_back({i, k - i});
+      i = k;
+      continue;
+    }
+    if (j < n && is_number(cp)) {
+      int64_t k = j;
+      while (k < n) {
+        uint32_t c2 = next_cp(s, k, n, &cl);
+        if (!is_number(c2)) break;
+        k += cl;
+      }
+      words->push_back({i, k - i});
+      i = k;
+      continue;
+    }
+    if (j < n && !is_space(cp)) {
+      int64_t k = j;
+      while (k < n) {
+        uint32_t c2 = next_cp(s, k, n, &cl);
+        if (is_space(c2) || is_letter(c2) || is_number(c2)) break;
+        k += cl;
+      }
+      words->push_back({i, k - i});
+      i = k;
+      continue;
+    }
+    // whitespace: \s+(?!\S) leaves the run's last char for the next token
+    int64_t k = i;
+    int64_t last_len = 1;
+    while (k < n) {
+      uint32_t c2 = next_cp(s, k, n, &cl);
+      if (!is_space(c2)) break;
+      last_len = cl;
+      k += cl;
+    }
+    if (k == n || k - i > last_len) {
+      int64_t stop = (k == n) ? k : k - last_len;
+      words->push_back({i, stop - i});
+      i = stop;
+    } else {
+      words->push_back({i, k - i});
+      i = k;
+    }
+  }
+}
+
+// Merge loop over one word; symbols are contiguous byte slices of `w`.
+static void encode_word(const YtTokenizer* t, const uint8_t* w, int64_t n,
+                        std::vector<int32_t>* out) {
+  const BpeState& st = *t->bpe;
+  struct Sym { int32_t id; int64_t start, len; };
+  std::vector<Sym> syms;
+  if (st.pretok == 2) {  // bytelevel: one symbol per byte
+    for (int64_t i = 0; i < n; i++)
+      syms.push_back({st.byte_ids[w[i]], i, 1});
+  } else {  // metaspace/sentencepiece lineage: one symbol per unicode char
+    int64_t i = 0;
+    while (i < n) {
+      int cl;
+      (void)next_cp(w, i, n, &cl);
+      std::string cb(reinterpret_cast<const char*>(w + i), (size_t)cl);
+      auto it = st.piece_id.find(cb);
+      syms.push_back({it == st.piece_id.end() ? -1 : it->second, i, cl});
+      i += cl;
+    }
+  }
+  while (syms.size() > 1) {
+    int best = -1;
+    int32_t best_rank = INT32_MAX;
+    int32_t best_out = -1;
+    for (size_t i = 0; i + 1 < syms.size(); i++) {
+      if (syms[i].id < 0 || syms[i + 1].id < 0) continue;
+      uint64_t key = ((uint64_t)(uint32_t)syms[i].id << 32) |
+                     (uint32_t)syms[i + 1].id;
+      auto it = st.ranks.find(key);
+      if (it != st.ranks.end() && it->second.first < best_rank) {
+        best_rank = it->second.first;
+        best_out = it->second.second;
+        best = (int)i;
+      }
+    }
+    if (best < 0) break;
+    syms[best].id = best_out;
+    syms[best].len += syms[best + 1].len;
+    syms.erase(syms.begin() + best + 1);
+  }
+  for (const Sym& s : syms) {
+    if (s.id >= 0) {
+      out->push_back(s.id);
+    } else if (st.fallback_ok) {
+      for (int64_t k = 0; k < s.len; k++)
+        out->push_back((int32_t)w[s.start + k] + t->byte_fallback_start);
+    }
+    // else: dropped (HF BPE with unk_token=None, added-only fallback block)
+  }
+}
+
+static void encode_segment(const YtTokenizer* t, const uint8_t* s, int64_t n,
+                           std::vector<int32_t>* out) {
+  const BpeState& st = *t->bpe;
+  std::string buf;
+  if (st.prefix && n > 0 && s[0] != ' ') {
+    buf.reserve(n + 1);
+    buf.push_back(' ');
+    buf.append(reinterpret_cast<const char*>(s), (size_t)n);
+    s = reinterpret_cast<const uint8_t*>(buf.data());
+    n = (int64_t)buf.size();
+  }
+  if (st.pretok == 1) {
+    // Metaspace split=true: every 0x20 starts a new piece (the replacement
+    // char merges with what follows)
+    int64_t start = 0;
+    for (int64_t i = 1; i <= n; i++) {
+      if (i == n || s[i] == ' ') {
+        if (i > start) encode_word(t, s + start, i - start, out);
+        start = i;
+      }
+    }
+  } else if (st.pretok == 2) {
+    std::vector<std::pair<int64_t, int64_t>> words;
+    gpt2_pretok(s, n, &words);
+    for (auto& wsp : words) encode_word(t, s + wsp.first, wsp.second, out);
+  } else if (n > 0) {
+    encode_word(t, s, n, out);
+  }
+}
+
+}  // namespace bpe
+
+extern "C" {
+
+// merges: n_merges (left_id, right_id) int32 pairs in rank order; added:
+// added-token ids; pretok: "metaspace[:scheme]" | "bytelevel[:prefix]" | "".
+// Returns 0 on success.
+int32_t yt_set_bpe(YtTokenizer* t, const int32_t* merges, int64_t n_merges,
+                   const int32_t* added, int64_t n_added,
+                   const char* pretok) {
+  auto st = std::make_unique<BpeState>();
+  for (int32_t i = 0; i < t->n_vocab; i++)
+    st->piece_id.emplace(t->pieces[i], i);  // emplace: lowest id wins
+  for (int64_t r = 0; r < n_merges; r++) {
+    int32_t li = merges[2 * r], ri = merges[2 * r + 1];
+    if (li < 0 || ri < 0 || li >= t->n_vocab || ri >= t->n_vocab) continue;
+    auto it = st->piece_id.find(t->pieces[li] + t->pieces[ri]);
+    if (it == st->piece_id.end()) continue;
+    uint64_t key = ((uint64_t)(uint32_t)li << 32) | (uint32_t)ri;
+    st->ranks.emplace(key, std::make_pair((int32_t)r, it->second));
+  }
+  bool fallback_added = false;
+  for (int64_t a = 0; a < n_added; a++) {
+    int32_t id = added[a];
+    if (id < 0 || id >= t->n_vocab) continue;
+    st->added.emplace_back(t->pieces[id], id);
+    if (id == t->byte_fallback_start) fallback_added = true;
+  }
+  std::stable_sort(st->added.begin(), st->added.end(),
+                   [](const auto& x, const auto& y) {
+                     return x.first.size() > y.first.size();
+                   });
+  st->fallback_ok = t->byte_fallback_start >= 0 && !fallback_added;
+  for (int b = 0; b < 256; b++) {
+    std::string s(1, (char)b);
+    auto it = st->piece_id.find(s);
+    st->byte_ids[b] = it == st->piece_id.end() ? -1 : it->second;
+  }
+  std::string p(pretok ? pretok : "");
+  if (p.rfind("metaspace", 0) == 0) {
+    st->pretok = 1;
+    st->prefix = (p.find(":always") != std::string::npos ||
+                  p.find(":first") != std::string::npos);
+  } else if (p.rfind("bytelevel", 0) == 0) {
+    st->pretok = 2;
+    st->prefix = p.find(":prefix") != std::string::npos;
+  }
+  t->bpe = std::move(st);
+  return 0;
+}
+
+// Exact-BPE encode; requires yt_set_bpe. Returns ids written or -1 on
+// capacity overflow.
+int64_t yt_encode_bpe(YtTokenizer* t, const uint8_t* text, int64_t text_len,
+                      int32_t* out, int64_t out_cap) {
+  if (!t->bpe) return -2;
+  const BpeState& st = *t->bpe;
+  std::vector<int32_t> ids;
+  ids.reserve((size_t)text_len + 8);
+  int64_t i = 0, start = 0;
+  while (i < text_len) {
+    const std::pair<std::string, int32_t>* hit = nullptr;
+    for (const auto& a : st.added) {  // longest-first
+      const std::string& p = a.first;
+      if (!p.empty() && i + (int64_t)p.size() <= text_len &&
+          memcmp(text + i, p.data(), p.size()) == 0) {
+        hit = &a;
+        break;
+      }
+    }
+    if (!hit) {
+      i++;
+      continue;
+    }
+    if (i > start) bpe::encode_segment(t, text + start, i - start, &ids);
+    ids.push_back(hit->second);
+    i += (int64_t)hit->first.size();
+    start = i;
+  }
+  if (start < text_len)
+    bpe::encode_segment(t, text + start, text_len - start, &ids);
+  if ((int64_t)ids.size() > out_cap) return -1;
+  memcpy(out, ids.data(), ids.size() * sizeof(int32_t));
+  return (int64_t)ids.size();
 }
 
 }  // extern "C"

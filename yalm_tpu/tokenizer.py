@@ -165,15 +165,22 @@ class Tokenizer:
             self._bpe_fallback = (self.byte_fallback_start >= 0
                                   and self.byte_fallback_start not in added_ids)
 
-        # native C++ trie accelerator (yalm_tpu/native), when built
+        # native C++ trie accelerator (yalm_tpu/native), when built; the
+        # BPE tables install alongside it for native exact-BPE encode
         self._native = None
+        self._native_bpe = False
         try:
             from . import native as _native_mod
             if _native_mod.loaded():
                 blob = b"".join(v + b"\0" for v in vocab)
                 self._native = _native_mod.NativeTrie(blob)
+                if self._ranks is not None:
+                    self._native_bpe = self._native.set_bpe(
+                        np.asarray(merges, np.int32),
+                        added, pretok)
         except Exception:
             self._native = None
+            self._native_bpe = False
 
     @classmethod
     def from_yalm(cls, yf) -> "Tokenizer":
@@ -197,6 +204,9 @@ class Tokenizer:
         if bos:
             out.append(self.bos_id)
         if self._ranks is not None:
+            if self._native_bpe:
+                out.extend(self._native.encode_bpe(data))
+                return out
             for seg, tid in self._split_added(data):
                 if tid is not None:
                     out.append(tid)

@@ -88,6 +88,15 @@ def build_cfg(preset: str, dtype: str):
             eos_token_id=2, rope_theta=1e6, rotary_dim=128, norm_eps=1e-5,
             act_type="silu", weight_dtype=dtype,
         )
+    if preset == "fasttiny":
+        # smallest fast-path-capable shapes (head_dim 128): smoke-tests any
+        # bench mode on CPU without the 7B footprint
+        return ModelConfig(
+            dim=256, hidden_dim=512, head_dim=128, n_layers=2, n_heads=4,
+            n_kv_heads=2, vocab_size=512, max_seq_len=256, bos_token_id=1,
+            eos_token_id=2, rope_theta=1e6, rotary_dim=128, norm_eps=1e-5,
+            act_type="silu", weight_dtype=dtype, qkv_clip=30.0,
+        )
     return ModelConfig(
         dim=1024, hidden_dim=4096, head_dim=64, n_layers=8, n_heads=16,
         n_kv_heads=8, vocab_size=32000, max_seq_len=4096, bos_token_id=1,
@@ -193,6 +202,8 @@ def main() -> None:
     pbatch = int(os.environ.get("YALM_BENCH_PAGED_BATCH", "0"))
     if pbatch:
         return bench_paged(cfg, weights, pbatch, steps, kv_dtype, kv)
+    if os.environ.get("YALM_BENCH_SPEC", "").startswith("sched"):
+        return bench_spec_sched(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_SPEC"):
         return bench_spec(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_PREFILL"):
@@ -369,14 +380,15 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
         # regime — summarization/code-edit outputs that reuse prompt text)
         draft = None
     else:
-        dcfg = dataclasses.replace(cfg, n_layers=4)
+        dl = min(4, cfg.n_layers)
+        dcfg = dataclasses.replace(cfg, n_layers=dl)
         draft_w = weights._replace(
-            rms_att=weights.rms_att[:4], rms_ffn=weights.rms_ffn[:4],
-            wqkv=weights.wqkv[:4], wo=weights.wo[:4],
-            w13=weights.w13[:4], w2=weights.w2[:4],
+            rms_att=weights.rms_att[:dl], rms_ffn=weights.rms_ffn[:dl],
+            wqkv=weights.wqkv[:dl], wo=weights.wo[:dl],
+            w13=weights.w13[:dl], w2=weights.w2[:dl],
             scales=None if weights.scales is None else weights.scales._replace(
-                wqkv=weights.scales.wqkv[:4], wo=weights.scales.wo[:4],
-                w13=weights.scales.w13[:4], w2=weights.scales.w2[:4]))
+                wqkv=weights.scales.wqkv[:dl], wo=weights.scales.wo[:dl],
+                w13=weights.scales.w13[:dl], w2=weights.scales.w2[:dl]))
         draft = Engine(dcfg, draft_w, kv_dtype=kv_dtype or jnp.bfloat16,
                        compute_dtype=jnp.bfloat16, fast=True)
 
@@ -435,6 +447,95 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
         "draft_layers": None if lookup else 4,
         "n_draft": K,
         "plain_steps": st.get("plain"),
+    }))
+
+
+def bench_spec_sched(cfg, weights, kv_dtype=None) -> None:
+    """SCHEDULER-level speculation throughput: B concurrent greedy lanes,
+    per-round either K+1 batched draft ticks (YALM_BENCH_SPEC=sched; draft
+    = target's first 4 layers) or per-lane prompt lookup
+    (YALM_BENCH_SPEC=sched-lookup), one batched verify sweep for all lanes.
+    Reference aggregate: the plain batched scheduler on the same requests.
+    The scheduler host loop syncs once per round; the tunnel's ~26 ms RTT
+    is measured in-run and subtracted for the corrected number."""
+    import dataclasses
+    import jax.numpy as jnp
+    from yalm_tpu.scheduler import Request, Scheduler
+
+    rtt = measure_rtt()
+    lookup = os.environ.get("YALM_BENCH_SPEC", "") == "sched-lookup"
+    B = int(os.environ.get("YALM_BENCH_SPEC_BATCH", "8"))
+    N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
+    K = int(os.environ.get("YALM_BENCH_SPEC_K", "4"))
+    kv = kv_dtype or jnp.bfloat16
+
+    kwargs = {}
+    if lookup:
+        kwargs["spec_lookup"] = True
+        prompt = [1, 7, 9] + [5, 11, 23, 42] * 8
+    else:
+        dl = min(4, cfg.n_layers)
+        dcfg = dataclasses.replace(cfg, n_layers=dl)
+        draft_w = weights._replace(
+            rms_att=weights.rms_att[:dl], rms_ffn=weights.rms_ffn[:dl],
+            wqkv=weights.wqkv[:dl], wo=weights.wo[:dl],
+            w13=weights.w13[:dl], w2=weights.w2[:dl],
+            scales=None if weights.scales is None else weights.scales._replace(
+                wqkv=weights.scales.wqkv[:dl], wo=weights.scales.wo[:dl],
+                w13=weights.scales.w13[:dl], w2=weights.scales.w2[:dl]))
+        kwargs["spec_draft"] = (dcfg, draft_w)
+        prompt = [1, 7, 9]
+
+    def reqs():
+        return [Request(prompt_tokens=list(prompt), max_new_tokens=N,
+                        temperature=0.0, seed=i) for i in range(B)]
+
+    def run(sched):
+        rs = reqs()
+        for r in rs:
+            sched.submit(r)
+        # warm the compiled programs on a throwaway pass, then reset: too
+        # expensive at 7B — instead time from the 2nd step; compile cost is
+        # measured separately below
+        t0 = time.perf_counter()
+        ticks = 0
+        while sched.queue or sched.n_active:
+            sched.step()
+            ticks += 1
+        dt = time.perf_counter() - t0
+        toks = sum(len(r.generated) for r in rs)
+        return toks, dt, ticks
+
+    sp = Scheduler(cfg, weights, batch=B, kv_dtype=kv, spec_k=K, **kwargs)
+    t0 = time.perf_counter()
+    toks, dt, ticks = run(sp)  # includes compiles; report the 2nd pass
+    log(f"spec-sched warm pass: {toks} toks in {dt:.1f}s (compiles included)")
+    sp.spec_stats.update(rounds=0, accepted=0, proposed=0)
+    toks, dt, ticks = run(sp)
+    st = sp.spec_stats
+    # one host sync per scheduler step rides the tunnel
+    dt_corr = max(dt - ticks * rtt, 1e-6)
+
+    plain = Scheduler(cfg, weights, batch=B, kv_dtype=kv)
+    run(plain)  # compile pass
+    ptoks, pdt, pticks = run(plain)
+    pdt_corr = max(pdt - pticks * rtt, 1e-6)
+
+    acc = st["accepted"] / max(st.get("proposed", 0), 1)
+    kind = "lookup" if lookup else "draft"
+    log(f"spec-sched[{kind}] B={B}: {toks} toks {toks/dt:.1f} tok/s wall "
+        f"({toks/dt_corr:.1f} rtt-corrected), acceptance {acc:.2f}, "
+        f"{st['rounds']} verify rounds; plain {ptoks/pdt_corr:.1f} tok/s")
+    print(json.dumps({
+        "metric": f"{cfg.weight_dtype}_spec_sched_{kind}_b{B}",
+        "value": round(toks / dt_corr, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks / dt_corr / BASELINE_TOK_S, 3),
+        "acceptance_rate": round(acc, 3),
+        "verify_rounds": st["rounds"],
+        "wall_tok_s": round(toks / dt, 2),
+        "plain_sched_tok_s": round(ptoks / pdt_corr, 2),
+        "batch": B, "n_draft": K,
     }))
 
 

@@ -24,6 +24,20 @@ MAX_SEQ_LEN_CLAMP = 4096
 SUPPORTED_DTYPES = ("fp32", "fp16", "bf16", "fp8", "int8")
 
 
+def _parse_rope_scale(md) -> tuple:
+    kind = md.get("rope_scaling", "")
+    if not kind:
+        return ()
+    if kind == "linear":
+        return ("linear", float(md["rope_factor"]))
+    if kind == "llama3":
+        return ("llama3", float(md["rope_factor"]),
+                float(md["rope_low_freq_factor"]),
+                float(md["rope_high_freq_factor"]),
+                int(md["rope_orig_ctx"]))
+    raise ValueError(f"unsupported rope_scaling {kind!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Typed model configuration (reference: src/model.h:41-68)."""
@@ -49,6 +63,12 @@ class ModelConfig:
     weight_dtype: str = "fp16"    # "fp32" | "fp16" | "bf16" | "fp8" | "int8"
     tie_word_embeddings: bool = False
     has_qkv_bias: bool = False    # Qwen2-style attention projection biases
+    # RoPE frequency scaling, as a HASHABLE static tuple threaded to every
+    # rope site (jit/kernel static arg): () = none; ("linear", factor);
+    # ("llama3", factor, low_freq_factor, high_freq_factor, orig_ctx) — the
+    # Llama-3.1 remap (ops/core.scale_inv_freq). The reference has no
+    # rope_scaling handling at all, so Llama-3.1+ mis-rotates there.
+    rope_scale: tuple = ()
 
     def __post_init__(self):
         if self.rotary_dim == 0:
@@ -61,6 +81,15 @@ class ModelConfig:
             raise ValueError(f"unsupported norm_type {self.norm_type!r}")
         if self.n_heads % max(self.n_kv_heads, 1) != 0:
             raise ValueError("n_heads must be a multiple of n_kv_heads")
+
+    @property
+    def rope_param(self):
+        """What every rope site passes as its static `theta`: the plain
+        float when unscaled, or the packed (kind, theta, *scaling) tuple —
+        ops/core.decode_rope_param unpacks it, rope_pair_freqs applies it."""
+        if not self.rope_scale:
+            return self.rope_theta
+        return (self.rope_scale[0], self.rope_theta) + self.rope_scale[1:]
 
     # -- derived sizes -----------------------------------------------------
     @property
@@ -108,6 +137,7 @@ class ModelConfig:
             weight_dtype=md["dtype"],
             tie_word_embeddings=md.get("tie_word_embeddings", "0") in ("1", "true", "True"),
             has_qkv_bias=md.get("has_qkv_bias", "0") in ("1", "true", "True"),
+            rope_scale=_parse_rope_scale(md),
         )
 
     def to_metadata(self) -> dict[str, str]:
@@ -138,6 +168,13 @@ class ModelConfig:
             md["tie_word_embeddings"] = "1"
         if self.has_qkv_bias:
             md["has_qkv_bias"] = "1"
+        if self.rope_scale:
+            md["rope_scaling"] = str(self.rope_scale[0])
+            md["rope_factor"] = str(self.rope_scale[1])
+            if self.rope_scale[0] == "llama3":
+                md["rope_low_freq_factor"] = str(self.rope_scale[2])
+                md["rope_high_freq_factor"] = str(self.rope_scale[3])
+                md["rope_orig_ctx"] = str(self.rope_scale[4])
         return md
 
     # -- analytic bandwidth model -----------------------------------------

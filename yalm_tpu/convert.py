@@ -85,6 +85,27 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
     if arch == "MixtralForCausalLM":
         md["n_experts"] = str(config["num_local_experts"])
         md["n_experts_active"] = str(config["num_experts_per_tok"])
+    rs = config.get("rope_scaling") or {}
+    if rs:
+        # Llama-3.1+ / long-context checkpoints declare a RoPE frequency
+        # remap; converting without it silently mis-rotates every position
+        # (the reference has no rope_scaling handling at all). Fail loudly
+        # on schemes we don't implement.
+        kind = rs.get("rope_type", rs.get("type", ""))
+        if kind == "llama3":
+            md["rope_scaling"] = "llama3"
+            md["rope_factor"] = str(rs["factor"])
+            md["rope_low_freq_factor"] = str(rs["low_freq_factor"])
+            md["rope_high_freq_factor"] = str(rs["high_freq_factor"])
+            md["rope_orig_ctx"] = str(rs["original_max_position_embeddings"])
+        elif kind == "linear":
+            md["rope_scaling"] = "linear"
+            md["rope_factor"] = str(rs["factor"])
+        elif kind in ("default", ""):
+            pass
+        else:
+            raise ValueError(f"unsupported rope_scaling type {kind!r} "
+                             f"(supported: llama3, linear)")
     return md
 
 

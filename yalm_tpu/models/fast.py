@@ -315,14 +315,14 @@ def decode_step_fast(
             v = qkv[cfg.q_dim + cfg.kv_dim:]
             # kernels rope internally; capture post-rope like the oracle
             rec["q"] = apply_rope(q.reshape(Hq, D), pos,
-                                  cfg.rope_theta, cfg.rotary_dim)
+                                  cfg.rope_param, cfg.rotary_dim)
             rec["k"] = apply_rope(k.reshape(Hk, D), pos,
-                                  cfg.rope_theta, cfg.rotary_dim)
+                                  cfg.rope_param, cfg.rotary_dim)
             rec["v"] = v.reshape(Hk, D)
             mixed, k_all, v_all = attend_step_l(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, jnp.int32(i), kv_pos, kv_len, kv_sink, pos,
-                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim)
             rec["att_mix"] = mixed.reshape(cfg.q_dim)
             x = gemv_l(rec["att_mix"], fw.wo, jnp.int32(i), residual=x,
@@ -375,7 +375,7 @@ def decode_step_fast(
             x, k_all, v_all = attn_block_l(
                 x, fw.rms_att, fw.wqkv, fw.wo, k_all, v_all, i,
                 kv_pos, kv_len, kv_sink, pos,
-                n_heads=Hq, kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                n_heads=Hq, kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
                 qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv,
                 scale_qkv=sc.wqkv if sc else None,
@@ -406,7 +406,7 @@ def decode_step_fast(
             mixed, k_all, v_all = attend_step_l(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
-                kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
+                kv_sinks=KV_SINKS, theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
             x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x,
                        scale=sc.wo if sc else None)
 
@@ -504,7 +504,7 @@ def decode_step_fast_batched(
         mixed, k_all, v_all = attend_step_batched_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             k_all, v_all, i, kv_pos, kv_len, kv_sink, positions, write_mask,
-            kv_sinks=KV_SINKS, theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
+            kv_sinks=KV_SINKS, theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
         x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
                        sc.wo if sc else None)
 
@@ -625,10 +625,10 @@ def prefill_fast(
                 qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
             q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
-                           cfg.rope_theta, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim)
             k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
                            .reshape(T, Hk, D), positions,
-                           cfg.rope_theta, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
             old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk, D))
@@ -677,8 +677,8 @@ def prefill_fast(
             k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
             v = qkv[:, cfg.q_dim + cfg.kv_dim:]
 
-            q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_theta, cfg.rotary_dim)
-            k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_theta, cfg.rotary_dim)
+            q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_param, cfg.rotary_dim)
+            k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_param, cfg.rotary_dim)
             v = v.reshape(T, Hk, D)
 
             old_k = jax.lax.dynamic_slice(kc, (pos0, 0, 0), (T, Hk, D))
@@ -809,7 +809,7 @@ def verify_chunk_fast_batched(
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
                                                      keepdims=False)
         qkv = clip(qkv).reshape(B, T, -1)
-        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_theta,
+        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
                                                   cfg.rotary_dim))
         q = rope_b(qkv[..., : cfg.q_dim].reshape(B, T, Hq, D), positions)
         k = rope_b(qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]
@@ -909,7 +909,7 @@ def decode_step_fast_batched_paged(
         mixed, kp, vp = attend_step_paged_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             kp, vp, tables, i, kv_pos, kv_len, kv_sink, positions, write_mask,
-            kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+            kv_sinks=KV_SINKS, theta=cfg.rope_param,
             rotary_dim=cfg.rotary_dim, window=L)
         x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
                        sc.wo if sc else None)
@@ -987,10 +987,10 @@ def prefill_fast_paged(
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
         qkv = clip(qkv)
         q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
-                       cfg.rope_theta, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim)
         k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
                        .reshape(T, Hk, D), positions,
-                       cfg.rope_theta, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim)
         v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
         old_k = jax.lax.dynamic_slice(kp, (page, i, row0, 0, 0),
@@ -1098,7 +1098,7 @@ def verify_chunk_fast_batched_paged(
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
                                                      keepdims=False)
         qkv = clip(qkv).reshape(B, T, -1)
-        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_theta,
+        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
                                                   cfg.rotary_dim))
         q = rope_b(qkv[..., : cfg.q_dim].reshape(B, T, Hq, D), positions)
         k = rope_b(qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]

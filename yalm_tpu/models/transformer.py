@@ -141,8 +141,8 @@ def decode_step(
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
         q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
-        q = apply_rope(q.reshape(cfg.n_heads, cfg.head_dim), pos, cfg.rope_theta, cfg.rotary_dim)
-        k = apply_rope(k.reshape(cfg.n_kv_heads, cfg.head_dim), pos, cfg.rope_theta, cfg.rotary_dim)
+        q = apply_rope(q.reshape(cfg.n_heads, cfg.head_dim), pos, cfg.rope_param, cfg.rotary_dim)
+        k = apply_rope(k.reshape(cfg.n_kv_heads, cfg.head_dim), pos, cfg.rope_param, cfg.rotary_dim)
         v = v.reshape(cfg.n_kv_heads, cfg.head_dim)
 
         kc = jax.lax.dynamic_update_slice(kc, k[None].astype(kc.dtype), (kv_pos, 0, 0))
@@ -156,7 +156,7 @@ def decode_step(
         # one exact application (no per-step cache-dtype round-trips).
         rot = jnp.maximum(pos - L + 1, 0)
         sink_rows = kc[:KV_SINKS].astype(jnp.float32)
-        rotated = rope_rotate_cached(sink_rows, cfg.rope_theta,
+        rotated = rope_rotate_cached(sink_rows, cfg.rope_param,
                                      cfg.rotary_dim, rot)
         sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
         k_view = jax.lax.dynamic_update_slice(
@@ -243,9 +243,9 @@ def prefill(
         q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
         q = apply_rope(q.reshape(T, cfg.n_heads, cfg.head_dim), positions,
-                       cfg.rope_theta, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim)
         k = apply_rope(k.reshape(T, cfg.n_kv_heads, cfg.head_dim), positions,
-                       cfg.rope_theta, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim)
         v = v.reshape(T, cfg.n_kv_heads, cfg.head_dim)
 
         # masked region write: only valid rows replace cache contents

@@ -26,26 +26,80 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return x * jax.lax.rsqrt(ms + eps) * weight.astype(jnp.float32)
 
 
-def _rope_angles(positions: jax.Array, head_dim: int, theta: float,
+def scale_inv_freq(freq: jax.Array, rope_scale: tuple) -> jax.Array:
+    """Apply a RoPE frequency-scaling scheme elementwise (static params).
+
+    rope_scale: () = none; ("linear", factor) = positional interpolation
+    (all frequencies divided by factor); ("llama3", factor, low_freq_factor,
+    high_freq_factor, orig_ctx) = the Llama-3.1 piecewise remap (HF
+    transformers `_compute_llama3_parameters`): long-wavelength pairs slow
+    by `factor`, short-wavelength pairs keep their frequency, the band
+    between interpolates smoothly. Neither the reference nor its converter
+    supports any scaling (no `rope_scaling` handling anywhere in
+    /root/reference), so Llama-3.1+ checkpoints would silently mis-rotate
+    there; here they convert and run exactly."""
+    if not rope_scale:
+        return freq
+    kind = rope_scale[0]
+    if kind == "linear":
+        return freq / rope_scale[1]
+    if kind == "llama3":
+        _, factor, lo_f, hi_f, orig = rope_scale
+        two_pi = 2.0 * jnp.pi
+        wavelen = two_pi / jnp.maximum(freq, 1e-30)
+        low_wl = orig / lo_f       # longest wavelength left untouched-ish
+        high_wl = orig / hi_f      # below this: high-frequency, unchanged
+        smooth = jnp.clip((orig / wavelen - lo_f) / (hi_f - lo_f), 0.0, 1.0)
+        scaled = (1.0 - smooth) * freq / factor + smooth * freq
+        out = jnp.where(wavelen > low_wl, freq / factor,
+                        jnp.where(wavelen < high_wl, freq, scaled))
+        return jnp.where(freq == 0.0, 0.0, out)
+    raise ValueError(f"unknown rope scaling {kind!r}")
+
+
+def decode_rope_param(theta) -> tuple[float, tuple]:
+    """`theta` at every rope site is a STATIC parameter that is either a
+    plain float (no scaling) or the packed tuple ModelConfig.rope_param =
+    (kind, theta, *scaling_params) — one hashable value threads the whole
+    scaling scheme through jit/Pallas static args with no extra plumbing."""
+    if isinstance(theta, tuple):
+        return float(theta[1]), (theta[0],) + tuple(theta[2:])
+    return float(theta), ()
+
+
+def rope_pair_freqs(theta, rotary_dim: int, j: jax.Array) -> jax.Array:
+    """Inverse frequencies for pair-start indices j (0, 2, 4, ...); j >=
+    rotary_dim pairs get frequency 0 (identity — partial rotary dims,
+    reference src/infer.cpp:200-213). Applies any packed scaling."""
+    th, scale = decode_rope_param(theta)
+    freq = jnp.where(j >= rotary_dim, 0.0,
+                     jnp.exp(-jnp.log(th) * j / rotary_dim))
+    return scale_inv_freq(freq, scale)
+
+
+def _rope_angles(positions: jax.Array, head_dim: int, theta,
                  rotary_dim: int) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables for interleaved-pair RoPE.
 
     Pair p rotates elements (2p, 2p+1) of each head by pos * theta^(-2p/rotary_dim);
     pairs with 2p >= rotary_dim get frequency 0 (identity), implementing
-    partial rotary dims (reference src/infer.cpp:200-213).
+    partial rotary dims (reference src/infer.cpp:200-213). `theta` may be
+    the packed ModelConfig.rope_param tuple (see decode_rope_param).
     """
     half = head_dim // 2
     j = 2.0 * jnp.arange(half, dtype=jnp.float32)          # first-element index of each pair
-    freq = jnp.where(j >= rotary_dim, 0.0, jnp.exp(-jnp.log(theta) * j / rotary_dim))
+    freq = rope_pair_freqs(theta, rotary_dim, j)
     val = positions.astype(jnp.float32)[..., None] * freq  # (..., half)
     return jnp.cos(val), jnp.sin(val)
 
 
-def apply_rope(x: jax.Array, positions: jax.Array, theta: float, rotary_dim: int) -> jax.Array:
+def apply_rope(x: jax.Array, positions: jax.Array, theta,
+               rotary_dim: int) -> jax.Array:
     """Interleaved RoPE on x[..., n_heads, head_dim] at positions[...].
 
     positions broadcasts against x's leading axes (scalar for single-token
-    decode, a vector for a prefill chunk).
+    decode, a vector for a prefill chunk). `theta` may be the packed
+    ModelConfig.rope_param tuple (frequency scaling rides along).
     """
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
@@ -59,7 +113,7 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float, rotary_dim: int
     return out.reshape(x.shape).astype(orig_dtype)
 
 
-def rope_rotate_cached(k_rows: jax.Array, theta: float, rotary_dim: int,
+def rope_rotate_cached(k_rows: jax.Array, theta, rotary_dim: int,
                        n=1) -> jax.Array:
     """Rotate cached sink-key rows forward by `n` positions (StreamingLLM).
 

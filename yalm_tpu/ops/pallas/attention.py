@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import rope_pair_freqs
 from .gemv import _bf16, _emulate
 
 _NEG_INF = -1e30
@@ -627,8 +628,7 @@ def _rot_lanes_ref(rows: jax.Array, theta: float, rotary_dim: int,
     D = rows.shape[-1]
     half = D // 2
     j = 2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
-    freq = jnp.where(j >= rotary_dim, 0.0,
-                     jnp.exp(-jnp.log(theta) * j / rotary_dim))
+    freq = rope_pair_freqs(theta, rotary_dim, j)
     ang = jnp.asarray(pos, jnp.float32) * freq
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     r = rows.reshape(*rows.shape[:-1], half, 2)
@@ -666,8 +666,7 @@ def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
     R, D = rows.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
     j = (lane - (lane % 2)).astype(jnp.float32)          # 2p per pair
-    freq = jnp.where(j >= rotary_dim, 0.0,
-                     jnp.exp(-jnp.log(theta) * j / rotary_dim))
+    freq = rope_pair_freqs(theta, rotary_dim, j)
     ang = jnp.asarray(pos, jnp.float32) * freq
     cos_full = jnp.cos(ang)
     sin_full = jnp.sin(ang)

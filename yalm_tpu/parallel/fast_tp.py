@@ -249,7 +249,7 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 delta, k_all, v_all = attn_block_l(
                     x, fw.rms_att, fw.wqkv, fw.wo, k_all, v_all, i,
                     kv_pos, kv_len, kv_sink, pos,
-                    n_heads=Hq_l, kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                    n_heads=Hq_l, kv_sinks=KV_SINKS, theta=cfg.rope_param,
                     rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
                     qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv,
                     add_residual=False,
@@ -271,7 +271,7 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
                     v.reshape(Hk_l, D), k_all, v_all,
                     i, kv_pos, kv_len, kv_sink, pos,
-                    kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                    kv_sinks=KV_SINKS, theta=cfg.rope_param,
                     rotary_dim=cfg.rotary_dim)
                 delta = gemv_l(mixed.reshape(q_l), fw.wo, i,
                                scale=sc.wo if sc is not None else None)
@@ -397,9 +397,9 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
             q = apply_rope(qkv[:, :q_l].reshape(T, Hq_l, D), positions,
-                           cfg.rope_theta, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim)
             k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T, Hk_l, D),
-                           positions, cfg.rope_theta, cfg.rotary_dim)
+                           positions, cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
 
             old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk_l, D))
@@ -555,7 +555,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), k_all, v_all, i,
                 kv_pos, kv_len, kv_sink, positions, write_mask,
-                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim)
             x = x + jax.lax.psum(
                 gemm_l(mixed.reshape(B_l, q_l), fw.wo, i,
@@ -673,7 +673,7 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv).reshape(B_l, T, -1)
-            rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_theta,
+            rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
                                                       cfg.rotary_dim))
             q = rope_b(qkv[..., :q_l].reshape(B_l, T, Hq_l, D), positions)
             k = rope_b(qkv[..., q_l:q_l + kv_l].reshape(B_l, T, Hk_l, D),
@@ -807,7 +807,7 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), kp, vp, tables, i,
                 kv_pos, kv_len, kv_sink, positions, write_mask,
-                kv_sinks=KV_SINKS, theta=cfg.rope_theta,
+                kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, window=L)
             x = x + jax.lax.psum(
                 gemm_l(mixed.reshape(B_l, q_l), fw.wo, i,
@@ -898,9 +898,9 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
             q = apply_rope(qkv[:, :q_l].reshape(T, Hq_l, D), positions,
-                           cfg.rope_theta, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim)
             k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T, Hk_l, D),
-                           positions, cfg.rope_theta, cfg.rotary_dim)
+                           positions, cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
 
             old_k = jax.lax.dynamic_slice(kp, (page, i, row0, 0, 0),

@@ -140,7 +140,7 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                     q.reshape(Bm, Hk, qpk, D), k.reshape(Bm, Hk, D),
                     v.reshape(Bm, Hk, D), kc, vc, i, kv_pos, kv_len,
                     kv_sink, pos_mb, wm, kv_sinks=KV_SINKS,
-                    theta=cfg.rope_theta, rotary_dim=cfg.rotary_dim)
+                    theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
                 x = x + gemm_l(mixed.reshape(Bm, cfg.q_dim), fw.wo, i,
                                sc.wo if sc else None)
                 x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,

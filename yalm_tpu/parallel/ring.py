@@ -130,9 +130,9 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
             q = apply_rope(qkv[:, :q_l].reshape(T_l, Hq_l, D), positions,
-                           cfg.rope_theta, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim)
             k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T_l, Hk_l, D),
-                           positions, cfg.rope_theta, cfg.rotary_dim)
+                           positions, cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, q_l + kv_l:].reshape(T_l, Hk_l, D)
             k_out = jax.lax.dynamic_update_slice(
                 k_out, k.astype(jnp.bfloat16)[None], (i, 0, 0, 0))

@@ -56,7 +56,7 @@ def test_vocab_parses_and_packs(style):
         assert len(singles) == 255 and b"\x00" not in singles
 
 
-@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style", "llama3_style"])
 def test_decode_matches_hf(style):
     vocab, golden = _load(style)
     tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)  # no BOS stripping
@@ -66,7 +66,7 @@ def test_decode_matches_hf(style):
         assert got.decode("utf-8", errors="replace") == want, case["text"]
 
 
-@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style", "llama3_style"])
 def test_encode_parity_and_roundtrip(style):
     vocab, golden = _load(style)
     tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)
@@ -84,7 +84,7 @@ def test_encode_parity_and_roundtrip(style):
     assert n_exact >= 8  # the golden records broad agreement
 
 
-@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style", "llama3_style"])
 def test_bpe_encode_exact_hf_parity(style):
     """With merge ranks loaded (converter "tokenizer.merges" path), encode
     must equal HF's ids on EVERY golden case — including the ones where
@@ -130,7 +130,7 @@ def test_bpe_through_checkpoint_roundtrip(tmp_path):
     yf.close()
 
 
-@pytest.mark.parametrize("style", ["llama_style", "gpt2_style"])
+@pytest.mark.parametrize("style", ["llama_style", "gpt2_style", "llama3_style"])
 def test_native_bpe_matches_python_and_hf(style):
     """The C++ exact-BPE encoder must agree with both the Python reference
     and HF's golden ids on every case (plus extra stress strings)."""

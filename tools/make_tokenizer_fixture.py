@@ -52,7 +52,20 @@ CASES = [
     "<|endoftext|> added token inline",
     "bytes outside vocab: ÿþ",
     "",
+    # llama3-regex discriminators: digit-triple chunking, case-insensitive
+    # contractions, newline-run handling, punct+newline coalescing
+    "numbers 123456 end",
+    "IT'S SHOUTING's test",
+    "line\r\n\r\nbreaks  mixed",
+    "dots...\n\nnext",
 ]
+
+# Meta's Llama-3 pre-tokenizer regex (public, tiktoken lineage): differs
+# from GPT-2's in case-insensitive contractions, an optional non-newline
+# prefix before letter runs, 1-3 digit chunks, and newline coalescing.
+LLAMA3_PAT = (r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+              r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+              r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
 
 
 def build_llama_style():
@@ -77,6 +90,28 @@ def build_llama_style():
 def build_gpt2_style():
     tok = Tokenizer(models.BPE(unk_token=None))
     tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=640,
+        special_tokens=["<|endoftext|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        show_progress=False,
+    )
+    tok.train_from_iterator(CORPUS, trainer)
+    return tok
+
+
+def build_llama3_style():
+    """Llama-3 pipeline: BPE + Sequence[Split(llama3 regex, isolated),
+    ByteLevel(use_regex=False)] — the tiktoken-style pre-tokenization Meta
+    ships in Llama-3's tokenizer.json."""
+    import tokenizers as tklib
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.Sequence([
+        pre_tokenizers.Split(pattern=tklib.Regex(LLAMA3_PAT),
+                             behavior="isolated", invert=False),
+        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False),
+    ])
     tok.decoder = decoders.ByteLevel()
     trainer = trainers.BpeTrainer(
         vocab_size=640,
@@ -123,7 +158,8 @@ def main():
     from yalm_tpu.convert import load_tokens
     golden = {}
     for name, builder in (("llama_style", build_llama_style),
-                          ("gpt2_style", build_gpt2_style)):
+                          ("gpt2_style", build_gpt2_style),
+                          ("llama3_style", build_llama3_style)):
         tok = builder()
         path = os.path.join(FIX, f"{name}_tokenizer.json")
         tok.save(path, pretty=True)

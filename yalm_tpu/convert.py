@@ -159,6 +159,14 @@ def pack_tokens(tokens: list[bytes]) -> np.ndarray:
     return np.frombuffer(blob, dtype=np.uint8).copy()
 
 
+# Meta's Llama-3 pre-tokenizer regex (public, tiktoken lineage); the
+# runtime implements exactly this scanner (tokenizer._llama3_pretok).
+LLAMA3_SPLIT_PATTERN = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|"
+    r"[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}{1,3}|"
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+
+
 def load_merges(tokenizer_path: str, vocab: list[bytes]):
     """Extract BPE merge ranks + added-token ids + the pre-tokenizer kind.
 
@@ -215,6 +223,20 @@ def load_merges(tokenizer_path: str, vocab: list[bytes]):
     elif kind == "ByteLevel":
         pretok = "bytelevel" + (":prefix" if pre.get("add_prefix_space")
                                 else "")
+    elif kind == "Sequence":
+        # Llama-3's pipeline: Split(tiktoken-style regex) then
+        # ByteLevel(use_regex=False). Recognize the exact public pattern;
+        # any other Sequence falls back to greedy encoding.
+        subs = pre.get("pretokenizers", [])
+        pat = ""
+        if subs and subs[0].get("type") == "Split":
+            p = subs[0].get("pattern", {})
+            pat = p.get("Regex", p.get("String", ""))
+        is_bytelevel_tail = (len(subs) == 2
+                             and subs[1].get("type") == "ByteLevel"
+                             and not subs[1].get("use_regex", True))
+        pretok = "llama3" if (is_bytelevel_tail
+                              and pat == LLAMA3_SPLIT_PATTERN) else ""
     else:
         pretok = ""
     return merges, added, pretok

@@ -602,13 +602,134 @@ static void gpt2_pretok(const uint8_t* s, int64_t n,
   }
 }
 
+// Llama-3 (tiktoken-lineage) pre-tokenizer regex — the Python twin is
+// tokenizer._llama3_pretok: case-insensitive contractions, ANY single
+// non-newline non-alnum char may prefix a letter run, digits chunk in
+// threes, punct swallows trailing newlines, newline runs coalesce.
+static void llama3_pretok(const uint8_t* s, int64_t n,
+                          std::vector<std::pair<int64_t, int64_t>>* words) {
+  static const char* kContr[7] = {"'s", "'t", "'re", "'ve", "'m", "'ll", "'d"};
+  auto is_nl = [](uint32_t cp) { return cp == '\r' || cp == '\n'; };
+  int64_t i = 0;
+  while (i < n) {
+    int cl0;
+    uint32_t c = next_cp(s, i, n, &cl0);
+    if (c == '\'' && i + 1 < n) {
+      bool hit = false;
+      for (const char* ct : kContr) {
+        size_t cln = strlen(ct);
+        if (i + (int64_t)cln > n) continue;
+        bool ok = true;
+        for (size_t q = 0; q < cln; q++) {
+          uint8_t b = s[i + q];
+          if (b >= 'A' && b <= 'Z') b += 32;  // ASCII lowercase
+          if (b != (uint8_t)ct[q]) { ok = false; break; }
+        }
+        if (ok) {
+          words->push_back({i, (int64_t)cln});
+          i += cln;
+          hit = true;
+          break;
+        }
+      }
+      if (hit) continue;
+    }
+    // [^\r\n\p{L}\p{N}]?\p{L}+ (greedy optional prefix first)
+    if (!is_nl(c) && !is_letter(c) && !is_number(c) && i + cl0 < n) {
+      int cl1;
+      uint32_t c1 = next_cp(s, i + cl0, n, &cl1);
+      if (is_letter(c1)) {
+        int64_t k = i + cl0;
+        while (k < n) {
+          int cl;
+          uint32_t c2 = next_cp(s, k, n, &cl);
+          if (!is_letter(c2)) break;
+          k += cl;
+        }
+        words->push_back({i, k - i});
+        i = k;
+        continue;
+      }
+    }
+    if (is_letter(c)) {
+      int64_t k = i;
+      while (k < n) {
+        int cl;
+        uint32_t c2 = next_cp(s, k, n, &cl);
+        if (!is_letter(c2)) break;
+        k += cl;
+      }
+      words->push_back({i, k - i});
+      i = k;
+      continue;
+    }
+    // \p{N}{1,3}
+    if (is_number(c)) {
+      int64_t k = i;
+      int count = 0;
+      while (k < n && count < 3) {
+        int cl;
+        uint32_t c2 = next_cp(s, k, n, &cl);
+        if (!is_number(c2)) break;
+        k += cl;
+        count++;
+      }
+      words->push_back({i, k - i});
+      i = k;
+      continue;
+    }
+    //  ?[^\s\p{L}\p{N}]+[\r\n]*
+    int64_t j = (c == ' ' && i + 1 < n) ? i + 1 : i;
+    if (j < n) {
+      int cl;
+      uint32_t cj = next_cp(s, j, n, &cl);
+      if (!is_space(cj) && !is_letter(cj) && !is_number(cj)) {
+        int64_t k = j;
+        while (k < n) {
+          uint32_t c2 = next_cp(s, k, n, &cl);
+          if (is_space(c2) || is_letter(c2) || is_number(c2)) break;
+          k += cl;
+        }
+        while (k < n && is_nl(s[k])) k++;
+        words->push_back({i, k - i});
+        i = k;
+        continue;
+      }
+    }
+    // \s*[\r\n]+ — ends right after the run's LAST newline char
+    int64_t k = i, last_nl_end = -1, last_len = 1;
+    while (k < n) {
+      int cl;
+      uint32_t c2 = next_cp(s, k, n, &cl);
+      if (!is_space(c2)) break;
+      if (is_nl(c2)) last_nl_end = k + cl;
+      last_len = cl;
+      k += cl;
+    }
+    if (last_nl_end >= 0) {
+      words->push_back({i, last_nl_end - i});
+      i = last_nl_end;
+      continue;
+    }
+    // \s+(?!\S) then \s+ (identical to the GPT-2 tail)
+    if (k == n || k - i > last_len) {
+      int64_t stop = (k == n) ? k : k - last_len;
+      words->push_back({i, stop - i});
+      i = stop;
+    } else {
+      words->push_back({i, k - i});
+      i = k;
+    }
+  }
+}
+
 // Merge loop over one word; symbols are contiguous byte slices of `w`.
 static void encode_word(const YtTokenizer* t, const uint8_t* w, int64_t n,
                         std::vector<int32_t>* out) {
   const BpeState& st = *t->bpe;
   struct Sym { int32_t id; int64_t start, len; };
   std::vector<Sym> syms;
-  if (st.pretok == 2) {  // bytelevel: one symbol per byte
+  if (st.pretok >= 2) {  // bytelevel/llama3: one symbol per byte
     for (int64_t i = 0; i < n; i++)
       syms.push_back({st.byte_ids[w[i]], i, 1});
   } else {  // metaspace/sentencepiece lineage: one symbol per unicode char
@@ -674,9 +795,10 @@ static void encode_segment(const YtTokenizer* t, const uint8_t* s, int64_t n,
         start = i;
       }
     }
-  } else if (st.pretok == 2) {
+  } else if (st.pretok == 2 || st.pretok == 3) {
     std::vector<std::pair<int64_t, int64_t>> words;
-    gpt2_pretok(s, n, &words);
+    if (st.pretok == 3) llama3_pretok(s, n, &words);
+    else gpt2_pretok(s, n, &words);
     for (auto& wsp : words) encode_word(t, s + wsp.first, wsp.second, out);
   } else if (n > 0) {
     encode_word(t, s, n, out);
@@ -729,6 +851,8 @@ int32_t yt_set_bpe(YtTokenizer* t, const int32_t* merges, int64_t n_merges,
   } else if (p.rfind("bytelevel", 0) == 0) {
     st->pretok = 2;
     st->prefix = p.find(":prefix") != std::string::npos;
+  } else if (p.rfind("llama3", 0) == 0) {
+    st->pretok = 3;
   }
   t->bpe = std::move(st);
   return 0;

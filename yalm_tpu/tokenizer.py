@@ -109,6 +109,92 @@ def split_vocab(tokens_blob: bytes) -> list[bytes]:
     return parts
 
 
+def _llama3_pretok(text: str) -> list[str]:
+    """The Llama-3 (tiktoken-lineage) pre-tokenizer regex, hand-rolled:
+    (?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|\\p{N}{1,3}|
+    ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|\\s+(?!\\S)|\\s+
+    Differences vs GPT-2: case-insensitive contractions, ANY single
+    non-newline non-alnum char may prefix a letter run, digits chunk in
+    threes, punct swallows trailing newlines, newline runs coalesce."""
+    def is_l(c):
+        return unicodedata.category(c).startswith("L")
+
+    def is_n(c):
+        return unicodedata.category(c).startswith("N")
+
+    def is_nl(c):
+        return c in "\r\n"
+
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'" and i + 1 < n:
+            low = text[i:i + 3].lower()
+            hit = next((s for s in _CONTRACTIONS if low.startswith(s)), None)
+            if hit:
+                out.append(text[i:i + len(hit)])
+                i += len(hit)
+                continue
+        # [^\r\n\p{L}\p{N}]?\p{L}+ — greedy optional prefix first
+        if not is_nl(c) and not is_l(c) and not is_n(c) and i + 1 < n \
+                and is_l(text[i + 1]):
+            k = i + 1
+            while k < n and is_l(text[k]):
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        if is_l(c):
+            k = i
+            while k < n and is_l(text[k]):
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        # \p{N}{1,3}
+        if is_n(c):
+            k = i
+            while k < n and k - i < 3 and is_n(text[k]):
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        #  ?[^\s\p{L}\p{N}]+[\r\n]*
+        j = i + 1 if (c == " " and i + 1 < n) else i
+        if j < n and not text[j].isspace() and not is_l(text[j]) \
+                and not is_n(text[j]):
+            k = j
+            while k < n and not text[k].isspace() and not is_l(text[k]) \
+                    and not is_n(text[k]):
+                k += 1
+            while k < n and is_nl(text[k]):
+                k += 1
+            out.append(text[i:k])
+            i = k
+            continue
+        # \s*[\r\n]+ — ends right after the run's LAST newline char
+        k = i
+        last_nl = -1
+        while k < n and text[k].isspace():
+            if is_nl(text[k]):
+                last_nl = k
+            k += 1
+        if last_nl >= 0:
+            out.append(text[i:last_nl + 1])
+            i = last_nl + 1
+            continue
+        # \s+(?!\S) then \s+ (identical to the GPT-2 tail)
+        if k == n or k - i > 1:
+            stop = k if k == n else k - 1
+            out.append(text[i:stop])
+            i = stop
+        else:
+            out.append(text[i:k])
+            i = k
+    return out
+
+
 class Tokenizer:
     def __init__(self, vocab: list[bytes], bos_id: int, eos_id: int,
                  merges: np.ndarray | None = None,
@@ -284,13 +370,14 @@ class Tokenizer:
             if seg[start:] or not words:
                 words.append(seg[start:])
             return [w for w in words if w]
-        if kind == "bytelevel":
+        if kind in ("bytelevel", "llama3"):
             text = seg.decode("utf-8", errors="surrogateescape")
             if self.pretok.endswith(":prefix") and text and \
                     not text.startswith(" "):
                 text = " " + text
+            scan = _llama3_pretok if kind == "llama3" else _gpt2_pretok
             return [w.encode("utf-8", errors="surrogateescape")
-                    for w in _gpt2_pretok(text)]
+                    for w in scan(text)]
         return [seg] if seg else []
 
     def _bpe_word(self, word: bytes) -> list[int]:
@@ -298,7 +385,7 @@ class Tokenizer:
         chars (metaspace/sentencepiece lineage) or single bytes (bytelevel);
         chars outside the vocab cannot merge and byte-fallback at the end."""
         syms: list[tuple[int | None, bytes]] = []
-        if self.pretok.startswith("bytelevel"):
+        if self.pretok.startswith(("bytelevel", "llama3")):
             for b in word:
                 syms.append((self._byte_ids[b], bytes([b])))
         else:

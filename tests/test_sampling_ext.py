@@ -135,6 +135,16 @@ def test_inst_render():
     assert out == "[INST] S\n\nu1 [/INST] a1[INST] u2 [/INST]"
 
 
+def test_llama3_render():
+    msgs = [{"role": "system", "content": "S"},
+            {"role": "user", "content": "hi"}]
+    out = render(msgs, "llama3")
+    assert out.startswith("<|begin_of_text|>")
+    assert "<|start_header_id|>system<|end_header_id|>\n\nS<|eot_id|>" in out
+    assert out.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    assert STOP_STRINGS["llama3"] == ("<|eot_id|>",)
+
+
 def test_chat_completions_endpoint(tmp_path):
     import threading
     from yalm_tpu.server import ServingEngine, serve

@@ -55,9 +55,24 @@ def render_inst(messages: Sequence[dict]) -> str:
     return "".join(out)
 
 
+def render_llama3(messages: Sequence[dict]) -> str:
+    """Llama-3 instruct convention: <|start_header_id|>role<|end_header_id|>
+    blocks separated by <|eot_id|>, ending with an open assistant header."""
+    parts = ["<|begin_of_text|>"]
+    for m in messages:
+        role = m.get("role", "user")
+        if role not in ROLES:
+            raise ValueError(f"unknown role {role!r}")
+        parts.append(f"<|start_header_id|>{role}<|end_header_id|>\n\n"
+                     f"{m.get('content', '')}<|eot_id|>")
+    parts.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    return "".join(parts)
+
+
 TEMPLATES = {
     "chatml": render_chatml,
     "inst": render_inst,
+    "llama3": render_llama3,
 }
 
 # text markers that end an assistant turn per template (checked as decoded
@@ -65,6 +80,7 @@ TEMPLATES = {
 STOP_STRINGS = {
     "chatml": ("<|im_end|>",),
     "inst": ("[INST]",),
+    "llama3": ("<|eot_id|>",),
 }
 
 

@@ -115,8 +115,10 @@ def _synth_fast_weights(cfg, seed=0):
     from yalm_tpu.models.fast import FastScales
 
     int8 = cfg.weight_dtype == "int8"
+    int4 = cfg.weight_dtype == "int4"
     wdt = {"fp32": jnp.float32, "fp16": jnp.float16, "bf16": jnp.bfloat16,
-           "fp8": jnp.float8_e5m2, "int8": jnp.int8}[cfg.weight_dtype]
+           "fp8": jnp.float8_e5m2, "int8": jnp.int8,
+           "int4": jnp.uint8}[cfg.weight_dtype]
     key = jax.random.PRNGKey(seed)
 
     def mk(k, *shape, scale=0.02):
@@ -132,6 +134,11 @@ def _synth_fast_weights(cfg, seed=0):
             if int8:
                 sub = jax.random.randint(jax.random.fold_in(tkey, c),
                                          (n,) + shape[1:], -127, 128, jnp.int8)
+            elif int4:
+                # random packed nibbles ARE random int4 weights
+                sub = jax.random.randint(
+                    jax.random.fold_in(tkey, c), (n,) + shape[1:], 0, 256,
+                    jnp.int32).astype(jnp.uint8)
             else:
                 sub = (jax.random.normal(jax.random.fold_in(tkey, c),
                                          (n,) + shape[1:], jnp.bfloat16)
@@ -141,6 +148,40 @@ def _synth_fast_weights(cfg, seed=0):
 
     nl = cfg.n_layers
     scales = None
+    if int4:
+        # layer weights: packed nibbles + group scales (G, N); embed/head
+        # stay int8 per-channel (mirrors the converter's int4 layout)
+        from yalm_tpu.ops.pallas.gemv import int4_group
+        d, h, q = cfg.dim, cfg.hidden_dim, cfg.q_dim
+        nqkv = q + 2 * cfg.kv_dim
+        s4 = jnp.float32(0.02 / 7.0)
+        s8 = jnp.float32(0.02 / 127.0)
+        scales = FastScales(
+            embed=jnp.full((cfg.vocab_size,), s8),
+            wqkv=jnp.full((nl, d // int4_group(d), nqkv), s4),
+            wo=jnp.full((nl, q // int4_group(q), d), s4),
+            w13=jnp.full((nl, d // int4_group(d), 2 * h), s4),
+            w2=jnp.full((nl, h // int4_group(h), d), s4),
+            lm_head=jnp.full((cfg.vocab_size,), s8),
+        )
+
+        def mk8(k, *shape):
+            sub = jax.random.randint(jax.random.fold_in(key, k), shape,
+                                     -127, 128, jnp.int8)
+            return sub
+
+        return FastWeights(
+            embed=mk8(9, cfg.vocab_size, d),
+            rms_att=jnp.ones((nl, d), jnp.float32),
+            rms_ffn=jnp.ones((nl, d), jnp.float32),
+            wqkv=mk(1, nl, nqkv, d // 2),
+            wo=mk(4, nl, d, q // 2),
+            w13=mk(5, nl, 2 * h, d // 2),
+            w2=mk(6, nl, d, h // 2),
+            final_norm=jnp.ones((d,), jnp.float32),
+            lm_head=mk8(10, cfg.vocab_size, d),
+            scales=scales,
+        )
     if int8:
         # per-row scales sized so dequantized weights match the float synth
         # magnitude (~N(0, 0.02))

@@ -21,7 +21,7 @@ KV_SINKS = 2
 # whose config advertises a huge max_position_embeddings (src/model.cpp:31-36).
 MAX_SEQ_LEN_CLAMP = 4096
 
-SUPPORTED_DTYPES = ("fp32", "fp16", "bf16", "fp8", "int8")
+SUPPORTED_DTYPES = ("fp32", "fp16", "bf16", "fp8", "int8", "int4")
 
 
 def _parse_rope_scale(md) -> tuple:
@@ -179,7 +179,10 @@ class ModelConfig:
 
     # -- analytic bandwidth model -----------------------------------------
     def weight_byte_size(self) -> int:
-        return {"fp32": 4, "fp16": 2, "bf16": 2, "fp8": 1, "int8": 1}[self.weight_dtype]
+        # int4 reports 1 here (embed/lm_head stay int8); active_bytes
+        # accounts the packed layer weights at 0.5 byte + group scales
+        return {"fp32": 4, "fp16": 2, "bf16": 2, "fp8": 1, "int8": 1,
+                "int4": 1}[self.weight_dtype]
 
     def active_bytes(self, pos: int, kv_bytes: int = 2) -> int:
         """Bytes a single decode step must touch at position `pos`.
@@ -189,16 +192,24 @@ class ModelConfig:
         GB/s stat from this.
         """
         ws = self.weight_byte_size()
+        if self.weight_dtype == "int4":
+            # packed nibbles (0.5 B/weight) + f32 group scales (1 per
+            # 512-group of input cols => params/128 bytes)
+            def lw(params: int) -> int:
+                return params // 2 + params // 128
+        else:
+            def lw(params: int) -> int:
+                return params * ws
         per_block = 0
         per_block += 2 * self.dim * 4                      # the two f32 norms
-        per_block += self.q_dim * self.dim * ws            # wq
-        per_block += 2 * self.kv_dim * self.dim * ws       # wk, wv
-        per_block += self.q_dim * self.dim * ws            # wo
+        per_block += lw(self.q_dim * self.dim)             # wq
+        per_block += lw(2 * self.kv_dim * self.dim)        # wk, wv
+        per_block += lw(self.q_dim * self.dim)             # wo
         if self.n_experts > 0:
-            per_block += self.n_experts * self.dim * ws
-            per_block += self.n_experts_active * 3 * self.dim * self.hidden_dim * ws
+            per_block += lw(self.n_experts * self.dim)
+            per_block += lw(self.n_experts_active * 3 * self.dim * self.hidden_dim)
         else:
-            per_block += 3 * self.dim * self.hidden_dim * ws
+            per_block += lw(3 * self.dim * self.hidden_dim)
         kv_len = min(self.max_seq_len, pos + 1)
         per_block += 2 * kv_len * self.kv_dim * kv_bytes   # K and V cache reads
 

@@ -22,7 +22,7 @@ Implemented with numpy + ml_dtypes only (no torch): HF shards are plain
 safetensors files our codec can read directly, and numpy casting is
 round-to-nearest-even like torch's.
 
-Usage: python -m yalm_tpu.convert --dtype {fp32,fp16,bf16,fp8,int8} out.yalm <hf_dir>
+Usage: python -m yalm_tpu.convert --dtype {fp32,fp16,bf16,fp8,int8,int4} out.yalm <hf_dir>
 """
 
 from __future__ import annotations
@@ -48,8 +48,9 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
     arch = config["architectures"][0]
     if arch not in SUPPORTED_ARCHITECTURES:
         raise ValueError(f"architecture {arch} not supported; must be one of {SUPPORTED_ARCHITECTURES}")
-    if dtype not in DTYPE_STR_TO_TAG:
-        raise ValueError(f"dtype {dtype} not supported; must be one of {list(DTYPE_STR_TO_TAG)}")
+    if dtype not in DTYPE_STR_TO_TAG and dtype != "int4":
+        raise ValueError(f"dtype {dtype} not supported; must be one of "
+                         f"{list(DTYPE_STR_TO_TAG) + ['int4']}")
 
     head_dim = config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"]
     if config.get("hidden_act") not in ("gelu", "silu"):
@@ -272,13 +273,17 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             assert k not in weights, f"duplicate tensor {k}"
             weights[k] = v
 
-    target = np_dtype_for(DTYPE_STR_TO_TAG[dtype_str])
+    int8 = dtype_str == "int8"
+    int4 = dtype_str == "int4"
+    target = (np.int8 if int4
+              else np_dtype_for(DTYPE_STR_TO_TAG[dtype_str]))
     n_layers = int(md["n_layers"])
     rotary_dim = int(md["rotary_dim"])
     n_heads = int(md["n_heads"])
     n_kv_heads = int(md["n_kv_heads"])
     is_moe = "n_experts" in md
-    int8 = dtype_str == "int8"
+    if int4 and is_moe:
+        raise ValueError("int4 weights: dense models only (use int8 for MoE)")
 
     def quant8(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         '''Symmetric per-output-channel int8: rows are output channels.'''
@@ -300,14 +305,33 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
     tensors: dict[str, np.ndarray] = {}
 
     def put(name: str, t: np.ndarray) -> None:
-        if int8:
+        """Layer projection weights: int4 = planar-packed nibbles +
+        per-group scales (half the bytes of int8; AWQ/GPTQ-class group-wise
+        quantization — the reference's deepest real dtype is f16,
+        SURVEY.md §2.5)."""
+        if int4:
+            from .ops.pallas.gemv import pack_int4
+            q, gs = pack_int4(np.asarray(t, np.float32))
+            tensors[name] = q
+            tensors[name + ".gscale"] = gs
+        elif int8:
             q, sc = quant8(t)
             tensors[name] = q
             tensors[name + ".scale"] = sc
         else:
             tensors[name] = conv(t)
 
-    put("model.embed.weight", weights["model.embed_tokens.weight"])
+    def put_head(name: str, t: np.ndarray) -> None:
+        """Embedding / LM head: int4 checkpoints keep these int8
+        per-channel (row gathers can't address packed nibbles)."""
+        if int8 or int4:
+            q, sc = quant8(t)
+            tensors[name] = q
+            tensors[name + ".scale"] = sc
+        else:
+            tensors[name] = conv(t)
+
+    put_head("model.embed.weight", weights["model.embed_tokens.weight"])
 
     for l in range(n_layers):
         p = f"model.layers.{l}"
@@ -354,7 +378,7 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
 
     tensors["model.norm.weight"] = f32(weights["model.norm.weight"])
     if not tie_word_embeddings:
-        put("model.output.weight", weights["lm_head.weight"])
+        put_head("model.output.weight", weights["lm_head.weight"])
     # (tied embeddings: the loader falls back to model.embed.weight, like
     #  reference src/model.cpp:371-373)
     return tensors
@@ -394,7 +418,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("output", type=str)
     ap.add_argument("input", type=str, help="HuggingFace model directory")
-    ap.add_argument("--dtype", type=str, default="fp16", choices=list(DTYPE_STR_TO_TAG))
+    ap.add_argument("--dtype", type=str, default="fp16", choices=list(DTYPE_STR_TO_TAG) + ["int4"])
     args = ap.parse_args()
     convert(args.input, args.output, args.dtype)
 

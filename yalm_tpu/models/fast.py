@@ -41,8 +41,9 @@ from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
 from ..ops.core import moe_gate
 from ..ops.pallas.block import attn_block_l, attn_block_supported
 from ..ops.pallas.ffn import ffn_l
-from ..ops.pallas.gemv import (gemm, gemm_l, gemm_le, gemv, gemv_l,
-                               gemv_le, gemv_supported)
+from ..ops.pallas.gemv import (gemm, gemm4_l, gemm_l, gemm_le, gemv,
+                               gemv4_l, gemv_l, gemv_le, gemv_supported,
+                               int4_supported)
 from .cache import KVCache
 from .weights import Weights
 
@@ -158,6 +159,69 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
             shard_major([get(f.format(l), s) for f, s in fmts_shapes], tp, axis)
             for l in range(cfg.n_layers)])
 
+    if "model.layers.0.attn.wq.weight.gscale" in t:
+        # int4 checkpoint: layer weights are planar-packed nibbles with
+        # per-group scales (ops/pallas/gemv.pack_int4); embed/lm_head stay
+        # int8 per-channel. The fast path dispatches these to the
+        # group-scale kernels (gemm4_l) — half the weight HBM of int8/fp8.
+        if tp != 1:
+            raise ValueError("int4 weights: tensor-parallel sharding not "
+                             "supported yet (use int8/fp8 for TP)")
+        if cfg.is_moe:
+            raise ValueError("int4 weights: dense models only")
+        from ..ops.pallas.gemv import int4_group
+        Gd, Gh = d // int4_group(d), h // int4_group(h)
+        embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
+        lm = (device_put(get("model.output.weight", (cfg.vocab_size, d)))
+              if "model.output.weight" in t else embed)
+        semb = device_put(get("model.embed.weight.scale", (cfg.vocab_size,)))
+        slm = (device_put(get("model.output.weight.scale", (cfg.vocab_size,)))
+               if "model.output.weight.scale" in t else semb)
+        bqkv = None
+        if cfg.has_qkv_bias:
+            bqkv = device_put(stack_cat(
+                [("model.layers.{}.attn.wq.bias", (q,)),
+                 ("model.layers.{}.attn.wk.bias", (kd,)),
+                 ("model.layers.{}.attn.wv.bias", (kd,))]))
+        return FastWeights(
+            embed=embed,
+            bqkv=bqkv,
+            rms_att=device_put(stack("model.layers.{}.attn.norm.weight", (d,))),
+            rms_ffn=device_put(stack("model.layers.{}.mlp.norm.weight", (d,))),
+            wqkv=device_put(stack_cat(
+                [("model.layers.{}.attn.wq.weight", (q, d // 2)),
+                 ("model.layers.{}.attn.wk.weight", (kd, d // 2)),
+                 ("model.layers.{}.attn.wv.weight", (kd, d // 2))])),
+            wo=device_put(stack("model.layers.{}.attn.wo.weight", (d, q // 2))),
+            w13=device_put(stack_cat(
+                [("model.layers.{}.mlp.w1.weight", (h, d // 2)),
+                 ("model.layers.{}.mlp.w3.weight", (h, d // 2))])),
+            w2=device_put(stack("model.layers.{}.mlp.w2.weight", (d, h // 2))),
+            final_norm=device_put(get("model.norm.weight", (d,))),
+            lm_head=lm,
+            moegate=None,
+            scales=FastScales(
+                embed=semb,
+                # group scales are (G, N): concat along the N axis mirrors
+                # the packed weights' row concat
+                wqkv=device_put(stack_cat(
+                    [("model.layers.{}.attn.wq.weight.gscale", (Gd, q)),
+                     ("model.layers.{}.attn.wk.weight.gscale", (Gd, kd)),
+                     ("model.layers.{}.attn.wv.weight.gscale", (Gd, kd))],
+                    axis=1)),
+                wo=device_put(stack(
+                    "model.layers.{}.attn.wo.weight.gscale",
+                    (q // int4_group(q), d))),
+                w13=device_put(stack_cat(
+                    [("model.layers.{}.mlp.w1.weight.gscale", (Gd, h)),
+                     ("model.layers.{}.mlp.w3.weight.gscale", (Gd, h))],
+                    axis=1)),
+                w2=device_put(stack(
+                    "model.layers.{}.mlp.w2.weight.gscale", (Gh, d))),
+                lm_head=slm,
+            ),
+        )
+
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
     lm = (device_put(get("model.output.weight", (cfg.vocab_size, d)))
           if "model.output.weight" in t else embed)
@@ -228,6 +292,43 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
     )
 
 
+def is_int4(w: jax.Array) -> bool:
+    """Packed int4 weights ride uint8 arrays with HALVED trailing dim; the
+    matching FastScales fields hold per-GROUP scales (L, G, N) instead of
+    per-channel (L, N) — see ops/pallas/gemv.pack_int4."""
+    return w.dtype == jnp.uint8
+
+
+def _proj_l(x2d, w_all, layer, scale):
+    """Layer-indexed projection dispatch: packed-int4 weights take the
+    group-scale kernel, everything else the standard fused-dequant GEMM."""
+    if is_int4(w_all):
+        return gemm4_l(x2d, w_all, layer, scale)
+    return gemm_l(x2d, w_all, layer, scale)
+
+
+def _proj1_l(x1d, w_all, layer, scale):
+    if is_int4(w_all):
+        return gemv4_l(x1d, w_all, layer, scale)
+    return gemv_l(x1d, w_all, layer, scale=scale)
+
+
+def _ffn2_l(x2d, fw, layer, sc, cfg):
+    """Dense FFN dispatch for the chunk/batched paths: the fused ffn_l
+    kernel normally; explicit norm + two group-scale projections for
+    packed int4 (half the weight bytes beats the lost fusion)."""
+    if is_int4(fw.w13):
+        act = silu if cfg.act_type == "silu" else gelu
+        xb2 = rmsnorm(x2d, jax.lax.dynamic_index_in_dim(
+            fw.rms_ffn, layer, keepdims=False), cfg.norm_eps)
+        h13 = _proj_l(xb2, fw.w13, layer, sc.w13 if sc else None)
+        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+        return x2d + _proj_l(h, fw.w2, layer, sc.w2 if sc else None)
+    return ffn_l(x2d, fw.rms_ffn, fw.w13, fw.w2, layer,
+                 sc.w13 if sc else None, sc.w2 if sc else None,
+                 norm_eps=cfg.norm_eps, act=cfg.act_type)
+
+
 def quant_kv_supported(cfg: ModelConfig) -> bool:
     """Whether the fp8 (1-byte) KV cache works on REAL TPU kernels: packed
     sub-byte tiling is (4, 128) over the cache's (Hk, D) minor dims, and
@@ -248,6 +349,12 @@ def fast_supported(cfg: ModelConfig) -> bool:
     ]
     if cfg.is_moe:
         pairs.append((cfg.n_experts, cfg.dim))
+    if cfg.weight_dtype == "int4":
+        if cfg.is_moe:
+            return False
+        # layer projections take the packed group-scale kernels (K % 256)
+        if not all(int4_supported(n, k) for n, k in pairs[:4]):
+            return False
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
 
 
@@ -361,10 +468,14 @@ def decode_step_fast(
     # the fused-rmsnorm variant needs full-K weight blocks (pick_blocks gives
     # them for every realistic dim; fall back to the separate op otherwise)
     from ..ops.pallas.gemv import pick_blocks
-    fuse_norm = pick_blocks(fw.wqkv.shape[1], cfg.dim,
-                            fw.wqkv.dtype.itemsize)[1] == cfg.dim
+    int4 = is_int4(fw.wqkv)
+    fuse_norm = not int4 and pick_blocks(fw.wqkv.shape[1], cfg.dim,
+                                         fw.wqkv.dtype.itemsize)[1] == cfg.dim
     # the fully-fused attention block (norm + wqkv + attention + wo +
-    # residual in ONE kernel) brings a dense layer to 2 launches
+    # residual in ONE kernel) brings a dense layer to 2 launches. Packed
+    # int4 takes the unfused projection sequence (the group-scale kernel
+    # has no norm/residual fusions) — its weight stream is HALF the bytes,
+    # which outweighs the lost fusions on this bandwidth-bound path.
     use_block = fuse_norm and attn_block_supported(cfg, fw.wqkv.dtype.itemsize)
 
     def layer_body(i, carry):
@@ -390,7 +501,7 @@ def decode_step_fast(
             else:
                 xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                              cfg.norm_eps)
-                qkv = gemv_l(xb, fw.wqkv, i, scale=sc.wqkv if sc else None)
+                qkv = _proj1_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
@@ -407,8 +518,12 @@ def decode_step_fast(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
                 kv_sinks=KV_SINKS, theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
-            x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x,
-                       scale=sc.wo if sc else None)
+            if int4:
+                x = x + _proj1_l(mixed.reshape(cfg.q_dim), fw.wo, i,
+                                 sc.wo if sc else None)
+            else:
+                x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x,
+                           scale=sc.wo if sc else None)
 
         # -- FFN --------------------------------------------------------------
         if fuse_norm and not cfg.is_moe:
@@ -432,9 +547,9 @@ def decode_step_fast(
                 x = x + gates[j] * gemv_le(h, fw.w2, i, idx[j],
                                            sc.w2 if sc else None)
         else:
-            h13 = gemv_l(xb2, fw.w13, i, scale=sc.w13 if sc else None)
+            h13 = _proj1_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-            x = x + gemv_l(h, fw.w2, i, scale=sc.w2 if sc else None)
+            x = x + _proj1_l(h, fw.w2, i, sc.w2 if sc else None)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -493,7 +608,7 @@ def decode_step_fast_batched(
         x, k_all, v_all = carry
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                      cfg.norm_eps)
-        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (B, q+2kv)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (B, q+2kv)
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
         qkv = clip(qkv)
@@ -505,8 +620,8 @@ def decode_step_fast_batched(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             k_all, v_all, i, kv_pos, kv_len, kv_sink, positions, write_mask,
             kv_sinks=KV_SINKS, theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
-        x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
-                       sc.wo if sc else None)
+        x = x + _proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
+                        sc.wo if sc else None)
 
         if cfg.is_moe:
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
@@ -527,6 +642,12 @@ def decode_step_fast_batched(
                 delta = delta + gate_e[:, None] * gemm_le(
                     h, fw.w2, i, e, sc.w2 if sc else None)
             x = x + delta
+        elif is_int4(fw.w13):
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+            h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
+            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+            x = x + _proj_l(h, fw.w2, i, sc.w2 if sc else None)
         else:
             # one fused kernel for the whole batched FFN (norm + w13 + GLU
             # + w2 + residual), weight stream shared by all lanes
@@ -620,7 +741,7 @@ def prefill_fast(
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                          cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (T, q+2kv)
+            qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (T, q+2kv)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
@@ -646,14 +767,14 @@ def prefill_fast(
             kc = jax.lax.dynamic_slice(k_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
             vc = jax.lax.dynamic_slice(v_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
             mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
-            x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
-                           sc.wo if sc else None)
+            x = x + _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                            sc.wo if sc else None)
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                           cfg.norm_eps)
-            h13 = gemm_l(xb2, fw.w13, i, sc.w13 if sc else None)
+            h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + gemm_l(h, fw.w2, i, sc.w2 if sc else None)
+            x = x + _proj_l(h, fw.w2, i, sc.w2 if sc else None)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -804,7 +925,7 @@ def verify_chunk_fast_batched(
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i,
                                                      keepdims=False),
                      cfg.norm_eps)
-        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)   # (B*T, ...)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)   # (B*T, ...)
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
                                                      keepdims=False)
@@ -836,11 +957,9 @@ def verify_chunk_fast_batched(
             v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
 
         mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i, vc_i)
-        x = x + gemm_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
-                       sc.wo if sc else None)
-        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                  sc.w13 if sc else None, sc.w2 if sc else None,
-                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        x = x + _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
+                        sc.wo if sc else None)
+        x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -898,7 +1017,7 @@ def decode_step_fast_batched_paged(
         x, kp, vp = carry
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                      cfg.norm_eps)
-        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
         qkv = clip(qkv)
@@ -911,11 +1030,9 @@ def decode_step_fast_batched_paged(
             kp, vp, tables, i, kv_pos, kv_len, kv_sink, positions, write_mask,
             kv_sinks=KV_SINKS, theta=cfg.rope_param,
             rotary_dim=cfg.rotary_dim, window=L)
-        x = x + gemm_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
-                       sc.wo if sc else None)
-        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                  sc.w13 if sc else None, sc.w2 if sc else None,
-                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        x = x + _proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
+                        sc.wo if sc else None)
+        x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(
@@ -982,7 +1099,7 @@ def prefill_fast_paged(
         x, kp, vp = carry
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
                      cfg.norm_eps)
-        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
         qkv = clip(qkv)
@@ -1009,11 +1126,9 @@ def prefill_fast_paged(
         kc = kp[table_b, i].reshape(S, Hk, D)
         vc = vp[table_b, i].reshape(S, Hk, D)
         mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
-        x = x + gemm_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
-                       sc.wo if sc else None)
-        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                  sc.w13 if sc else None, sc.w2 if sc else None,
-                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        x = x + _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                        sc.wo if sc else None)
+        x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(
@@ -1093,7 +1208,7 @@ def verify_chunk_fast_batched_paged(
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i,
                                                      keepdims=False),
                      cfg.norm_eps)
-        qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
                                                      keepdims=False)
@@ -1115,11 +1230,9 @@ def verify_chunk_fast_batched_paged(
         kc = kp[tables, i].reshape(B, S, Hk, D)
         vc = vp[tables, i].reshape(B, S, Hk, D)
         mixed = attend(q.reshape(B, T, Hk, qpk, D), kc, vc)
-        x = x + gemm_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
-                       sc.wo if sc else None)
-        x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                  sc.w13 if sc else None, sc.w2 if sc else None,
-                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+        x = x + _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
+                        sc.wo if sc else None)
+        x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(

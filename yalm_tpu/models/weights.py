@@ -111,6 +111,14 @@ def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weig
         # the source of seemingly-random segfaults and garbage weights.
         # (Stacked tensors are implicitly copied by np.stack; this covers
         # the directly-loaded ones.)
+        gs = t.get(name + ".gscale")
+        if gs is not None:
+            # int4 checkpoints: planar-packed nibbles + per-group scales;
+            # the oracle dequantizes at load (exact f32), the fast loader
+            # keeps packed bytes + scales (load_fast_weights)
+            from ..ops.pallas.gemv import unpack_int4
+            return _expect(
+                unpack_int4(t[name], gs).astype(np.float32), shape, name)
         arr = _expect(t[name], shape, name)
         sc = t.get(name + ".scale")
         if sc is not None:

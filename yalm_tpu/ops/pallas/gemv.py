@@ -515,6 +515,188 @@ def gemm(x: jax.Array, w: jax.Array, scale: jax.Array | None = None, *,
                   interpret=interpret)
 
 
+# ---------------------------------------------------------------------------
+# int4 weights: planar-packed nibbles + per-group dequant scales
+# ---------------------------------------------------------------------------
+#
+# Two int4 values pack per byte PLANAR WITHIN EACH GROUP of `group` unpacked
+# columns: byte t of a group holds (col t) in its low nibble and (col t +
+# group/2) in its high nibble, values offset-8 (0..15 = -8..7). Unpacking is
+# then two bitwise ops yielding two CONTIGUOUS half-tiles whose dots against
+# the matching x halves sum to the group's partial product — no lane
+# interleave anywhere (Mosaic rejects pair-split lane reshapes). Each
+# k-grid step covers exactly one group, so the group's dequant scale
+# multiplies the f32 partial before accumulation:
+#     y[n] = sum_g s[n, g] * sum_{k in g} x[k] * q[n, k]
+# Weight HBM traffic halves vs int8/fp8 — decode is weight-bandwidth-bound,
+# so this is the deepest quantization the GEMV path offers (AWQ/GPTQ-class
+# group-wise int4; the reference's deepest real dtype is f16, §2.5).
+
+def int4_group(K: int) -> int:
+    """Group width: 512 unpacked cols when possible (256-lane packed
+    blocks), 256 otherwise. K must be a multiple of 256."""
+    return 512 if K % 512 == 0 else 256
+
+
+def int4_supported(N: int, K: int) -> bool:
+    return K % 256 == 0 and (N % 128 == 0 or N <= 512)
+
+
+def pack_int4(w, group: int = 0):
+    """Quantize float weights (..., N, K) to planar-packed int4.
+
+    Returns (packed uint8 (..., N, K//2), scales f32 (..., G, N)) with
+    G = K // group; scales are GROUP-major so kernels can block them
+    (1, block_n) per (group, n-tile) step. Symmetric per-(row, group):
+    s = max|w| / 7, q = clip(round(w/s), -8, 7) stored offset-8."""
+    import numpy as np
+    w = np.asarray(w, np.float32)
+    K = w.shape[-1]
+    group = group or int4_group(K)
+    G, H = K // group, group // 2
+    wg = w.reshape(*w.shape[:-1], G, group)
+    s = np.abs(wg).max(axis=-1) / 7.0                    # (..., N, G)
+    s = np.maximum(s, 1e-12)
+    q = np.clip(np.rint(wg / s[..., None]), -8, 7).astype(np.int8) + 8
+    lo, hi = q[..., :H], q[..., H:]                      # (..., N, G, H)
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    packed = packed.reshape(*w.shape[:-1], K // 2)
+    scales = np.moveaxis(s, -1, -2).copy()               # (..., G, N)
+    return packed, np.ascontiguousarray(scales, dtype=np.float32)
+
+
+def unpack_int4(packed, scales, group: int = 0):
+    """Dequantize back to f32 (..., N, K) — loader/oracle path."""
+    import numpy as np
+    packed = np.asarray(packed)
+    K = packed.shape[-1] * 2
+    group = group or int4_group(K)
+    G, H = K // group, group // 2
+    p = packed.reshape(*packed.shape[:-1], G, H)
+    lo = (p & 0xF).astype(np.float32) - 8.0
+    hi = (p >> 4).astype(np.float32) - 8.0
+    q = np.concatenate([lo, hi], axis=-1)                # (..., N, G, group)
+    s = np.moveaxis(np.asarray(scales, np.float32), -1, -2)  # (..., N, G)
+    return (q * s[..., None]).reshape(*packed.shape[:-1], K)
+
+
+def _gemm4_ref(x, w4, gs, group: int) -> jax.Array:
+    """jnp emulation with the kernel's exact numerics: per-group bf16 dots,
+    f32 accumulation, group scale on the f32 partial."""
+    B, K = x.shape
+    N = w4.shape[0]
+    G, H = K // group, group // 2
+    p = w4.reshape(N, G, H)
+    lo = ((p & 0xF).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+    hi = ((p >> 4).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+    q = jnp.concatenate([lo, hi], axis=-1)               # (N, G, group)
+    xg = x.reshape(B, G, group).astype(jnp.bfloat16)
+    parts = jnp.einsum("bgk,ngk->bgn", xg, q,
+                       preferred_element_type=jnp.float32)
+    return jnp.einsum("bgn,gn->bn", parts, gs.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
+            gscale: jax.Array, *,
+            interpret: bool | None = None) -> jax.Array:
+    """y[B, N] = x[B, K] @ dequant4(W4_all[layer])^T — layer-indexed
+    batched GEMV over PACKED int4 weights (L, N, K//2) with group scales
+    (L, G, N). Same scalar-prefetch steering as gemm_l; weight tiles DMA
+    HALF the bytes of int8/fp8."""
+    B, K2 = x.shape[0], w4_all.shape[-1]
+    K = 2 * K2
+    L, N = w4_all.shape[0], w4_all.shape[1]
+    assert x.shape == (B, K), (x.shape, w4_all.shape)
+    group = int4_group(K)
+    G, Hp = K // group, group // 2
+    assert gscale.shape == (L, G, N), (gscale.shape, (L, G, N))
+    if interpret is None and _emulate():
+        w4 = jax.lax.dynamic_index_in_dim(w4_all, layer, keepdims=False)
+        gs = jax.lax.dynamic_index_in_dim(gscale, layer, keepdims=False)
+        return _gemm4_ref(x.astype(jnp.float32), w4, gs, group)
+    if interpret is None:
+        interpret = False
+    import os
+    tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 2 << 20))
+    block_n = _best_divisor(N, target=max(128, min(N, tile_bytes // Hp)),
+                            align=128)
+    n_n, n_k = N // block_n, G
+
+    def kern(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        w = w_ref[0]                                     # (bn, Hp) uint8
+        lo = ((w & 0xF).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+        hi = ((w >> 4).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+        xb = x_ref[...]                                  # (B, group) f32
+        x_lo = xb[:, :Hp].astype(jnp.bfloat16)
+        x_hi = xb[:, Hp:].astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            x_lo, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part += jax.lax.dot_general(
+            x_hi, hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] += part * s_ref[0]                  # (1, bn) group scale
+
+        @pl.when(j == n_k - 1)
+        def _():
+            o_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((B, group), lambda i, j, l: (0, j)),
+            pl.BlockSpec((1, block_n, Hp), lambda i, j, l: (l[0], i, j)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j, l: (l[0], j, i)),
+        ],
+        out_specs=pl.BlockSpec((B, block_n), lambda i, j, l: (0, i)),
+        scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K2 + B * (K + N) * 4 + G * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      x.astype(jnp.float32), w4_all, gscale.astype(jnp.float32))
+
+
+def gemv4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
+            gscale: jax.Array, *,
+            interpret: bool | None = None) -> jax.Array:
+    """Single-token int4 GEMV (x (K,) -> y (N,))."""
+    return gemm4_l(x.reshape(1, -1), w4_all, layer, gscale,
+                   interpret=interpret).reshape(-1)
+
+
+def gemm4(x: jax.Array, w4: jax.Array, gscale: jax.Array, *,
+          interpret: bool | None = None) -> jax.Array:
+    """2-D packed weights (N, K//2), scales (G, N) — e.g. the LM head."""
+    return gemm4_l(x, w4[None], jnp.int32(0), gscale[None],
+                   interpret=interpret)
+
+
+def gemv4(x: jax.Array, w4: jax.Array, gscale: jax.Array, *,
+          interpret: bool | None = None) -> jax.Array:
+    return gemm4(x.reshape(1, -1), w4, gscale,
+                 interpret=interpret).reshape(-1)
+
+
 def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:
     """Choose (block_n, block_k) dividing (N, K).
 

@@ -57,13 +57,20 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
     """Write a random-but-deterministic `.yalm` checkpoint for `cfg`."""
     rng = np.random.default_rng(seed)
     int8 = cfg.weight_dtype == "int8"
-    wdt = np_dtype_for(DTYPE_STR_TO_TAG[cfg.weight_dtype])
+    int4 = cfg.weight_dtype == "int4"
+    wdt = (np.int8 if int4
+           else np_dtype_for(DTYPE_STR_TO_TAG[cfg.weight_dtype]))
 
-    def w(*shape, scale=None):
+    def w(*shape, scale=None, head=False):
         if scale is None:
             scale = 1.0 / np.sqrt(shape[-1])
         f = rng.standard_normal(shape, dtype=np.float32) * scale
-        if int8 and len(shape) > 1:
+        if int4 and len(shape) > 1 and not head:
+            from ..ops.pallas.gemv import pack_int4
+            q, gs = pack_int4(f)
+            w._pending_gscale = gs
+            return q
+        if (int8 or (int4 and head)) and len(shape) > 1:
             s = np.abs(f).max(axis=-1) / 127.0
             s = np.where(s == 0.0, 1.0, s).astype(np.float32)
             q = np.clip(np.rint(f / s[..., None]), -127, 127).astype(np.int8)
@@ -77,9 +84,12 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
         if getattr(w, "_pending_scale", None) is not None:
             tensors[name + ".scale"] = w._pending_scale
             w._pending_scale = None
+        if getattr(w, "_pending_gscale", None) is not None:
+            tensors[name + ".gscale"] = w._pending_gscale
+            w._pending_gscale = None
 
     tensors: dict[str, np.ndarray] = {}
-    put(tensors, "model.embed.weight", w(cfg.vocab_size, cfg.dim, scale=0.02))
+    put(tensors, "model.embed.weight", w(cfg.vocab_size, cfg.dim, scale=0.02, head=True))
     for l in range(cfg.n_layers):
         p = f"model.layers.{l}"
         tensors[f"{p}.attn.norm.weight"] = np.ones(cfg.dim, np.float32)
@@ -103,7 +113,7 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
             put(tensors, f"{p}.mlp.w3.weight", w(cfg.hidden_dim, cfg.dim))
     tensors["model.norm.weight"] = np.ones(cfg.dim, np.float32)
     if not cfg.tie_word_embeddings:
-        put(tensors, "model.output.weight", w(cfg.vocab_size, cfg.dim, scale=0.02))
+        put(tensors, "model.output.weight", w(cfg.vocab_size, cfg.dim, scale=0.02, head=True))
 
     vocab = vocab if vocab is not None else synth_vocab(cfg.vocab_size)
     blob = b"".join(t.replace(b"\0", b"\7") + b"\0" for t in vocab)

@@ -46,7 +46,7 @@ def main() -> int:
                 qkv_clip=30.0)
 
     # --- dtype sweep through the single-stream fast engine ---------------
-    for wdt in ("fp32", "fp16", "bf16", "fp8", "int8"):
+    for wdt in ("fp32", "fp16", "bf16", "fp8", "int8", "int4"):
         cfg = tiny_config(**base, weight_dtype=wdt)
         path = f"{tmp}/{wdt}.yalm"
         synth_checkpoint(path, cfg, seed=0)
@@ -217,6 +217,52 @@ def main() -> int:
                                                       np.max(np.abs(a - b)))
                 assert int(a.argmax()) == int(b.argmax()), fast.pos
     check("window-edge decode w/ lazy sinks == oracle [bf16]", run_window_edge)
+
+    # --- int4: packed nibble unpack + group scales on real Mosaic --------
+    def run_int4_logits():
+        # teacher-forced logit parity vs the oracle's load-time dequant:
+        # catches Mosaic lowering bugs in the bitwise unpack / group-scale
+        # accumulate, not just crashes
+        cfg = tiny_config(**base, weight_dtype="int4")
+        p = f"{tmp}/int4.yalm"
+        synth_checkpoint(p, cfg, seed=12)
+        fast = Engine.from_checkpoint(p, fast=True)
+        orac = Engine.from_checkpoint(p, fast=False, kv_dtype=jnp.bfloat16,
+                                      compute_dtype=jnp.bfloat16)
+        assert fast.fast
+        rng = np.random.default_rng(0)
+        toks = [1, 7] + list(rng.integers(3, cfg.vocab_size, 12))
+        fast.prefill_tokens(toks[:2])
+        orac.prefill_tokens(toks[:2])
+        for i in range(2, len(toks)):
+            lf, fast.cache = fast._step_logits(
+                fast.weights, jnp.int32(toks[i]), jnp.int32(fast.pos),
+                fast.cache)
+            lo, orac.cache = orac._step_logits(
+                orac.weights, jnp.int32(toks[i]), jnp.int32(orac.pos),
+                orac.cache)
+            fast.pos += 1
+            orac.pos += 1
+            a, b = np.asarray(lf), np.asarray(lo)
+            assert np.max(np.abs(a - b)) < 0.06, (fast.pos,
+                                                  np.max(np.abs(a - b)))
+            assert int(a.argmax()) == int(b.argmax()), fast.pos
+    check("int4 decode logits == oracle dequant [real kernels]",
+          run_int4_logits)
+
+    def run_int4_sched():
+        cfg = tiny_config(**base, weight_dtype="int4")
+        p = f"{tmp}/int4s.yalm"
+        synth_checkpoint(p, cfg, seed=13)
+        from yalm_tpu.models.fast import load_fast_weights
+        fw = load_fast_weights(read_yalm(p), cfg)
+        s = Scheduler(cfg, fw, batch=8, kv_dtype=jnp.bfloat16)
+        assert s.fast
+        reqs = [s.submit(Request(prompt_tokens=[1, 4 + i], max_new_tokens=4,
+                                 temperature=0.0)) for i in range(3)]
+        s.run()
+        assert all(len(r.generated) == 4 for r in reqs)
+    check("int4 scheduler batched tick [B=8]", run_int4_sched)
 
     # --- odd-size exact-fit prefill chunks (full-dim activation blocks) --
     def run_odd_prefill():

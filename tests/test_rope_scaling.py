@@ -53,6 +53,62 @@ def test_llama3_remap_matches_transformers():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
 
 
+def test_yarn_matches_transformers():
+    """The yarn pair-index ramp + attention factor == HF transformers'
+    _compute_yarn_parameters (inv_freq AND attention_scaling), using the
+    converter's precomputed low/high/mscale."""
+    pytest.importorskip("transformers")
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    from yalm_tpu.convert import normalize_config
+
+    theta, head_dim, factor, orig = 10000.0, 128, 4.0, 4096
+
+    class _Cfg:
+        rope_theta = theta
+        partial_rotary_factor = 1.0
+        head_dim = 128
+        hidden_size = 128
+        num_attention_heads = 1
+        max_position_embeddings = orig * 4
+        rope_scaling = {"rope_type": "yarn", "factor": factor,
+                        "original_max_position_embeddings": orig}
+
+    want, want_att = ROPE_INIT_FUNCTIONS["yarn"](_Cfg(), device=None)
+    want = np.asarray(want)
+
+    base = dict(architectures=["LlamaForCausalLM"], hidden_size=128,
+                intermediate_size=256, num_hidden_layers=1,
+                num_attention_heads=1, num_key_value_heads=1, vocab_size=64,
+                max_position_embeddings=orig * 4, bos_token_id=1,
+                eos_token_id=2, rms_norm_eps=1e-5, hidden_act="silu",
+                rope_theta=theta, head_dim=head_dim,
+                rope_scaling=dict(_Cfg.rope_scaling))
+    md = normalize_config(base, "bf16")
+    cfg = ModelConfig.from_metadata(md)
+    assert cfg.rope_scale[0] == "yarn"
+
+    from yalm_tpu.ops.core import rope_mscale
+    j = 2.0 * jnp.arange(head_dim // 2, dtype=jnp.float32)
+    got = np.asarray(rope_pair_freqs(cfg.rope_param, head_dim, j))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+    assert abs(rope_mscale(cfg.rope_param) - float(want_att)) < 1e-6
+
+
+def test_yarn_sink_rotation_does_not_compound_mscale():
+    """Rotating already-written (mscaled) sink keys must use a pure
+    rotation: rotate(rope(x, p), n) == rope(x, p+n) exactly, including the
+    single mscale factor."""
+    from yalm_tpu.ops.core import rope_rotation_param
+    yparam = ("yarn", 10000.0, 4.0, 10.0, 40.0, 1.2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 128), jnp.float32)
+    written = apply_rope(x, jnp.asarray([5, 9]), yparam, 128)
+    rotated = apply_rope(written, jnp.asarray([3, 3]),
+                         rope_rotation_param(yparam), 128)
+    direct = apply_rope(x, jnp.asarray([8, 12]), yparam, 128)
+    np.testing.assert_allclose(np.asarray(rotated), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_linear_and_packed_param():
     j = 2.0 * jnp.arange(4, dtype=jnp.float32)
     base = np.asarray(rope_pair_freqs(10000.0, 8, j))
@@ -93,7 +149,7 @@ def test_normalize_config_parses_rope_scaling():
     cfg = ModelConfig.from_metadata(md)
     assert cfg.rope_scale == LLAMA3
 
-    base["rope_scaling"] = {"rope_type": "yarn", "factor": 2.0}
+    base["rope_scaling"] = {"rope_type": "longrope", "factor": 2.0}
     with pytest.raises(ValueError, match="rope_scaling"):
         normalize_config(base, "bf16")
 

@@ -35,6 +35,10 @@ def _parse_rope_scale(md) -> tuple:
                 float(md["rope_low_freq_factor"]),
                 float(md["rope_high_freq_factor"]),
                 int(md["rope_orig_ctx"]))
+    if kind == "yarn":
+        return ("yarn", float(md["rope_factor"]),
+                float(md["rope_yarn_low"]), float(md["rope_yarn_high"]),
+                float(md["rope_mscale"]))
     raise ValueError(f"unsupported rope_scaling {kind!r}")
 
 
@@ -175,6 +179,10 @@ class ModelConfig:
                 md["rope_low_freq_factor"] = str(self.rope_scale[2])
                 md["rope_high_freq_factor"] = str(self.rope_scale[3])
                 md["rope_orig_ctx"] = str(self.rope_scale[4])
+            elif self.rope_scale[0] == "yarn":
+                md["rope_yarn_low"] = str(self.rope_scale[2])
+                md["rope_yarn_high"] = str(self.rope_scale[3])
+                md["rope_mscale"] = str(self.rope_scale[4])
         return md
 
     # -- analytic bandwidth model -----------------------------------------

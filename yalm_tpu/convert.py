@@ -102,11 +102,38 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
         elif kind == "linear":
             md["rope_scaling"] = "linear"
             md["rope_factor"] = str(rs["factor"])
+        elif kind == "yarn":
+            # precompute the pair-index correction band + attention factor
+            # (HF transformers _compute_yarn_parameters) so the runtime's
+            # static rope param is a plain float tuple
+            import math as _m
+            factor = float(rs["factor"])
+            beta_fast = float(rs.get("beta_fast", 32.0))
+            beta_slow = float(rs.get("beta_slow", 1.0))
+            orig = int(rs.get("original_max_position_embeddings",
+                              config["max_position_embeddings"]))
+            rdim = int(md["rotary_dim"])
+            base = float(md["rope_theta"])
+
+            def corr(beta):
+                return (rdim * _m.log(orig / (beta * 2 * _m.pi))) \
+                    / (2 * _m.log(base))
+
+            low = max(_m.floor(corr(beta_fast)), 0)
+            high = min(_m.ceil(corr(beta_slow)), rdim - 1)
+            att = rs.get("attention_factor")
+            if att is None:
+                att = 0.1 * _m.log(factor) + 1.0
+            md["rope_scaling"] = "yarn"
+            md["rope_factor"] = str(factor)
+            md["rope_yarn_low"] = str(float(low))
+            md["rope_yarn_high"] = str(float(high))
+            md["rope_mscale"] = str(float(att))
         elif kind in ("default", ""):
             pass
         else:
             raise ValueError(f"unsupported rope_scaling type {kind!r} "
-                             f"(supported: llama3, linear)")
+                             f"(supported: llama3, linear, yarn)")
     return md
 
 

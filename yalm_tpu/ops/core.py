@@ -26,7 +26,8 @@ def rmsnorm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return x * jax.lax.rsqrt(ms + eps) * weight.astype(jnp.float32)
 
 
-def scale_inv_freq(freq: jax.Array, rope_scale: tuple) -> jax.Array:
+def scale_inv_freq(freq: jax.Array, rope_scale: tuple,
+                   j: jax.Array | None = None) -> jax.Array:
     """Apply a RoPE frequency-scaling scheme elementwise (static params).
 
     rope_scale: () = none; ("linear", factor) = positional interpolation
@@ -54,7 +55,38 @@ def scale_inv_freq(freq: jax.Array, rope_scale: tuple) -> jax.Array:
         out = jnp.where(wavelen > low_wl, freq / factor,
                         jnp.where(wavelen < high_wl, freq, scaled))
         return jnp.where(freq == 0.0, 0.0, out)
+    if kind == "yarn":
+        # (yarn, factor, low, high, mscale): pair i below `low` keeps its
+        # frequency (extrapolation), above `high` divides by `factor`
+        # (interpolation), the band between ramps linearly over the PAIR
+        # INDEX i = j/2. low/high are precomputed at convert time from
+        # beta_fast/beta_slow (HF _compute_yarn_parameters); mscale
+        # multiplies cos/sin, not freq (rope_mscale).
+        _, factor, low, high, _ms = rope_scale
+        assert j is not None, "yarn scaling needs the pair index array"
+        i = j.astype(jnp.float32) / 2.0
+        ramp = jnp.clip((i - low) / jnp.maximum(high - low, 1e-3), 0.0, 1.0)
+        return freq * (1.0 - ramp) + (freq / factor) * ramp
     raise ValueError(f"unknown rope scaling {kind!r}")
+
+
+def rope_mscale(theta) -> float:
+    """YaRN's attention-scaling factor (multiplies the cos/sin tables,
+    which scales rotary q.k contributions like HF's implementation);
+    1.0 for every other scheme."""
+    _, scale = decode_rope_param(theta)
+    if scale and scale[0] == "yarn":
+        return float(scale[4])
+    return 1.0
+
+
+def rope_rotation_param(theta):
+    """The same packed theta with YaRN's mscale forced to 1: for rotating
+    ALREADY-WRITTEN cache keys (sink maintenance), where the mscale was
+    applied at write time and must not compound."""
+    if isinstance(theta, tuple) and theta[0] == "yarn":
+        return theta[:5] + (1.0,)
+    return theta
 
 
 def decode_rope_param(theta) -> tuple[float, tuple]:
@@ -74,7 +106,7 @@ def rope_pair_freqs(theta, rotary_dim: int, j: jax.Array) -> jax.Array:
     th, scale = decode_rope_param(theta)
     freq = jnp.where(j >= rotary_dim, 0.0,
                      jnp.exp(-jnp.log(th) * j / rotary_dim))
-    return scale_inv_freq(freq, scale)
+    return scale_inv_freq(freq, scale, j)
 
 
 def _rope_angles(positions: jax.Array, head_dim: int, theta,
@@ -90,7 +122,8 @@ def _rope_angles(positions: jax.Array, head_dim: int, theta,
     j = 2.0 * jnp.arange(half, dtype=jnp.float32)          # first-element index of each pair
     freq = rope_pair_freqs(theta, rotary_dim, j)
     val = positions.astype(jnp.float32)[..., None] * freq  # (..., half)
-    return jnp.cos(val), jnp.sin(val)
+    ms = rope_mscale(theta)
+    return ms * jnp.cos(val), ms * jnp.sin(val)
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, theta,
@@ -129,7 +162,7 @@ def rope_rotate_cached(k_rows: jax.Array, theta, rotary_dim: int,
     k_rows: [..., n_kv_heads, head_dim]; n: () scalar or python int.
     """
     pos = jnp.broadcast_to(jnp.asarray(n, jnp.float32), k_rows.shape[:-2])
-    return apply_rope(k_rows, pos, theta, rotary_dim)
+    return apply_rope(k_rows, pos, rope_rotation_param(theta), rotary_dim)
 
 
 def masked_softmax(scores: jax.Array, mask: jax.Array) -> jax.Array:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core import rope_pair_freqs
+from ..core import rope_mscale, rope_pair_freqs, rope_rotation_param
 from .gemv import _bf16, _emulate
 
 _NEG_INF = -1e30
@@ -193,7 +193,8 @@ def _lazy_sink_rotate(kbuf, slot, rot, kv_sink, *, kv_sinks, theta,
     for r in range(kv_sinks):
         at = (slot, r) if slot is not None else (r,)
         rowf = kbuf[at].astype(jnp.float32)
-        rowr = _rot_lanes(rowf, theta, rotary_dim, rot)
+        # rotation of already-written (already-mscaled) keys: mscale off
+        rowr = _rot_lanes(rowf, rope_rotation_param(theta), rotary_dim, rot)
 
         @pl.when(r < kv_sink)
         def _(rowr=rowr):
@@ -630,7 +631,8 @@ def _rot_lanes_ref(rows: jax.Array, theta: float, rotary_dim: int,
     j = 2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
     freq = rope_pair_freqs(theta, rotary_dim, j)
     ang = jnp.asarray(pos, jnp.float32) * freq
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    ms = rope_mscale(theta)
+    cos, sin = ms * jnp.cos(ang), ms * jnp.sin(ang)
     r = rows.reshape(*rows.shape[:-1], half, 2)
     x0, x1 = r[..., 0], r[..., 1]
     out = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos], axis=-1)
@@ -646,7 +648,8 @@ def _sink_view_ref(k: jax.Array, kv_sink, pos, *, kv_sinks: int,
     S, Hk, D = k.shape
     rot = jnp.maximum(jnp.asarray(pos, jnp.int32) - S + 1, 0)
     rows = k[:kv_sinks].astype(jnp.float32).reshape(kv_sinks * Hk, D)
-    rotr = _rot_lanes_ref(rows, theta, rotary_dim, rot.astype(jnp.float32))
+    rotr = _rot_lanes_ref(rows, rope_rotation_param(theta), rotary_dim,
+                          rot.astype(jnp.float32))
     mask = (jnp.arange(kv_sinks) < kv_sink)[:, None, None]
     wd = k.dtype if k.dtype.itemsize >= 2 else jnp.bfloat16
     view = jnp.where(mask, rotr.reshape(kv_sinks, Hk, D),
@@ -668,8 +671,9 @@ def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
     j = (lane - (lane % 2)).astype(jnp.float32)          # 2p per pair
     freq = rope_pair_freqs(theta, rotary_dim, j)
     ang = jnp.asarray(pos, jnp.float32) * freq
-    cos_full = jnp.cos(ang)
-    sin_full = jnp.sin(ang)
+    ms = rope_mscale(theta)
+    cos_full = ms * jnp.cos(ang)
+    sin_full = ms * jnp.sin(ang)
     even = (lane % 2) == 0
     sin_signed = jnp.where(even, -sin_full, sin_full)
     # pltpu.roll requires non-negative shifts: rolling by D-1 ≡ -1 circular

@@ -67,6 +67,7 @@ class ModelConfig:
     weight_dtype: str = "fp16"    # "fp32" | "fp16" | "bf16" | "fp8" | "int8"
     tie_word_embeddings: bool = False
     has_qkv_bias: bool = False    # Qwen2-style attention projection biases
+    has_qk_norm: bool = False     # Qwen3-style per-head-dim RMSNorm on q/k
     # RoPE frequency scaling, as a HASHABLE static tuple threaded to every
     # rope site (jit/kernel static arg): () = none; ("linear", factor);
     # ("llama3", factor, low_freq_factor, high_freq_factor, orig_ctx) — the
@@ -141,6 +142,7 @@ class ModelConfig:
             weight_dtype=md["dtype"],
             tie_word_embeddings=md.get("tie_word_embeddings", "0") in ("1", "true", "True"),
             has_qkv_bias=md.get("has_qkv_bias", "0") in ("1", "true", "True"),
+            has_qk_norm=md.get("has_qk_norm", "0") in ("1", "true", "True"),
             rope_scale=_parse_rope_scale(md),
         )
 
@@ -172,6 +174,8 @@ class ModelConfig:
             md["tie_word_embeddings"] = "1"
         if self.has_qkv_bias:
             md["has_qkv_bias"] = "1"
+        if self.has_qk_norm:
+            md["has_qk_norm"] = "1"
         if self.rope_scale:
             md["rope_scaling"] = str(self.rope_scale[0])
             md["rope_factor"] = str(self.rope_scale[1])

@@ -40,6 +40,7 @@ SUPPORTED_ARCHITECTURES = [
     "MistralForCausalLM",
     "MixtralForCausalLM",
     "Qwen2ForCausalLM",
+    "Qwen3ForCausalLM",
 ]
 
 
@@ -323,8 +324,11 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
     def conv(t: np.ndarray) -> np.ndarray:
         # two-step cast through fp32 so e.g. bf16 -> fp8 rounds like torch
         if t.dtype != target:
-            t = t.astype(np.float32).astype(target)
-        return t
+            return t.astype(np.float32).astype(target)
+        # same-dtype MUST still copy: `t` may be a view into a shard's mmap
+        # that dies when the source YalmFile is GC'd before write_yalm runs
+        # (fp32 shards converted with --dtype fp32 segfaulted here)
+        return np.array(t, copy=True)
 
     def f32(t: np.ndarray) -> np.ndarray:
         return t.astype(np.float32)
@@ -387,6 +391,18 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
                 f32(weights[f"{p}.self_attn.k_proj.bias"])[:, None],
                 n_kv_heads, rotary_dim)[:, 0]
             tensors[f"{p}.attn.wv.bias"] = f32(weights[f"{p}.self_attn.v_proj.bias"])
+        if f"{p}.self_attn.q_norm.weight" in weights:
+            # Qwen3-style per-head-dim q/k RMSNorm: the weight must ride
+            # the SAME RoPE un-permutation as the q/k rows (one "head" of
+            # head_dim rows), or the elementwise multiply lands on the
+            # wrong components after our interleaved-pair relayout
+            md["has_qk_norm"] = "1"
+            tensors[f"{p}.attn.q_norm.weight"] = permute_reverse(
+                f32(weights[f"{p}.self_attn.q_norm.weight"])[:, None],
+                1, rotary_dim)[:, 0]
+            tensors[f"{p}.attn.k_norm.weight"] = permute_reverse(
+                f32(weights[f"{p}.self_attn.k_norm.weight"])[:, None],
+                1, rotary_dim)[:, 0]
         tensors[f"{p}.mlp.norm.weight"] = f32(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:

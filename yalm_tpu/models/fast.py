@@ -106,6 +106,9 @@ class FastWeights(NamedTuple):
     moegate: Optional[jax.Array] = None  # (n_layers, n_experts, dim)
     bqkv: Optional[jax.Array] = None     # (n_layers, q_dim + 2*kv_dim) f32
     scales: Optional[FastScales] = None  # int8 checkpoints only
+    # Qwen3-style per-head-dim RMSNorm weights for q/k (pre-RoPE)
+    qnorm: Optional[jax.Array] = None    # (n_layers, head_dim) f32
+    knorm: Optional[jax.Array] = None    # (n_layers, head_dim) f32
 
     @classmethod
     def from_weights(cls, w: Weights, cfg: ModelConfig) -> "FastWeights":
@@ -124,6 +127,8 @@ class FastWeights(NamedTuple):
             moegate=lw.moegate,
             bqkv=(jnp.concatenate([lw.bq, lw.bk, lw.bv], axis=1)
                   if lw.bq is not None else None),
+            qnorm=lw.qn,
+            knorm=lw.kn,
         )
 
 
@@ -200,6 +205,12 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
             final_norm=device_put(get("model.norm.weight", (d,))),
             lm_head=lm,
             moegate=None,
+            qnorm=(device_put(stack("model.layers.{}.attn.q_norm.weight",
+                                    (cfg.head_dim,)))
+                   if cfg.has_qk_norm else None),
+            knorm=(device_put(stack("model.layers.{}.attn.k_norm.weight",
+                                    (cfg.head_dim,)))
+                   if cfg.has_qk_norm else None),
             scales=FastScales(
                 embed=semb,
                 # group scales are (G, N): concat along the N axis mirrors
@@ -289,6 +300,12 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
         lm_head=lm,
         moegate=moegate,
         scales=scales,
+        qnorm=(device_put(stack("model.layers.{}.attn.q_norm.weight",
+                                (cfg.head_dim,)))
+               if cfg.has_qk_norm else None),
+        knorm=(device_put(stack("model.layers.{}.attn.k_norm.weight",
+                                (cfg.head_dim,)))
+               if cfg.has_qk_norm else None),
     )
 
 
@@ -327,6 +344,22 @@ def _ffn2_l(x2d, fw, layer, sc, cfg):
     return ffn_l(x2d, fw.rms_ffn, fw.w13, fw.w2, layer,
                  sc.w13 if sc else None, sc.w2 if sc else None,
                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+
+
+def _qk_norm(q, k, fw, layer, cfg):
+    """Qwen3-style per-head RMSNorm on FLAT q/k (..., q_dim)/(..., kv_dim)
+    between the projection and the rope-applying attention kernel; no-op
+    when the model has no qk-norm weights."""
+    if fw.qnorm is None:
+        return q, k
+    qn = jax.lax.dynamic_index_in_dim(fw.qnorm, layer, keepdims=False)
+    kn = jax.lax.dynamic_index_in_dim(fw.knorm, layer, keepdims=False)
+    D = cfg.head_dim
+    q = rmsnorm(q.reshape(*q.shape[:-1], q.shape[-1] // D, D), qn,
+                cfg.norm_eps).reshape(q.shape).astype(q.dtype)
+    k = rmsnorm(k.reshape(*k.shape[:-1], k.shape[-1] // D, D), kn,
+                cfg.norm_eps).reshape(k.shape).astype(k.dtype)
+    return q, k
 
 
 def quant_kv_supported(cfg: ModelConfig) -> bool:
@@ -420,6 +453,7 @@ def decode_step_fast(
             q = qkv[: cfg.q_dim]
             k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
             v = qkv[cfg.q_dim + cfg.kv_dim:]
+            q, k = _qk_norm(q, k, fw, i, cfg)
             # kernels rope internally; capture post-rope like the oracle
             rec["q"] = apply_rope(q.reshape(Hq, D), pos,
                                   cfg.rope_param, cfg.rotary_dim)
@@ -476,7 +510,8 @@ def decode_step_fast(
     # int4 takes the unfused projection sequence (the group-scale kernel
     # has no norm/residual fusions) — its weight stream is HALF the bytes,
     # which outweighs the lost fusions on this bandwidth-bound path.
-    use_block = fuse_norm and attn_block_supported(cfg, fw.wqkv.dtype.itemsize)
+    use_block = (fuse_norm and fw.qnorm is None
+                 and attn_block_supported(cfg, fw.wqkv.dtype.itemsize))
 
     def layer_body(i, carry):
         x, k_all, v_all = carry
@@ -508,6 +543,7 @@ def decode_step_fast(
             q = qkv[: cfg.q_dim]
             k = qkv[cfg.q_dim: cfg.q_dim + cfg.kv_dim]
             v = qkv[cfg.q_dim + cfg.kv_dim:]
+            q, k = _qk_norm(q, k, fw, i, cfg)
 
             # One fused kernel: RoPE on q/k at `pos`, k/v write into ring
             # slot kv_pos, sink-key re-rotation (StreamingLLM, reference
@@ -615,6 +651,7 @@ def decode_step_fast_batched(
         q = qkv[:, : cfg.q_dim]
         k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
         v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+        q, k = _qk_norm(q, k, fw, i, cfg)
 
         mixed, k_all, v_all = attend_step_batched_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
@@ -745,10 +782,12 @@ def prefill_fast(
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
-            q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
+            qf, kf = _qk_norm(qkv[:, : cfg.q_dim],
+                              qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim],
+                              fw, i, cfg)
+            q = apply_rope(qf.reshape(T, Hq, D), positions,
                            cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-                           .reshape(T, Hk, D), positions,
+            k = apply_rope(kf.reshape(T, Hk, D), positions,
                            cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
@@ -932,9 +971,11 @@ def verify_chunk_fast_batched(
         qkv = clip(qkv).reshape(B, T, -1)
         rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
                                                   cfg.rotary_dim))
-        q = rope_b(qkv[..., : cfg.q_dim].reshape(B, T, Hq, D), positions)
-        k = rope_b(qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-                   .reshape(B, T, Hk, D), positions)
+        qf, kf = _qk_norm(qkv[..., : cfg.q_dim],
+                          qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim],
+                          fw, i, cfg)
+        q = rope_b(qf.reshape(B, T, Hq, D), positions)
+        k = rope_b(kf.reshape(B, T, Hk, D), positions)
         v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, T, Hk, D)
 
         # per-lane masked region writes (XLA dus under vmap; enable=0 lanes
@@ -1024,6 +1065,7 @@ def decode_step_fast_batched_paged(
         q = qkv[:, : cfg.q_dim]
         k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
         v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+        q, k = _qk_norm(q, k, fw, i, cfg)
 
         mixed, kp, vp = attend_step_paged_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
@@ -1103,10 +1145,12 @@ def prefill_fast_paged(
         if fw.bqkv is not None:
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
         qkv = clip(qkv)
-        q = apply_rope(qkv[:, : cfg.q_dim].reshape(T, Hq, D), positions,
+        qf, kf = _qk_norm(qkv[:, : cfg.q_dim],
+                          qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim],
+                          fw, i, cfg)
+        q = apply_rope(qf.reshape(T, Hq, D), positions,
                        cfg.rope_param, cfg.rotary_dim)
-        k = apply_rope(qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-                       .reshape(T, Hk, D), positions,
+        k = apply_rope(kf.reshape(T, Hk, D), positions,
                        cfg.rope_param, cfg.rotary_dim)
         v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
@@ -1215,9 +1259,11 @@ def verify_chunk_fast_batched_paged(
         qkv = clip(qkv).reshape(B, T, -1)
         rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
                                                   cfg.rotary_dim))
-        q = rope_b(qkv[..., : cfg.q_dim].reshape(B, T, Hq, D), positions)
-        k = rope_b(qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-                   .reshape(B, T, Hk, D), positions)
+        qf, kf = _qk_norm(qkv[..., : cfg.q_dim],
+                          qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim],
+                          fw, i, cfg)
+        q = rope_b(qf.reshape(B, T, Hq, D), positions)
+        k = rope_b(kf.reshape(B, T, Hk, D), positions)
         v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, T, Hk, D)
 
         # scatter the chunk's rows through the page tables (write BEFORE

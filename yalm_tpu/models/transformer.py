@@ -69,8 +69,17 @@ def _qkv(xb: jax.Array, lw: LayerWeights, cfg: ModelConfig, compute_dtype):
         q = q + lw.bq
         k = k + lw.bk
         v = v + lw.bv
-    return (_clip(q, cfg.qkv_clip), _clip(k, cfg.qkv_clip),
-            _clip(v, cfg.qkv_clip))
+    q, k, v = (_clip(q, cfg.qkv_clip), _clip(k, cfg.qkv_clip),
+               _clip(v, cfg.qkv_clip))
+    if lw.qn is not None:
+        # Qwen3-style per-head RMSNorm on q/k (post-projection, pre-RoPE;
+        # one (head_dim,) weight shared by all heads — HF Qwen3Attention)
+        D = cfg.head_dim
+        q = rmsnorm(q.reshape(*q.shape[:-1], cfg.n_heads, D), lw.qn,
+                    cfg.norm_eps).reshape(q.shape).astype(q.dtype)
+        k = rmsnorm(k.reshape(*k.shape[:-1], cfg.n_kv_heads, D), lw.kn,
+                    cfg.norm_eps).reshape(k.shape).astype(k.dtype)
+    return q, k, v
 
 
 def _ffn(xb: jax.Array, w1: jax.Array, w2: jax.Array, w3: jax.Array,

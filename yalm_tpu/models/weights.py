@@ -36,6 +36,10 @@ class LayerWeights(NamedTuple):
     bq: Optional[jax.Array] = None  # (n_layers, q_dim) f32 — Qwen2-style biases
     bk: Optional[jax.Array] = None  # (n_layers, kv_dim) f32
     bv: Optional[jax.Array] = None  # (n_layers, kv_dim) f32
+    # Qwen3-style per-head-dim RMSNorm on q/k (post-projection, pre-RoPE);
+    # weights carry the same RoPE un-permutation as the q/k rows
+    qn: Optional[jax.Array] = None  # (n_layers, head_dim) f32
+    kn: Optional[jax.Array] = None  # (n_layers, head_dim) f32
 
 
 class Weights(NamedTuple):
@@ -150,6 +154,10 @@ def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weig
         bq=stacked("model.layers.{}.attn.wq.bias", (q,)) if cfg.has_qkv_bias else None,
         bk=stacked("model.layers.{}.attn.wk.bias", (kd,)) if cfg.has_qkv_bias else None,
         bv=stacked("model.layers.{}.attn.wv.bias", (kd,)) if cfg.has_qkv_bias else None,
+        qn=(stacked("model.layers.{}.attn.q_norm.weight", (cfg.head_dim,))
+            if cfg.has_qk_norm else None),
+        kn=(stacked("model.layers.{}.attn.k_norm.weight", (cfg.head_dim,))
+            if cfg.has_qk_norm else None),
     )
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
     if "model.output.weight" in t:

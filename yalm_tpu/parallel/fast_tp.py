@@ -138,6 +138,8 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     expert-internal dims over `tp`."""
     if tp < 1 or ep < 1:
         return False
+    if cfg.has_qk_norm:
+        return False  # qk-norm not threaded into the sharded bodies yet
     if cfg.is_moe:
         if cfg.n_experts % ep:
             return False

@@ -40,8 +40,8 @@ from ..ops.pallas.gemv import gemm, gemm_l
 
 
 def pp_supported(cfg: ModelConfig, pp: int, batch: int) -> bool:
-    return (not cfg.is_moe and pp >= 1 and cfg.n_layers % pp == 0
-            and batch % pp == 0)
+    return (not cfg.is_moe and not cfg.has_qk_norm and pp >= 1
+            and cfg.n_layers % pp == 0 and batch % pp == 0)
 
 
 def pp_weight_pspecs(cfg: ModelConfig,

@@ -101,6 +101,11 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
             tensors[f"{p}.attn.wq.bias"] = w(cfg.q_dim, scale=0.05).astype(np.float32)
             tensors[f"{p}.attn.wk.bias"] = w(cfg.kv_dim, scale=0.05).astype(np.float32)
             tensors[f"{p}.attn.wv.bias"] = w(cfg.kv_dim, scale=0.05).astype(np.float32)
+        if cfg.has_qk_norm:
+            tensors[f"{p}.attn.q_norm.weight"] = \
+                1.0 + 0.1 * rng.standard_normal(cfg.head_dim).astype(np.float32)
+            tensors[f"{p}.attn.k_norm.weight"] = \
+                1.0 + 0.1 * rng.standard_normal(cfg.head_dim).astype(np.float32)
         tensors[f"{p}.mlp.norm.weight"] = np.ones(cfg.dim, np.float32)
         if cfg.is_moe:
             put(tensors, f"{p}.moegate.weight", w(cfg.n_experts, cfg.dim))
@@ -128,7 +133,9 @@ def synth_hf_dir(path: str, cfg: ModelConfig, seed: int = 0) -> None:
     rng = np.random.default_rng(seed)
 
     arch = ("MixtralForCausalLM" if cfg.is_moe
-            else "Qwen2ForCausalLM" if cfg.has_qkv_bias else "LlamaForCausalLM")
+            else "Qwen3ForCausalLM" if cfg.has_qk_norm
+            else "Qwen2ForCausalLM" if cfg.has_qkv_bias
+            else "LlamaForCausalLM")
     config = {
         "architectures": [arch],
         "hidden_size": cfg.dim,
@@ -174,6 +181,11 @@ def synth_hf_dir(path: str, cfg: ModelConfig, seed: int = 0) -> None:
         tensors[f"{p}.self_attn.k_proj.weight"] = w(cfg.kv_dim, cfg.dim)
         tensors[f"{p}.self_attn.v_proj.weight"] = w(cfg.kv_dim, cfg.dim)
         tensors[f"{p}.self_attn.o_proj.weight"] = w(cfg.dim, cfg.q_dim)
+        if cfg.has_qk_norm:
+            tensors[f"{p}.self_attn.q_norm.weight"] = \
+                (1.0 + 0.1 * rng.standard_normal(cfg.head_dim)).astype(np.float32)
+            tensors[f"{p}.self_attn.k_norm.weight"] = \
+                (1.0 + 0.1 * rng.standard_normal(cfg.head_dim)).astype(np.float32)
         if cfg.has_qkv_bias:
             tensors[f"{p}.self_attn.q_proj.bias"] = w(cfg.q_dim)
             tensors[f"{p}.self_attn.k_proj.bias"] = w(cfg.kv_dim)

@@ -92,11 +92,74 @@ def test_qwen3_scheduler_tick(tmp_path):
     assert all(len(r.generated) == 5 for r in reqs)
 
 
-def test_qwen3_parallel_paths_reject(tmp_path):
-    from yalm_tpu.parallel.fast_tp import fast_tp_supported
-    from yalm_tpu.parallel.pipeline import pp_supported
-    from yalm_tpu.parallel.ring import ring_supported
-    cfg, _ = _ckpt(tmp_path, seed=145, n_layers=4)
-    assert not fast_tp_supported(cfg, 2)
-    assert not ring_supported(cfg, 2, 1)
-    assert not pp_supported(cfg, 2, 16)
+def test_qwen3_mesh_scheduler_matches_single_device(tmp_path):
+    """qk-norm threaded through the shard_map'd TP tick: same streams."""
+    import jax
+    from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+    from yalm_tpu.scheduler import Request, Scheduler
+    cfg, path = _ckpt(tmp_path, seed=146)
+    w = load_weights(read_yalm(path), cfg)
+
+    def reqs():
+        return [Request(prompt_tokens=[1, 5 + i, 9], max_new_tokens=6,
+                        temperature=0.0, seed=i) for i in range(6)]
+
+    single = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16)
+    want = []
+    for r in reqs():
+        single.submit(r)
+        want.append(r)
+    single.run()
+
+    mesh = make_mesh(MeshConfig(dp=4, tp=2), devices=jax.devices())
+    sched = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16, mesh=mesh)
+    got = []
+    for r in reqs():
+        sched.submit(r)
+        got.append(r)
+    sched.run()
+    assert [r.generated for r in got] == [r.generated for r in want]
+
+
+def test_qwen3_ring_and_pipeline(tmp_path):
+    """qk-norm through the sp ring prefill and the pp pipelined tick."""
+    import jax
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import (FastWeights, decode_step_fast_batched,
+                                      prefill_fast)
+    from yalm_tpu.parallel.pipeline import (make_tick_pp, pp_supported,
+                                            shard_pp_cache, shard_pp_weights)
+    from yalm_tpu.parallel.ring import (make_prefill_ring, ring_supported,
+                                        shard_ring_weights)
+    cfg, path = _ckpt(tmp_path, seed=147, n_layers=4)
+    w = load_weights(read_yalm(path), cfg)
+    fw = FastWeights.from_weights(w, cfg)
+
+    assert ring_supported(cfg, 4, 2)
+    mesh = jax.make_mesh((4, 2), ("sp", "tp"), devices=jax.devices())
+    T = 32
+    toks = jnp.asarray(np.random.default_rng(1).integers(
+        3, cfg.vocab_size, T), jnp.int32)
+    lane = KVCache.init(cfg, jnp.bfloat16)
+    want, _ = prefill_fast(cfg, fw, toks, jnp.int32(0), jnp.int32(T), lane,
+                           logits_mode="last")
+    rw = shard_ring_weights(w, cfg, mesh)
+    logits, _, _ = jax.jit(make_prefill_ring(cfg, mesh))(rw, toks)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert int(jnp.argmax(logits)) == int(jnp.argmax(want))
+
+    B, pp = 16, 4
+    assert pp_supported(cfg, pp, B)
+    ppmesh = jax.make_mesh((pp,), ("pp",), devices=jax.devices()[:pp])
+    pw = shard_pp_weights(fw, cfg, ppmesh)
+    cache = KVCache.init(cfg, jnp.bfloat16, batch=B)
+    btoks = jnp.asarray([3 + i for i in range(B)], jnp.int32)
+    pos = jnp.zeros((B,), jnp.int32)
+    wr = jnp.ones((B,), jnp.int32)
+    want_b, _ = decode_step_fast_batched(cfg, fw, btoks, pos, cache, wr)
+    pcache = shard_pp_cache(KVCache.init(cfg, jnp.bfloat16, batch=B), ppmesh)
+    got_b, _ = jax.jit(make_tick_pp(cfg, ppmesh, B))(pw, btoks, pos,
+                                                     pcache, wr)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want_b),
+                               rtol=2e-2, atol=2e-2)

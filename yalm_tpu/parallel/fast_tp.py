@@ -42,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastScales, FastWeights
+from ..models.fast import FastScales, FastWeights, _qk_norm
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
@@ -83,6 +83,8 @@ def fast_tp_weights(w: Weights, cfg: ModelConfig, tp: int) -> FastWeights:
         moegate=lw.moegate,
         bqkv=(_shard_major([lw.bq, lw.bk, lw.bv], tp, 1)
               if lw.bq is not None else None),
+        qnorm=lw.qn,
+        knorm=lw.kn,
     )
 
 
@@ -115,6 +117,9 @@ def fast_weight_pspecs(cfg: ModelConfig,
         lm_head=P("tp", None),
         moegate=P(None, None, None) if cfg.is_moe else None,
         bqkv=P(None, "tp") if cfg.has_qkv_bias else None,
+        # per-head-dim q/k norm weights replicate (shared by all heads)
+        qnorm=P(None, None) if cfg.has_qk_norm else None,
+        knorm=P(None, None) if cfg.has_qk_norm else None,
     )
 
 
@@ -138,8 +143,7 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     expert-internal dims over `tp`."""
     if tp < 1 or ep < 1:
         return False
-    if cfg.has_qk_norm:
-        return False  # qk-norm not threaded into the sharded bodies yet
+
     if cfg.is_moe:
         if cfg.n_experts % ep:
             return False
@@ -188,6 +192,8 @@ def _clipper(cfg):
 
 def _use_block(cfg, tp: int, itemsize: int) -> bool:
     """Whether the fused attention-block kernel fits the LOCAL shard dims."""
+    if cfg.has_qk_norm:
+        return False  # no norm hook between wqkv and in-kernel rope
     return attn_block_dims_supported(
         cfg.dim, cfg.q_dim // tp, cfg.kv_dim // tp, cfg.head_dim,
         cfg.max_seq_len, itemsize)
@@ -269,6 +275,7 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 q = qkv[:q_l]
                 k = qkv[q_l:q_l + kv_l]
                 v = qkv[q_l + kv_l:]
+                q, k = _qk_norm(q, k, fw, i, cfg)
                 mixed, k_all, v_all = attend_step_l(
                     q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
                     v.reshape(Hk_l, D), k_all, v_all,
@@ -398,9 +405,11 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
-            q = apply_rope(qkv[:, :q_l].reshape(T, Hq_l, D), positions,
+            qf, kf = _qk_norm(qkv[:, :q_l], qkv[:, q_l:q_l + kv_l],
+                              fw, i, cfg)
+            q = apply_rope(qf.reshape(T, Hq_l, D), positions,
                            cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T, Hk_l, D),
+            k = apply_rope(kf.reshape(T, Hk_l, D),
                            positions, cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
 
@@ -553,6 +562,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
             q = qkv[:, :q_l]
             k = qkv[:, q_l:q_l + kv_l]
             v = qkv[:, q_l + kv_l:]
+            q, k = _qk_norm(q, k, fw, i, cfg)
             mixed, k_all, v_all = attend_step_batched_l(
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), k_all, v_all, i,
@@ -677,8 +687,10 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
             qkv = clip(qkv).reshape(B_l, T, -1)
             rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
                                                       cfg.rotary_dim))
-            q = rope_b(qkv[..., :q_l].reshape(B_l, T, Hq_l, D), positions)
-            k = rope_b(qkv[..., q_l:q_l + kv_l].reshape(B_l, T, Hk_l, D),
+            qf, kf = _qk_norm(qkv[..., :q_l], qkv[..., q_l:q_l + kv_l],
+                              fw, i, cfg)
+            q = rope_b(qf.reshape(B_l, T, Hq_l, D), positions)
+            k = rope_b(kf.reshape(B_l, T, Hk_l, D),
                        positions)
             v = qkv[..., q_l + kv_l:].reshape(B_l, T, Hk_l, D)
 
@@ -805,6 +817,7 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
             q = qkv[:, :q_l]
             k = qkv[:, q_l:q_l + kv_l]
             v = qkv[:, q_l + kv_l:]
+            q, k = _qk_norm(q, k, fw, i, cfg)
             mixed, kp, vp = attend_step_paged_l(
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), kp, vp, tables, i,
@@ -899,9 +912,11 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
-            q = apply_rope(qkv[:, :q_l].reshape(T, Hq_l, D), positions,
+            qf, kf = _qk_norm(qkv[:, :q_l], qkv[:, q_l:q_l + kv_l],
+                              fw, i, cfg)
+            q = apply_rope(qf.reshape(T, Hq_l, D), positions,
                            cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T, Hk_l, D),
+            k = apply_rope(kf.reshape(T, Hk_l, D),
                            positions, cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
 

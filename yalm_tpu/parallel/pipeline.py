@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastScales, FastWeights
+from ..models.fast import FastScales, FastWeights, _qk_norm
 from ..models.weights import Weights
 from ..ops.core import rmsnorm
 from ..ops.pallas.attention import attend_step_batched_l
@@ -40,8 +40,8 @@ from ..ops.pallas.gemv import gemm, gemm_l
 
 
 def pp_supported(cfg: ModelConfig, pp: int, batch: int) -> bool:
-    return (not cfg.is_moe and not cfg.has_qk_norm and pp >= 1
-            and cfg.n_layers % pp == 0 and batch % pp == 0)
+    return (not cfg.is_moe and pp >= 1 and cfg.n_layers % pp == 0
+            and batch % pp == 0)
 
 
 def pp_weight_pspecs(cfg: ModelConfig,
@@ -68,6 +68,8 @@ def pp_weight_pspecs(cfg: ModelConfig,
         lm_head=P(None, None),
         moegate=None,
         bqkv=P("pp", None) if cfg.has_qkv_bias else None,
+        qnorm=P("pp", None) if cfg.has_qk_norm else None,
+        knorm=P("pp", None) if cfg.has_qk_norm else None,
     )
 
 
@@ -136,6 +138,7 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                 q = qkv[:, : cfg.q_dim]
                 k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
                 v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+                q, k = _qk_norm(q, k, fw, i, cfg)
                 mixed, kc, vc = attend_step_batched_l(
                     q.reshape(Bm, Hk, qpk, D), k.reshape(Bm, Hk, D),
                     v.reshape(Bm, Hk, D), kc, vc, i, kv_pos, kv_len,

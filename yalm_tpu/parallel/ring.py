@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastWeights
+from ..models.fast import FastWeights, _qk_norm
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.gemv import gemm_l, gemv
@@ -43,8 +43,8 @@ from .fast_tp import (_clipper, _embed_psum, fast_tp_supported,
 
 
 def ring_supported(cfg: ModelConfig, sp: int, tp: int = 1) -> bool:
-    return (not cfg.is_moe and not cfg.has_qk_norm
-            and fast_tp_supported(cfg, tp) and cfg.n_kv_heads % tp == 0)
+    return (not cfg.is_moe and fast_tp_supported(cfg, tp)
+            and cfg.n_kv_heads % tp == 0)
 
 
 def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
@@ -129,9 +129,11 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv)
-            q = apply_rope(qkv[:, :q_l].reshape(T_l, Hq_l, D), positions,
+            qf, kf = _qk_norm(qkv[:, :q_l], qkv[:, q_l:q_l + kv_l],
+                              fw, i, cfg)
+            q = apply_rope(qf.reshape(T_l, Hq_l, D), positions,
                            cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(qkv[:, q_l:q_l + kv_l].reshape(T_l, Hk_l, D),
+            k = apply_rope(kf.reshape(T_l, Hk_l, D),
                            positions, cfg.rope_param, cfg.rotary_dim)
             v = qkv[:, q_l + kv_l:].reshape(T_l, Hk_l, D)
             k_out = jax.lax.dynamic_update_slice(

@@ -63,6 +63,36 @@ def test_metrics_endpoint(server):
     assert vals["yalm_uptime_seconds"] > 0
 
 
+def test_user_stop_strings_and_finish_reason(server):
+    """OpenAI `stop`: generation trims at the first stop sequence and
+    reports finish_reason=stop; without it, hitting max_tokens reports
+    length."""
+    base, engine = server
+    # run once unconstrained to learn what the model emits
+    status, body = _post(base + "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 8,
+                          "temperature": 0.0, "seed": 1})
+    free = json.loads(body)["choices"][0]
+    assert free["finish_reason"] == "length"
+    text = free["text"]
+    assert len(text) > 2
+    stop_seq = text[2:5]
+    status, body = _post(base + "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 8,
+                          "temperature": 0.0, "seed": 1,
+                          "stop": stop_seq})
+    out = json.loads(body)["choices"][0]
+    assert stop_seq not in out["text"]
+    assert out["text"] == text[:text.find(stop_seq)]
+    assert out["finish_reason"] == "stop"
+    # invalid stop -> 400, nothing crashes
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/completions",
+              {"prompt": "x", "stop": ["a", "b", "c", "d", "e"]})
+    assert ei.value.code == 400
+
+
 def test_completion(server):
     base, _ = server
     status, body = _post(base + "/v1/completions",

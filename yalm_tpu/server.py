@@ -284,6 +284,21 @@ def make_handler(engine: ServingEngine):
                 else:
                     prompt = body["prompt"]
                     stop_strings = ()
+                # OpenAI `stop`: string or list of up to 4 stop sequences;
+                # rides the same early-cancel + trim machinery as the chat
+                # templates' markers (streaming holds a tail buffer so a
+                # sequence split across tokens still matches)
+                user_stop = body.get("stop")
+                if user_stop is not None:
+                    if isinstance(user_stop, str):
+                        user_stop = [user_stop]
+                    if not isinstance(user_stop, list) or len(user_stop) > 4 \
+                            or not all(isinstance(s, str) and s
+                                       for s in user_stop):
+                        raise ValueError(
+                            "stop must be a non-empty string or a list of "
+                            "up to 4 non-empty strings")
+                    stop_strings = tuple(stop_strings) + tuple(user_stop)
                 max_tokens = int(body.get("max_tokens", 128))
                 temperature = float(body.get("temperature", 1.0))
                 stream = bool(body.get("stream", False))
@@ -321,6 +336,11 @@ def make_handler(engine: ServingEngine):
                     cut = out.find(ss)
                     if cut >= 0:
                         out = out[:cut]
+                hit_stop = (req.cancelled
+                            or (req.generated
+                                and req.generated[-1] in req.stop_tokens))
+                finish = "stop" if hit_stop or len(req.generated) \
+                    < max_tokens else "length"
                 if chat:
                     self._json(200, {
                         "object": "chat.completion",
@@ -328,7 +348,7 @@ def make_handler(engine: ServingEngine):
                         "choices": [{"index": 0,
                                      "message": {"role": "assistant",
                                                  "content": out},
-                                     "finish_reason": "stop"}],
+                                     "finish_reason": finish}],
                         "usage": {"prompt_tokens": len(req.prompt_tokens),
                                   "completion_tokens": len(req.generated)},
                     })
@@ -338,7 +358,7 @@ def make_handler(engine: ServingEngine):
                         "model": "yalm-tpu",
                         "choices": [{"index": 0,
                                      "text": out,
-                                     "finish_reason": "stop"}],
+                                     "finish_reason": finish}],
                         "usage": {"prompt_tokens": len(req.prompt_tokens),
                                   "completion_tokens": len(req.generated)},
                     })

@@ -161,6 +161,46 @@ def test_int4_batched_tick_and_prefill(ckpts4):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_int4_moe_fast_matches_oracle(tmp_path):
+    """Routed-expert int4 (gemm4_le/gemv4_le): streams agree with the
+    oracle's load-time dequant on a Mixtral-shaped model; the batched MoE
+    tick runs on packed experts."""
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.engine import Engine
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import (decode_step_fast_batched,
+                                      load_fast_weights)
+    from yalm_tpu.utils.testing import synth_checkpoint
+    cfg = _i4cfg(n_experts=4, n_experts_active=2)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, weight_dtype="int4")
+    path = str(tmp_path / "moe4.yalm")
+    synth_checkpoint(path, cfg, seed=33)
+
+    oracle = Engine.from_checkpoint(path, fast=False)
+    fast = Engine.from_checkpoint(path, fast=True)
+    assert fast.fast
+    prompt = [1, 5, 9]
+    want = list(oracle.generate(prompt, max_steps=16, temperature=0.0))
+    got = list(fast.generate(prompt, max_steps=16, temperature=0.0))
+    agree = 0
+    for a, b in zip(got, want):
+        if a != b:
+            break
+        agree += 1
+    assert agree >= 8, (agree, got, want)
+
+    fw = load_fast_weights(read_yalm(path), cfg)
+    assert fw.w13.dtype == jnp.uint8 and fw.moegate.dtype == jnp.int8
+    B = 8
+    cache = KVCache.init(cfg, jnp.bfloat16, batch=B)
+    logits, _ = decode_step_fast_batched(
+        cfg, fw, jnp.asarray([3 + i for i in range(B)], jnp.int32),
+        jnp.zeros((B,), jnp.int32), cache, jnp.ones((B,), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+
+
 def test_gemv4_single_row():
     w, packed, scales = _mk(256, 512, L=2, seed=3)
     x = jnp.asarray(np.random.default_rng(4).standard_normal(512),

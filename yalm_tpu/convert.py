@@ -310,8 +310,6 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
     n_heads = int(md["n_heads"])
     n_kv_heads = int(md["n_kv_heads"])
     is_moe = "n_experts" in md
-    if int4 and is_moe:
-        raise ValueError("int4 weights: dense models only (use int8 for MoE)")
 
     def quant8(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         '''Symmetric per-output-channel int8: rows are output channels.'''
@@ -406,7 +404,10 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
         tensors[f"{p}.mlp.norm.weight"] = f32(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:
-            put(f"{p}.moegate.weight", weights[f"{p}.block_sparse_moe.gate.weight"])
+            # router stays per-channel int8 in int4 mode (tiny, and its
+            # argmax ordering is accuracy-critical)
+            put_head(f"{p}.moegate.weight",
+                     weights[f"{p}.block_sparse_moe.gate.weight"])
             for wi in ("w1", "w2", "w3"):
                 stacked = np.stack([
                     np.asarray(weights[f"{p}.block_sparse_moe.experts.{e}.{wi}.weight"]

@@ -41,9 +41,9 @@ from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
 from ..ops.core import moe_gate
 from ..ops.pallas.block import attn_block_l, attn_block_supported
 from ..ops.pallas.ffn import ffn_l
-from ..ops.pallas.gemv import (gemm, gemm4_l, gemm_l, gemm_le, gemv,
-                               gemv4_l, gemv_l, gemv_le, gemv_supported,
-                               int4_supported)
+from ..ops.pallas.gemv import (gemm, gemm4_l, gemm4_le, gemm_l, gemm_le,
+                               gemv, gemv4_l, gemv4_le, gemv_l, gemv_le,
+                               gemv_supported, int4_supported)
 from .cache import KVCache
 from .weights import Weights
 
@@ -172,10 +172,9 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
         if tp != 1:
             raise ValueError("int4 weights: tensor-parallel sharding not "
                              "supported yet (use int8/fp8 for TP)")
-        if cfg.is_moe:
-            raise ValueError("int4 weights: dense models only")
         from ..ops.pallas.gemv import int4_group
         Gd, Gh = d // int4_group(d), h // int4_group(h)
+        E = cfg.n_experts
         embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
         lm = (device_put(get("model.output.weight", (cfg.vocab_size, d)))
               if "model.output.weight" in t else embed)
@@ -199,12 +198,17 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
                  ("model.layers.{}.attn.wv.weight", (kd, d // 2))])),
             wo=device_put(stack("model.layers.{}.attn.wo.weight", (d, q // 2))),
             w13=device_put(stack_cat(
-                [("model.layers.{}.mlp.w1.weight", (h, d // 2)),
-                 ("model.layers.{}.mlp.w3.weight", (h, d // 2))])),
-            w2=device_put(stack("model.layers.{}.mlp.w2.weight", (d, h // 2))),
+                [("model.layers.{}.mlp.w1.weight",
+                  (E, h, d // 2) if E else (h, d // 2)),
+                 ("model.layers.{}.mlp.w3.weight",
+                  (E, h, d // 2) if E else (h, d // 2))],
+                axis=1 if E else 0)),
+            w2=device_put(stack("model.layers.{}.mlp.w2.weight",
+                                (E, d, h // 2) if E else (d, h // 2))),
             final_norm=device_put(get("model.norm.weight", (d,))),
             lm_head=lm,
-            moegate=None,
+            moegate=(device_put(stack("model.layers.{}.moegate.weight",
+                                      (E, d))) if E else None),
             qnorm=(device_put(stack("model.layers.{}.attn.q_norm.weight",
                                     (cfg.head_dim,)))
                    if cfg.has_qk_norm else None),
@@ -224,12 +228,18 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
                     "model.layers.{}.attn.wo.weight.gscale",
                     (q // int4_group(q), d))),
                 w13=device_put(stack_cat(
-                    [("model.layers.{}.mlp.w1.weight.gscale", (Gd, h)),
-                     ("model.layers.{}.mlp.w3.weight.gscale", (Gd, h))],
-                    axis=1)),
+                    [("model.layers.{}.mlp.w1.weight.gscale",
+                      (E, Gd, h) if E else (Gd, h)),
+                     ("model.layers.{}.mlp.w3.weight.gscale",
+                      (E, Gd, h) if E else (Gd, h))],
+                    axis=2 if E else 1)),
                 w2=device_put(stack(
-                    "model.layers.{}.mlp.w2.weight.gscale", (Gh, d))),
+                    "model.layers.{}.mlp.w2.weight.gscale",
+                    (E, Gh, d) if E else (Gh, d))),
                 lm_head=slm,
+                moegate=(device_put(stack(
+                    "model.layers.{}.moegate.weight.scale", (E,)))
+                    if E else None),
             ),
         )
 
@@ -330,6 +340,19 @@ def _proj1_l(x1d, w_all, layer, scale):
     return gemv_l(x1d, w_all, layer, scale=scale)
 
 
+def _proj_le(x2d, w_all, layer, expert, scale):
+    """Routed-expert projection dispatch (MoE int4 / standard)."""
+    if is_int4(w_all):
+        return gemm4_le(x2d, w_all, layer, expert, scale)
+    return gemm_le(x2d, w_all, layer, expert, scale)
+
+
+def _proj1_le(x1d, w_all, layer, expert, scale):
+    if is_int4(w_all):
+        return gemv4_le(x1d, w_all, layer, expert, scale)
+    return gemv_le(x1d, w_all, layer, expert, scale)
+
+
 def _ffn2_l(x2d, fw, layer, sc, cfg):
     """Dense FFN dispatch for the chunk/batched paths: the fused ffn_l
     kernel normally; explicit norm + two group-scale projections for
@@ -383,9 +406,8 @@ def fast_supported(cfg: ModelConfig) -> bool:
     if cfg.is_moe:
         pairs.append((cfg.n_experts, cfg.dim))
     if cfg.weight_dtype == "int4":
-        if cfg.is_moe:
-            return False
-        # layer projections take the packed group-scale kernels (K % 256)
+        # layer projections take the packed group-scale kernels (K % 256);
+        # MoE expert FFNs pack per expert (moegate stays int8 per-channel)
         if not all(int4_supported(n, k) for n, k in pairs[:4]):
             return False
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
@@ -475,11 +497,12 @@ def decode_step_fast(
                                 scale=sc.moegate if sc else None)
                 gates, idx = moe_gate(router, cfg.n_experts_active)
                 for j in range(cfg.n_experts_active):
-                    h13 = gemv_le(xb2, fw.w13, jnp.int32(i), idx[j],
-                                  sc.w13 if sc else None)
+                    h13 = _proj1_le(xb2, fw.w13, jnp.int32(i), idx[j],
+                                    sc.w13 if sc else None)
                     h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                    x = x + gates[j] * gemv_le(h, fw.w2, jnp.int32(i), idx[j],
-                                               sc.w2 if sc else None)
+                    x = x + gates[j] * _proj1_le(h, fw.w2, jnp.int32(i),
+                                                 idx[j],
+                                                 sc.w2 if sc else None)
             else:
                 h13 = gemv_l(xb2, fw.w13, jnp.int32(i),
                              scale=sc.w13 if sc else None)
@@ -578,10 +601,11 @@ def decode_step_fast(
                             scale=sc.moegate if sc else None)
             gates, idx = moe_gate(router, cfg.n_experts_active)
             for j in range(cfg.n_experts_active):
-                h13 = gemv_le(xb2, fw.w13, i, idx[j], sc.w13 if sc else None)
+                h13 = _proj1_le(xb2, fw.w13, i, idx[j],
+                                sc.w13 if sc else None)
                 h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                x = x + gates[j] * gemv_le(h, fw.w2, i, idx[j],
-                                           sc.w2 if sc else None)
+                x = x + gates[j] * _proj1_le(h, fw.w2, i, idx[j],
+                                             sc.w2 if sc else None)
         else:
             h13 = _proj1_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
@@ -674,9 +698,9 @@ def decode_step_fast_batched(
             delta = jnp.zeros_like(x)
             for e in range(cfg.n_experts):
                 gate_e = jnp.sum(jnp.where(idx == e, gates, 0.0), axis=-1)
-                h13 = gemm_le(xb2, fw.w13, i, e, sc.w13 if sc else None)
+                h13 = _proj_le(xb2, fw.w13, i, e, sc.w13 if sc else None)
                 h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-                delta = delta + gate_e[:, None] * gemm_le(
+                delta = delta + gate_e[:, None] * _proj_le(
                     h, fw.w2, i, e, sc.w2 if sc else None)
             x = x + delta
         elif is_int4(fw.w13):
@@ -820,6 +844,12 @@ def prefill_fast(
             0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
         new_cache = KVCache(k=k_new, v=v_new)
     else:
+        int4 = is_int4(fw.w13)
+        if int4:
+            from ..ops.pallas.gemv import _gemm4_ref, int4_group
+            g_d, g_h = int4_group(cfg.dim), int4_group(cfg.hidden_dim)
+            g_q = int4_group(cfg.q_dim)
+
         def layer_fn(x, layer):
             rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate, *extra = layer
             if cfg.has_qkv_bias:
@@ -827,9 +857,14 @@ def prefill_fast(
             if sc is not None:
                 s_qkv, s_wo, s_w13, s_w2, s_moe = extra
             xb = rmsnorm(x, rms_a, cfg.norm_eps)
-            qkv = proj(xb, wqkv)                                 # (T, q+2kv)
-            if sc is not None:
-                qkv = qkv * s_qkv[None].astype(jnp.float32)
+            if int4:
+                # packed nibbles + group scales: dequant fused per group
+                # (kernel-exact numerics via _gemm4_ref)
+                qkv = _gemm4_ref(xb.astype(jnp.float32), wqkv, s_qkv, g_d)
+            else:
+                qkv = proj(xb, wqkv)                             # (T, q+2kv)
+                if sc is not None:
+                    qkv = qkv * s_qkv[None].astype(jnp.float32)
             if cfg.has_qkv_bias:
                 qkv = qkv + bias
             qkv = clip(qkv)
@@ -850,9 +885,14 @@ def prefill_fast(
                 vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
 
             mixed = attend_chunk(q.reshape(T, Hk, qpk, D), kc, vc, att_mask)
-            att_out = proj(mixed.reshape(T, cfg.q_dim), wo)
-            if sc is not None:
-                att_out = att_out * s_wo[None].astype(jnp.float32)
+            if int4:
+                att_out = _gemm4_ref(
+                    mixed.reshape(T, cfg.q_dim).astype(jnp.float32), wo,
+                    s_wo, g_q)
+            else:
+                att_out = proj(mixed.reshape(T, cfg.q_dim), wo)
+                if sc is not None:
+                    att_out = att_out * s_wo[None].astype(jnp.float32)
             x = x + att_out
 
             xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
@@ -864,6 +904,12 @@ def prefill_fast(
                 gates, idx = moe_gate(router, cfg.n_experts_active)
 
                 def one_expert(e):
+                    if int4:
+                        h13 = _gemm4_ref(r[None].astype(jnp.float32),
+                                         w13[e], s_w13[e], g_d)[0]
+                        h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
+                        return _gemm4_ref(h[None].astype(jnp.float32),
+                                          w2[e], s_w2[e], g_h)[0]
                     h13 = proj(r, w13[e])
                     if sc is not None:
                         h13 = h13 * s_w13[e].astype(jnp.float32)

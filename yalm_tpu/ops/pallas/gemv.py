@@ -676,6 +676,97 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
       x.astype(jnp.float32), w4_all, gscale.astype(jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
+             expert: jax.Array, gscale: jax.Array, *,
+             interpret: bool | None = None) -> jax.Array:
+    """y[B, N] = x[B, K] @ dequant4(W4_all[layer, expert])^T — the MoE
+    variant of gemm4_l: layer AND routed expert ride the scalar-prefetch
+    channel, so only the active expert's PACKED bytes leave HBM (half the
+    int8 routed traffic). w4_all (L, E, N, K//2), gscale (L, E, G, N)."""
+    B, K2 = x.shape[0], w4_all.shape[-1]
+    K = 2 * K2
+    L, E, N = w4_all.shape[0], w4_all.shape[1], w4_all.shape[2]
+    assert x.shape == (B, K), (x.shape, w4_all.shape)
+    group = int4_group(K)
+    G, Hp = K // group, group // 2
+    assert gscale.shape == (L, E, G, N), (gscale.shape, (L, E, G, N))
+    if interpret is None and _emulate():
+        w4 = w4_all[layer, expert]
+        gs = gscale[layer, expert]
+        return _gemm4_ref(x.astype(jnp.float32), w4, gs, group)
+    if interpret is None:
+        interpret = False
+    import os
+    tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 2 << 20))
+    block_n = _best_divisor(N, target=max(128, min(N, tile_bytes // Hp)),
+                            align=128)
+    n_n, n_k = N // block_n, G
+
+    def kern(sc_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        w = w_ref[0, 0]                                  # (bn, Hp) uint8
+        lo = ((w & 0xF).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+        hi = ((w >> 4).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+        xb = x_ref[...]
+        x_lo = xb[:, :Hp].astype(jnp.bfloat16)
+        x_hi = xb[:, Hp:].astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            x_lo, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part += jax.lax.dot_general(
+            x_hi, hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] += part * s_ref[0, 0]
+
+        @pl.when(j == n_k - 1)
+        def _():
+            o_ref[...] = acc_ref[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((B, group), lambda i, j, sc: (0, j)),
+            pl.BlockSpec((1, 1, block_n, Hp),
+                         lambda i, j, sc: (sc[0], sc[1], i, j)),
+            pl.BlockSpec((1, 1, 1, block_n),
+                         lambda i, j, sc: (sc[0], sc[1], j, i)),
+        ],
+        out_specs=pl.BlockSpec((B, block_n), lambda i, j, sc: (0, i)),
+        scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * N * K,
+            bytes_accessed=N * K2 + B * (K + N) * 4 + G * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(layer, jnp.int32),
+                 jnp.asarray(expert, jnp.int32)]),
+      x.astype(jnp.float32), w4_all, gscale.astype(jnp.float32))
+
+
+def gemv4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
+             expert: jax.Array, gscale: jax.Array, *,
+             interpret: bool | None = None) -> jax.Array:
+    """Single-token routed-expert int4 GEMV."""
+    return gemm4_le(x.reshape(1, -1), w4_all, layer, expert, gscale,
+                    interpret=interpret).reshape(-1)
+
+
 def gemv4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
             gscale: jax.Array, *,
             interpret: bool | None = None) -> jax.Array:

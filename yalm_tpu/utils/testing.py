@@ -108,7 +108,8 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
                 1.0 + 0.1 * rng.standard_normal(cfg.head_dim).astype(np.float32)
         tensors[f"{p}.mlp.norm.weight"] = np.ones(cfg.dim, np.float32)
         if cfg.is_moe:
-            put(tensors, f"{p}.moegate.weight", w(cfg.n_experts, cfg.dim))
+            put(tensors, f"{p}.moegate.weight",
+                w(cfg.n_experts, cfg.dim, head=True))
             put(tensors, f"{p}.mlp.w1.weight", w(cfg.n_experts, cfg.hidden_dim, cfg.dim))
             put(tensors, f"{p}.mlp.w2.weight", w(cfg.n_experts, cfg.dim, cfg.hidden_dim))
             put(tensors, f"{p}.mlp.w3.weight", w(cfg.n_experts, cfg.hidden_dim, cfg.dim))

@@ -250,6 +250,17 @@ def main() -> int:
     check("int4 decode logits == oracle dequant [real kernels]",
           run_int4_logits)
 
+    def run_int4_moe():
+        cfg = tiny_config(**base, weight_dtype="int4", n_experts=4,
+                          n_experts_active=2)
+        p = f"{tmp}/int4moe.yalm"
+        synth_checkpoint(p, cfg, seed=14)
+        eng = Engine.from_checkpoint(p, fast=True)
+        assert eng.fast
+        toks = list(eng.generate([1, 7], max_steps=4, temperature=0.0))
+        assert len(toks) == 4
+    check("int4 MoE routed-expert kernels", run_int4_moe)
+
     def run_int4_sched():
         cfg = tiny_config(**base, weight_dtype="int4")
         p = f"{tmp}/int4s.yalm"

@@ -161,6 +161,38 @@ def test_int4_batched_tick_and_prefill(ckpts4):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_int4_tensor_parallel_matches_single(tmp_path):
+    """Dense int4 x TP: packed rows interleave shard-major, wo/w2 shard
+    their packed input columns group-aligned; tp=2 streams == single
+    device."""
+    import jax
+    from yalm_tpu.engine import Engine
+    from yalm_tpu.parallel import MeshConfig, make_mesh
+    from yalm_tpu.parallel.fast_tp import fast_tp_supported
+    from yalm_tpu.utils.testing import synth_checkpoint, tiny_config
+    cfg = tiny_config(dim=256, hidden_dim=1024, head_dim=128, n_layers=2,
+                      n_heads=8, n_kv_heads=4, vocab_size=512,
+                      max_seq_len=64, rotary_dim=128, qkv_clip=30.0,
+                      weight_dtype="int4")
+    assert fast_tp_supported(cfg, 2)
+    path = str(tmp_path / "tp4.yalm")
+    synth_checkpoint(path, cfg, seed=35)
+
+    single = Engine.from_checkpoint(path, fast=True)
+    mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
+    sharded = Engine.from_checkpoint(path, mesh=mesh)
+    assert sharded.fast
+    prompt = [1, 9, 4, 7]
+    want = list(single.generate(prompt, max_steps=12, temperature=0.0))
+    got = list(sharded.generate(prompt, max_steps=12, temperature=0.0))
+    agree = 0
+    for a, b in zip(got, want):
+        if a != b:
+            break
+        agree += 1
+    assert agree >= 8, (agree, got, want)
+
+
 def test_int4_moe_fast_matches_oracle(tmp_path):
     """Routed-expert int4 (gemm4_le/gemv4_le): streams agree with the
     oracle's load-time dequant on a Mixtral-shaped model; the batched MoE

@@ -42,7 +42,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastScales, FastWeights, _qk_norm
+from ..models.fast import (FastScales, FastWeights, _proj1_l, _proj_l,
+                           _qk_norm, is_int4)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
@@ -93,7 +94,24 @@ def fast_weight_pspecs(cfg: ModelConfig,
     """PartitionSpecs for the shard-major FastWeights layout."""
     e = ("ep",) if cfg.is_moe else ()
     scales = None
-    if with_scales:
+    if with_scales and cfg.weight_dtype == "int4":
+        # int4 GROUP scales are (L, G, N). Column-parallel weights (wqkv,
+        # w13) shard the N axis with their output rows; row-parallel
+        # weights (wo, w2) shard their INPUT dim, i.e. the GROUP axis —
+        # the packed column slices stay group-aligned because the local
+        # input dims are multiples of the 512-col group (enforced by
+        # fast_tp_supported's int4 pair checks). embed/head stay
+        # per-channel int8.
+        scales = FastScales(
+            embed=P("tp"),
+            wqkv=P(None, None, "tp"),
+            wo=P(None, "tp", None),
+            w13=P(None, None, "tp"),
+            w2=P(None, "tp", None),
+            lm_head=P("tp"),
+            moegate=None,
+        )
+    elif with_scales:
         # int8 dequant scales shard like their weights' OUTPUT rows
         scales = FastScales(
             embed=P("tp"),
@@ -161,6 +179,20 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     ]
     if cfg.is_moe:
         pairs.append((cfg.n_experts, cfg.dim))
+    if cfg.weight_dtype == "int4":
+        from ..ops.pallas.gemv import int4_group, int4_supported
+        if cfg.is_moe:
+            return False  # routed int4 x TP not threaded yet
+        # packed kernels on LOCAL shards: wqkv/w13 keep full K and shard
+        # rows; wo/w2 shard their packed INPUT columns, so the local input
+        # dim must keep the GLOBAL group size (512-col groups must not
+        # straddle shard boundaries or shrink locally)
+        if not all(int4_supported(n, k) for n, k in pairs[:4]):
+            return False
+        for k_global in (cfg.q_dim, cfg.hidden_dim):
+            k_local = k_global // tp
+            if k_local % int4_group(k_global) != 0:
+                return False
     return all(gemv_supported(n, k) for n, k in pairs) and attention_supported(cfg)
 
 
@@ -242,8 +274,10 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
     def step(fw: FastWeights, token, pos, cache: KVCache):
         itemsize = fw.wqkv.dtype.itemsize
         sc = fw.scales
-        use_block = _use_block(cfg, tp, itemsize)
-        fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
+        int4w = is_int4(fw.wqkv)
+        use_block = not int4w and _use_block(cfg, tp, itemsize)
+        fused_ffn = (not cfg.is_moe and not int4w
+                     and _use_fused_ffn(cfg, tp, itemsize))
         x = _embed_psum(fw.embed, token, V_l,
                         sc.embed if sc is not None else None)
 
@@ -266,8 +300,8 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
             else:
                 xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_att, i, keepdims=False), cfg.norm_eps)
-                qkv = gemv_l(xb, fw.wqkv, i,
-                             scale=sc.wqkv if sc is not None else None)
+                qkv = _proj1_l(xb, fw.wqkv, i,
+                             sc.wqkv if sc is not None else None)
                 if fw.bqkv is not None:
                     qkv = qkv + jax.lax.dynamic_index_in_dim(
                         fw.bqkv, i, keepdims=False)
@@ -282,8 +316,8 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     i, kv_pos, kv_len, kv_sink, pos,
                     kv_sinks=KV_SINKS, theta=cfg.rope_param,
                     rotary_dim=cfg.rotary_dim)
-                delta = gemv_l(mixed.reshape(q_l), fw.wo, i,
-                               scale=sc.wo if sc is not None else None)
+                delta = _proj1_l(mixed.reshape(q_l), fw.wo, i,
+                               sc.wo if sc is not None else None)
             # row-parallel wo: partial sums -> ONE psum per block
             x = x + jax.lax.psum(delta, "tp")
 
@@ -322,12 +356,12 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
             else:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                h13 = gemv_l(xb2, fw.w13, i,
-                             scale=sc.w13 if sc is not None else None)
+                h13 = _proj1_l(xb2, fw.w13, i,
+                             sc.w13 if sc is not None else None)
                 h = act(h13[:h_l]) * h13[h_l:]
                 x = x + jax.lax.psum(
-                    gemv_l(h, fw.w2, i,
-                           scale=sc.w2 if sc is not None else None), "tp")
+                    _proj1_l(h, fw.w2, i,
+                           sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -399,7 +433,7 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i,
+            qkv = _proj_l(xb, fw.wqkv, i,
                          sc.wqkv if sc is not None else None)  # (T, local)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
@@ -426,7 +460,7 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
             vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
             mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
             x = x + jax.lax.psum(
-                gemm_l(mixed.reshape(T, q_l), fw.wo, i,
+                _proj_l(mixed.reshape(T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp")
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
@@ -451,11 +485,11 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                         sc.w2 if sc is not None else None)
                 x = x + jax.lax.psum(delta, ("ep", "tp"))
             else:
-                h13 = gemm_l(xb2, fw.w13, i,
+                h13 = _proj_l(xb2, fw.w13, i,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
                 x = x + jax.lax.psum(
-                    gemm_l(h, fw.w2, i,
+                    _proj_l(h, fw.w2, i,
                            sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
@@ -541,7 +575,8 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
         B_l = tokens.shape[0]                      # local lanes (B / dp)
         itemsize = fw.wqkv.dtype.itemsize
         sc = fw.scales
-        fused_ffn = not cfg.is_moe and _use_fused_ffn(cfg, tp, itemsize)
+        fused_ffn = (not cfg.is_moe and not is_int4(fw.wqkv)
+                     and _use_fused_ffn(cfg, tp, itemsize))
         x = _embed_psum(fw.embed, tokens, V_l,
                         sc.embed if sc is not None else None)  # (B_l, dim)
 
@@ -553,7 +588,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i,
+            qkv = _proj_l(xb, fw.wqkv, i,
                          sc.wqkv if sc is not None else None)  # (B_l, local)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
@@ -570,7 +605,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim)
             x = x + jax.lax.psum(
-                gemm_l(mixed.reshape(B_l, q_l), fw.wo, i,
+                _proj_l(mixed.reshape(B_l, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp")
 
             if cfg.is_moe:
@@ -602,11 +637,11 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
             else:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                h13 = gemm_l(xb2, fw.w13, i,
+                h13 = _proj_l(xb2, fw.w13, i,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
                 x = x + jax.lax.psum(
-                    gemm_l(h, fw.w2, i,
+                    _proj_l(h, fw.w2, i,
                            sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
@@ -679,7 +714,7 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
             x, k_all, v_all = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i,
+            qkv = _proj_l(xb, fw.wqkv, i,
                          sc.wqkv if sc is not None else None)  # (B_l*T, local)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
@@ -713,15 +748,15 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
 
             mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc_i, vc_i)
             x = x + jax.lax.psum(
-                gemm_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
+                _proj_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp")
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-            h13 = gemm_l(xb2, fw.w13, i,
+            h13 = _proj_l(xb2, fw.w13, i,
                          sc.w13 if sc is not None else None)
             h = act(h13[:, :h_l]) * h13[:, h_l:]
             x = x + jax.lax.psum(
-                gemm_l(h, fw.w2, i,
+                _proj_l(h, fw.w2, i,
                        sc.w2 if sc is not None else None), "tp")
             return (x, k_all, v_all)
 
@@ -808,7 +843,7 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
             x, kp, vp = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i,
+            qkv = _proj_l(xb, fw.wqkv, i,
                          sc.wqkv if sc is not None else None)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
@@ -825,21 +860,23 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, window=L)
             x = x + jax.lax.psum(
-                gemm_l(mixed.reshape(B_l, q_l), fw.wo, i,
+                _proj_l(mixed.reshape(B_l, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp")
             d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
                       sc.w13 if sc is not None else None,
                       sc.w2 if sc is not None else None,
                       norm_eps=cfg.norm_eps, act=cfg.act_type,
                       add_residual=False) \
-                if _use_fused_ffn(cfg, tp, fw.wqkv.dtype.itemsize) else None
+                if (not is_int4(fw.wqkv)
+                    and _use_fused_ffn(cfg, tp, fw.wqkv.dtype.itemsize)) \
+                else None
             if d is None:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                h13 = gemm_l(xb2, fw.w13, i,
+                h13 = _proj_l(xb2, fw.w13, i,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
-                d = gemm_l(h, fw.w2, i, sc.w2 if sc is not None else None)
+                d = _proj_l(h, fw.w2, i, sc.w2 if sc is not None else None)
             x = x + jax.lax.psum(d, "tp")
             return (x, kp, vp)
 
@@ -906,7 +943,7 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
             x, kp, vp = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i,
+            qkv = _proj_l(xb, fw.wqkv, i,
                          sc.wqkv if sc is not None else None)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
@@ -938,15 +975,15 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
             vc = vp[table_b, i].reshape(S, Hk_l, D)
             mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
             x = x + jax.lax.psum(
-                gemm_l(mixed.reshape(T, q_l), fw.wo, i,
+                _proj_l(mixed.reshape(T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp")
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-            h13 = gemm_l(xb2, fw.w13, i,
+            h13 = _proj_l(xb2, fw.w13, i,
                          sc.w13 if sc is not None else None)
             h = act(h13[:, :h_l]) * h13[:, h_l:]
             x = x + jax.lax.psum(
-                gemm_l(h, fw.w2, i, sc.w2 if sc is not None else None), "tp")
+                _proj_l(h, fw.w2, i, sc.w2 if sc is not None else None), "tp")
             return (x, kp, vp)
 
         x, kp, vp = jax.lax.fori_loop(

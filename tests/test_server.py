@@ -93,6 +93,25 @@ def test_user_stop_strings_and_finish_reason(server):
     assert ei.value.code == 400
 
 
+def test_n_choices(server):
+    """OpenAI `n`: independent choices decode as concurrent lanes; with an
+    explicit seed, choice seeds are seed+i so temperature>0 choices
+    differ (usually) and greedy choices agree."""
+    base, _ = server
+    status, body = _post(base + "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 6,
+                          "temperature": 0.0, "n": 3})
+    out = json.loads(body)
+    assert [c["index"] for c in out["choices"]] == [0, 1, 2]
+    texts = [c["text"] for c in out["choices"]]
+    assert texts[0] == texts[1] == texts[2]  # greedy: identical
+    assert out["usage"]["completion_tokens"] == 18
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/completions", {"prompt": "x", "n": 9})
+    assert ei.value.code == 400
+
+
 def test_completion(server):
     base, _ = server
     status, body = _post(base + "/v1/completions",

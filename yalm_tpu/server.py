@@ -307,61 +307,76 @@ def make_handler(engine: ServingEngine):
                 seed = body.get("seed")
                 if seed is not None:
                     seed = int(seed)
-                req, out_q = engine.submit_prompt(
-                    prompt, max_tokens=max_tokens, temperature=temperature,
-                    seed=seed, top_k=top_k, top_p=top_p)
+                # OpenAI `n`: independent choices decode as CONCURRENT
+                # scheduler lanes (they share every weight sweep, so n
+                # choices cost ~one at the batched-tick roofline).
+                n_choices = int(body.get("n", 1))
+                if not 1 <= n_choices <= 8:
+                    raise ValueError("n must be between 1 and 8")
+                if stream and n_choices != 1:
+                    raise ValueError("n > 1 is not supported with stream")
+                subs = []
+                for c in range(n_choices):
+                    sd = None if seed is None else seed + c
+                    subs.append(engine.submit_prompt(
+                        prompt, max_tokens=max_tokens,
+                        temperature=temperature, seed=sd, top_k=top_k,
+                        top_p=top_p))
+                req, out_q = subs[0]
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
             if not stream:
-                text = []
-                prev = req.prompt_tokens[-1] if req.prompt_tokens else engine.cfg.bos_token_id
-                while True:
-                    item = out_q.get()
-                    if item is _SENTINEL:
-                        break
-                    if item not in req.stop_tokens:
-                        text.append(engine.tokenizer.decode_one(prev, int(item)))
-                        if stop_strings and not req.cancelled:
-                            # free the lane as soon as a template stop
-                            # marker lands instead of burning max_tokens
-                            tail = b"".join(text[-8:]).decode(
-                                "utf-8", errors="replace")
-                            if any(ss in tail for ss in stop_strings):
-                                req.cancelled = True
-                    prev = int(item)
-                out = b"".join(text).decode("utf-8", errors="replace")
-                for ss in stop_strings:   # trim template stop markers
-                    cut = out.find(ss)
-                    if cut >= 0:
-                        out = out[:cut]
-                hit_stop = (req.cancelled
-                            or (req.generated
-                                and req.generated[-1] in req.stop_tokens))
-                finish = "stop" if hit_stop or len(req.generated) \
-                    < max_tokens else "length"
-                if chat:
-                    self._json(200, {
-                        "object": "chat.completion",
-                        "model": "yalm-tpu",
-                        "choices": [{"index": 0,
-                                     "message": {"role": "assistant",
-                                                 "content": out},
-                                     "finish_reason": finish}],
-                        "usage": {"prompt_tokens": len(req.prompt_tokens),
-                                  "completion_tokens": len(req.generated)},
-                    })
-                else:
-                    self._json(200, {
-                        "object": "text_completion",
-                        "model": "yalm-tpu",
-                        "choices": [{"index": 0,
-                                     "text": out,
-                                     "finish_reason": finish}],
-                        "usage": {"prompt_tokens": len(req.prompt_tokens),
-                                  "completion_tokens": len(req.generated)},
-                    })
+                choices = []
+                total_gen = 0
+                for idx, (req, out_q) in enumerate(subs):
+                    text = []
+                    prev = req.prompt_tokens[-1] if req.prompt_tokens \
+                        else engine.cfg.bos_token_id
+                    while True:
+                        item = out_q.get()
+                        if item is _SENTINEL:
+                            break
+                        if item not in req.stop_tokens:
+                            text.append(engine.tokenizer.decode_one(
+                                prev, int(item)))
+                            if stop_strings and not req.cancelled:
+                                # free the lane as soon as a stop marker
+                                # lands instead of burning max_tokens
+                                tail = b"".join(text[-8:]).decode(
+                                    "utf-8", errors="replace")
+                                if any(ss in tail for ss in stop_strings):
+                                    req.cancelled = True
+                        prev = int(item)
+                    out = b"".join(text).decode("utf-8", errors="replace")
+                    for ss in stop_strings:  # trim stop markers
+                        cut = out.find(ss)
+                        if cut >= 0:
+                            out = out[:cut]
+                    hit_stop = (req.cancelled
+                                or (req.generated
+                                    and req.generated[-1]
+                                    in req.stop_tokens))
+                    finish = "stop" if hit_stop or len(req.generated) \
+                        < max_tokens else "length"
+                    total_gen += len(req.generated)
+                    if chat:
+                        choices.append({"index": idx,
+                                        "message": {"role": "assistant",
+                                                    "content": out},
+                                        "finish_reason": finish})
+                    else:
+                        choices.append({"index": idx, "text": out,
+                                        "finish_reason": finish})
+                self._json(200, {
+                    "object": "chat.completion" if chat
+                    else "text_completion",
+                    "model": "yalm-tpu",
+                    "choices": choices,
+                    "usage": {"prompt_tokens": len(subs[0][0].prompt_tokens),
+                              "completion_tokens": total_gen},
+                })
                 return
 
             # server-sent events, one data: line per token. Chat streams

@@ -102,3 +102,30 @@ def test_converted_logits_match_transformers(tmp_path, arch, extra):
 
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_fast_path_matches_transformers_llama(tmp_path):
+    """Close the loop on the FAST path too: the Pallas-layout prefill's
+    all-position logits track HF's forward (bf16 attention dots => looser
+    tolerance) with matching argmax."""
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import FastWeights, prefill_fast
+
+    model, d = _mk_hf(tmp_path, "llama")
+    out = str(tmp_path / "fastpath.yalm")
+    convert(d, out, "fp32")
+    yf = read_yalm(out)
+    cfg = ModelConfig.from_metadata(yf.metadata)
+    fw = FastWeights.from_weights(load_weights(yf, cfg), cfg)
+
+    T = 12
+    ids = np.array([1, 5, 9, 13, 42, 7, 99, 3, 64, 120, 17, 2])[None, :T]
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits[0].float().numpy()
+    lane = KVCache.init(cfg, jnp.float32)
+    got, _ = prefill_fast(cfg, fw, jnp.asarray(ids[0], jnp.int32),
+                          jnp.int32(0), jnp.int32(T), lane,
+                          logits_mode="all")
+    got = np.asarray(got)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    assert (got.argmax(-1) == want.argmax(-1)).all()

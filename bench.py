@@ -208,6 +208,25 @@ def _synth_fast_weights(cfg, seed=0):
     )
 
 
+
+def _slice_draft(weights, n: int):
+    """First-n-layers draft built from the target's FastWeights: every
+    per-layer stacked field truncated (incl. bias/qk-norm/scale stacks);
+    embed/head/final-norm shared with the target."""
+    rep = dict(rms_att=weights.rms_att[:n], rms_ffn=weights.rms_ffn[:n],
+               wqkv=weights.wqkv[:n], wo=weights.wo[:n],
+               w13=weights.w13[:n], w2=weights.w2[:n])
+    if weights.bqkv is not None:
+        rep["bqkv"] = weights.bqkv[:n]
+    if weights.qnorm is not None:
+        rep["qnorm"] = weights.qnorm[:n]
+        rep["knorm"] = weights.knorm[:n]
+    if weights.scales is not None:
+        rep["scales"] = weights.scales._replace(
+            wqkv=weights.scales.wqkv[:n], wo=weights.scales.wo[:n],
+            w13=weights.scales.w13[:n], w2=weights.scales.w2[:n])
+    return weights._replace(**rep)
+
 def main() -> None:
     dtype = os.environ.get("YALM_BENCH_DTYPE", "fp8")
     # 128 decode steps per on-device block: the sampled ids are fetched once
@@ -423,13 +442,7 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     else:
         dl = min(4, cfg.n_layers)
         dcfg = dataclasses.replace(cfg, n_layers=dl)
-        draft_w = weights._replace(
-            rms_att=weights.rms_att[:dl], rms_ffn=weights.rms_ffn[:dl],
-            wqkv=weights.wqkv[:dl], wo=weights.wo[:dl],
-            w13=weights.w13[:dl], w2=weights.w2[:dl],
-            scales=None if weights.scales is None else weights.scales._replace(
-                wqkv=weights.scales.wqkv[:dl], wo=weights.scales.wo[:dl],
-                w13=weights.scales.w13[:dl], w2=weights.scales.w2[:dl]))
+        draft_w = _slice_draft(weights, dl)
         draft = Engine(dcfg, draft_w, kv_dtype=kv_dtype or jnp.bfloat16,
                        compute_dtype=jnp.bfloat16, fast=True)
 
@@ -517,14 +530,7 @@ def bench_spec_sched(cfg, weights, kv_dtype=None) -> None:
     else:
         dl = min(4, cfg.n_layers)
         dcfg = dataclasses.replace(cfg, n_layers=dl)
-        draft_w = weights._replace(
-            rms_att=weights.rms_att[:dl], rms_ffn=weights.rms_ffn[:dl],
-            wqkv=weights.wqkv[:dl], wo=weights.wo[:dl],
-            w13=weights.w13[:dl], w2=weights.w2[:dl],
-            scales=None if weights.scales is None else weights.scales._replace(
-                wqkv=weights.scales.wqkv[:dl], wo=weights.scales.wo[:dl],
-                w13=weights.scales.w13[:dl], w2=weights.scales.w2[:dl]))
-        kwargs["spec_draft"] = (dcfg, draft_w)
+        kwargs["spec_draft"] = (dcfg, _slice_draft(weights, dl))
         prompt = [1, 7, 9]
 
     def reqs():

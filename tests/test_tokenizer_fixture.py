@@ -155,6 +155,44 @@ def test_native_bpe_matches_python_and_hf(style):
         assert tok.encode(extra) == py.encode(extra), repr(extra)
 
 
+def test_metaspace_first_scheme_matches_hf(tmp_path):
+    """prepend_scheme='first' prepends ONLY to the segment at offset 0:
+    a segment after an added token must get no space prefix (HF
+    AddedVocabulary + Metaspace semantics). Built live against the real
+    `tokenizers` package; Python and C++ must both match."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer as HFTok, models, pre_tokenizers, decoders, trainers
+    from yalm_tpu.convert import load_merges
+
+    hf = HFTok(models.BPE(unk_token=None, byte_fallback=True))
+    hf.pre_tokenizer = pre_tokenizers.Metaspace(prepend_scheme="first")
+    hf.decoder = decoders.Metaspace(prepend_scheme="first")
+    trainer = trainers.BpeTrainer(vocab_size=300,
+                                  special_tokens=["<unk>", "<s>", "</s>"],
+                                  initial_alphabet=[], show_progress=False)
+    hf.train_from_iterator(["hello world this is a test", "wor ld words"] * 40,
+                           trainer)
+    hf.add_tokens([f"<0x{i:02X}>" for i in range(256)])
+    hf.add_special_tokens(["<|endoftext|>"])
+    path = str(tmp_path / "first_tok.json")
+    hf.save(path, pretty=False)
+
+    vocab = load_tokens(path, hf.get_vocab_size())
+    merges, added, pretok = load_merges(path, vocab)
+    assert pretok == "metaspace:first"
+    tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000, merges=merges,
+                    added=added, pretok=pretok)
+    py = Tokenizer(vocab, bos_id=-1000, eos_id=-1000, merges=merges,
+                   added=added, pretok=pretok)
+    py._native_bpe = False
+    for text in ("hello world", "hello<|endoftext|>world",
+                 "<|endoftext|>hello world", "a<|endoftext|> b",
+                 " leading<|endoftext|>after", ""):
+        want = hf.encode(text, add_special_tokens=False).ids
+        assert py.encode(text) == want, (text, py.encode(text), want)
+        assert tok.encode(text) == want, (text, tok.encode(text), want)
+
+
 def test_python_and_native_tries_agree():
     vocab, golden = _load("llama_style")
     tok = Tokenizer(vocab, bos_id=-1000, eos_id=-1000)

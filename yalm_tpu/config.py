@@ -205,23 +205,29 @@ class ModelConfig:
         """
         ws = self.weight_byte_size()
         if self.weight_dtype == "int4":
-            # packed nibbles (0.5 B/weight) + f32 group scales (1 per
-            # 512-group of input cols => params/128 bytes)
-            def lw(params: int) -> int:
-                return params // 2 + params // 128
+            # packed nibbles (0.5 B/weight) + one f32 scale per group of
+            # input columns — group size depends on K (512 when K % 512
+            # == 0, else 256; ops/pallas/gemv.int4_group)
+            def lw(params: int, k: int) -> int:
+                group = 512 if k % 512 == 0 else 256
+                return params // 2 + (params // group) * 4
         else:
-            def lw(params: int) -> int:
+            def lw(params: int, k: int) -> int:
                 return params * ws
         per_block = 0
         per_block += 2 * self.dim * 4                      # the two f32 norms
-        per_block += lw(self.q_dim * self.dim)             # wq
-        per_block += lw(2 * self.kv_dim * self.dim)        # wk, wv
-        per_block += lw(self.q_dim * self.dim)             # wo
+        per_block += lw(self.q_dim * self.dim, self.dim)   # wq
+        per_block += lw(2 * self.kv_dim * self.dim, self.dim)  # wk, wv
+        per_block += lw(self.q_dim * self.dim, self.q_dim)  # wo (K = q_dim)
         if self.n_experts > 0:
-            per_block += lw(self.n_experts * self.dim)
-            per_block += lw(self.n_experts_active * 3 * self.dim * self.hidden_dim)
+            per_block += self.n_experts * self.dim * ws    # router (int8)
+            per_block += lw(2 * self.n_experts_active * self.dim
+                            * self.hidden_dim, self.dim)   # w1, w3
+            per_block += lw(self.n_experts_active * self.dim
+                            * self.hidden_dim, self.hidden_dim)  # w2
         else:
-            per_block += lw(3 * self.dim * self.hidden_dim)
+            per_block += lw(2 * self.dim * self.hidden_dim, self.dim)
+            per_block += lw(self.dim * self.hidden_dim, self.hidden_dim)
         kv_len = min(self.max_seq_len, pos + 1)
         per_block += 2 * kv_len * self.kv_dim * kv_bytes   # K and V cache reads
 

@@ -372,8 +372,9 @@ struct BpeState {
   std::unordered_map<std::string, int32_t> piece_id;  // lowest id wins
   std::vector<std::pair<std::string, int32_t>> added;  // longest-first
   int32_t byte_ids[256];
-  int pretok = 0;   // 0 none, 1 metaspace, 2 bytelevel
-  int prefix = 0;   // metaspace always/first | bytelevel add_prefix_space
+  int pretok = 0;   // 0 none, 1 metaspace, 2 bytelevel, 3 llama3
+  int prefix = 0;   // metaspace: 0 never, 1 always, 2 first-segment-only;
+                    // bytelevel: 1 = add_prefix_space
   bool fallback_ok = false;  // byte fallback usable in BPE mode
 };
 
@@ -775,10 +776,11 @@ static void encode_word(const YtTokenizer* t, const uint8_t* w, int64_t n,
 }
 
 static void encode_segment(const YtTokenizer* t, const uint8_t* s, int64_t n,
-                           std::vector<int32_t>* out) {
+                           bool first, std::vector<int32_t>* out) {
   const BpeState& st = *t->bpe;
+  bool prepend = st.prefix == 1 || (st.prefix == 2 && first);
   std::string buf;
-  if (st.prefix && n > 0 && s[0] != ' ') {
+  if (prepend && n > 0 && s[0] != ' ') {
     buf.reserve(n + 1);
     buf.push_back(' ');
     buf.append(reinterpret_cast<const char*>(s), (size_t)n);
@@ -846,8 +848,10 @@ int32_t yt_set_bpe(YtTokenizer* t, const int32_t* merges, int64_t n_merges,
   std::string p(pretok ? pretok : "");
   if (p.rfind("metaspace", 0) == 0) {
     st->pretok = 1;
-    st->prefix = (p.find(":always") != std::string::npos ||
-                  p.find(":first") != std::string::npos);
+    // HF Metaspace: 'always' prepends to EVERY split segment, 'first'
+    // only to the segment at offset 0 of the whole text
+    st->prefix = p.find(":always") != std::string::npos ? 1
+               : p.find(":first") != std::string::npos ? 2 : 0;
   } else if (p.rfind("bytelevel", 0) == 0) {
     st->pretok = 2;
     st->prefix = p.find(":prefix") != std::string::npos;
@@ -881,13 +885,15 @@ int64_t yt_encode_bpe(YtTokenizer* t, const uint8_t* text, int64_t text_len,
       i++;
       continue;
     }
-    if (i > start) bpe::encode_segment(t, text + start, i - start, &ids);
+    if (i > start)
+      bpe::encode_segment(t, text + start, i - start, start == 0, &ids);
     ids.push_back(hit->second);
     i += (int64_t)hit->first.size();
     start = i;
   }
   if (start < text_len)
-    bpe::encode_segment(t, text + start, text_len - start, &ids);
+    bpe::encode_segment(t, text + start, text_len - start, start == 0,
+                        &ids);
   if ((int64_t)ids.size() > out_cap) return -1;
   memcpy(out, ids.data(), ids.size() * sizeof(int32_t));
   return (int64_t)ids.size();

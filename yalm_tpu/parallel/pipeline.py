@@ -40,8 +40,9 @@ from ..ops.pallas.gemv import gemm, gemm_l
 
 
 def pp_supported(cfg: ModelConfig, pp: int, batch: int) -> bool:
-    return (not cfg.is_moe and pp >= 1 and cfg.n_layers % pp == 0
-            and batch % pp == 0)
+    # int4 packed weights not threaded into the pipeline stages yet
+    return (not cfg.is_moe and cfg.weight_dtype != "int4" and pp >= 1
+            and cfg.n_layers % pp == 0 and batch % pp == 0)
 
 
 def pp_weight_pspecs(cfg: ModelConfig,
@@ -154,7 +155,7 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
             return jax.lax.fori_loop(0, nl_l, layer_body, (x, kc, vc))
 
         def rotation(t, carry):
-            xbuf, kc, vc, out = carry
+            xbuf, kc, vc, xdrain = carry
             mb = t - p
             valid = (mb >= 0) & (mb < pp)
             mb_c = jnp.clip(mb, 0, pp - 1)
@@ -178,26 +179,31 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                 jax.lax.dynamic_slice(kv_sink_all, (sl,), (Bm,)), wm)
             kc = jax.lax.dynamic_update_slice(kc, kc_mb, (sl, 0, 0, 0, 0))
             vc = jax.lax.dynamic_update_slice(vc, vc_mb, (sl, 0, 0, 0, 0))
-            # drained microbatch: the last stage unembeds
-            xn = rmsnorm(x_out, fw.final_norm, cfg.norm_eps)
-            lg = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
-            lg = jnp.where((p == pp - 1) & valid, lg.astype(jnp.float32),
-                           0.0)
-            out = jax.lax.dynamic_update_slice(
-                out, jax.lax.dynamic_slice(out, (sl, 0),
-                                           (Bm, cfg.vocab_size)) + lg,
+            # drained microbatch: the LAST stage banks its residual rows;
+            # the (B, vocab) unembed happens ONCE after the loop (doing it
+            # per rotation step cost (2*pp-1) masked vocab GEMMs and an
+            # 8x-larger psum)
+            xd = jnp.where((p == pp - 1) & valid,
+                           x_out.astype(jnp.float32), 0.0)
+            xdrain = jax.lax.dynamic_update_slice(
+                xdrain, jax.lax.dynamic_slice(xdrain, (sl, 0),
+                                              (Bm, cfg.dim)) + xd,
                 (sl, 0))
             # residual stream to the next stage (last stage's send is
             # overwritten by stage 0's fresh embedding)
             xbuf = jax.lax.ppermute(
                 x_out, "pp", [(i, (i + 1) % pp) for i in range(pp)])
-            return (xbuf, kc, vc, out)
+            return (xbuf, kc, vc, xdrain)
 
         x0 = jnp.zeros((Bm, cfg.dim), jnp.float32)
-        out0 = jnp.zeros((B, cfg.vocab_size), jnp.float32)
-        _, kc, vc, out = jax.lax.fori_loop(
-            0, 2 * pp - 1, rotation, (x0, cache.k, cache.v, out0))
-        out = jax.lax.psum(out, "pp")  # only the last stage contributed
+        xd0 = jnp.zeros((B, cfg.dim), jnp.float32)
+        _, kc, vc, xdrain = jax.lax.fori_loop(
+            0, 2 * pp - 1, rotation, (x0, cache.k, cache.v, xd0))
+        # only the last stage contributed rows; the small (B, dim) psum
+        # replicates them, then every device unembeds once
+        xdrain = jax.lax.psum(xdrain, "pp")
+        xn = rmsnorm(xdrain, fw.final_norm, cfg.norm_eps)
+        out = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
         return out, KVCache(k=kc, v=vc)
 
     return shard_map(

@@ -43,8 +43,10 @@ from .fast_tp import (_clipper, _embed_psum, fast_tp_supported,
 
 
 def ring_supported(cfg: ModelConfig, sp: int, tp: int = 1) -> bool:
-    return (not cfg.is_moe and fast_tp_supported(cfg, tp)
-            and cfg.n_kv_heads % tp == 0)
+    # int4 packed weights not threaded into the ring body yet (it uses the
+    # plain gemm_l/ffn path)
+    return (not cfg.is_moe and cfg.weight_dtype != "int4"
+            and fast_tp_supported(cfg, tp) and cfg.n_kv_heads % tp == 0)
 
 
 def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,

@@ -293,12 +293,15 @@ class Tokenizer:
             if self._native_bpe:
                 out.extend(self._native.encode_bpe(data))
                 return out
+            pos = 0
             for seg, tid in self._split_added(data):
                 if tid is not None:
+                    pos += len(self.vocab[tid])
                     out.append(tid)
                     continue
-                for word in self._pretok_words(seg):
+                for word in self._pretok_words(seg, first=(pos == 0)):
                     out.extend(self._bpe_word(word))
+                pos += len(seg)
             return out
         if self._native is not None:
             out.extend(self._native.encode(data))
@@ -353,12 +356,16 @@ class Tokenizer:
         if start < n:
             yield data[start:], None
 
-    def _pretok_words(self, seg: bytes) -> list[bytes]:
+    def _pretok_words(self, seg: bytes, first: bool = True) -> list[bytes]:
         kind = self.pretok.split(":", 1)[0]
         if kind == "metaspace":
             scheme = self.pretok.split(":", 1)[1] if ":" in self.pretok \
                 else "always"
-            if scheme in ("always", "first") and not seg.startswith(b" "):
+            # HF Metaspace: 'always' prepends to EVERY split segment,
+            # 'first' only to the segment at offset 0 of the whole text
+            # (a segment AFTER an added token gets no prefix)
+            prepend = (scheme == "always" or (scheme == "first" and first))
+            if prepend and not seg.startswith(b" "):
                 seg = b" " + seg
             # split BEFORE every space (sentencepiece ▁ merges with what
             # follows); consecutive spaces each start a new piece

@@ -227,7 +227,42 @@ def _slice_draft(weights, n: int):
             w13=weights.scales.w13[:n], w2=weights.scales.w2[:n])
     return weights._replace(**rep)
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe the TPU from a SUBPROCESS: when the axon tunnel is down, the
+    plugin's init hangs inside jax.devices() with no in-process timeout
+    possible — a watchdogged child process is the only safe probe."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp, numpy as np\n"
+            "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+            "print(float(np.asarray(jnp.sum(x @ x))))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, cwd="/root/repo")
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if "jax" in sys.modules:
+        import jax
+        cpu_pinned = (jax.config.jax_platforms or "") == "cpu"
+    else:
+        cpu_pinned = False
+    if not cpu_pinned and not _device_reachable():
+        # fail FAST with a diagnostic artifact instead of hanging the
+        # driver: the TPU tunnel is unreachable (plugin init blocks)
+        log("TPU unreachable: device probe subprocess hung/failed")
+        print(json.dumps({
+            "metric": "decode_throughput",
+            "value": 0,
+            "unit": "tok/s",
+            "vs_baseline": 0,
+            "error": "tpu-tunnel-unreachable (device probe timed out; "
+                     "plugin init hangs when the tunnel is down)",
+        }))
+        raise SystemExit(1)
     dtype = os.environ.get("YALM_BENCH_DTYPE", "fp8")
     # 128 decode steps per on-device block: the sampled ids are fetched once
     # per block, so the dev-tunnel's ~26 ms dispatch+fetch round trip (pure

@@ -243,3 +243,39 @@ def test_recover_fails_active_keeps_queue(setup):
     sched.run()
     assert queued.done and queued.error is None
     assert queued.generated == ref
+
+
+def test_logprobs_match_oracle(tmp_path):
+    """Request.logprobs = log p(tok | prefix) under the model's full
+    distribution: cross-checked against the oracle prefill's log-softmax
+    at every generated position (first token from admission logits, the
+    rest from the batched tick's fused computation)."""
+    import jax.numpy as jnp
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.transformer import prefill
+    from yalm_tpu.utils.testing import synth_checkpoint
+    from test_fast_path import fast_config
+
+    cfg = fast_config(max_seq_len=64)
+    path = str(tmp_path / "lp.yalm")
+    synth_checkpoint(path, cfg, seed=201)
+    weights = load_weights(read_yalm(path), cfg)
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    req = sched.submit(Request(prompt_tokens=[1, 5, 9], max_new_tokens=10,
+                               temperature=0.0))
+    sched.run()
+    assert len(req.logprobs) == 10
+    assert all(np.isfinite(req.logprobs))
+
+    seq = list(req.prompt_tokens) + req.generated
+    T = len(seq)
+    cache = KVCache.init(cfg, jnp.float32)
+    logits, _ = prefill(cfg, weights, jnp.asarray(seq, jnp.int32),
+                        jnp.int32(0), jnp.int32(T), cache,
+                        logits_mode="all", compute_dtype=jnp.float32)
+    lg = np.asarray(logits, np.float32)
+    for i, (tok, lp) in enumerate(zip(req.generated, req.logprobs)):
+        row = lg[len(req.prompt_tokens) - 1 + i]
+        m = row.max()
+        want = row[tok] - m - np.log(np.exp(row - m).sum())
+        assert abs(lp - want) < 0.08, (i, lp, want)

@@ -93,6 +93,23 @@ def test_user_stop_strings_and_finish_reason(server):
     assert ei.value.code == 400
 
 
+def test_logprobs_field(server):
+    base, _ = server
+    status, body = _post(base + "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 5,
+                          "temperature": 0.0, "logprobs": 1})
+    out = json.loads(body)["choices"][0]
+    lp = out["logprobs"]
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) == 5
+    assert all(isinstance(x, float) and x <= 0.0
+               for x in lp["token_logprobs"])
+    # no logprobs unless asked
+    status, body = _post(base + "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 2,
+                          "temperature": 0.0})
+    assert "logprobs" not in json.loads(body)["choices"][0]
+
+
 def test_n_choices(server):
     """OpenAI `n`: independent choices decode as concurrent lanes; with an
     explicit seed, choice seeds are seed+i so temperature>0 choices

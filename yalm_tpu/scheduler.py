@@ -54,6 +54,9 @@ class Request:
                               # stop-string hit); freed at the next tick edge
     # outputs
     generated: list[int] = dataclasses.field(default_factory=list)
+    # natural log-prob of each generated token under the model's FULL
+    # (temperature-independent) distribution — OpenAI `logprobs` semantics
+    logprobs: list[float] = dataclasses.field(default_factory=list)
     done: bool = False
     error: Optional[str] = None   # set when the request failed (isolation)
     on_token: Optional[Callable[[int], None]] = None
@@ -62,8 +65,9 @@ class Request:
     # from last_token (scheduler._preempt / _advance_admission)
     _resume: Optional[tuple[list[int], int]] = None
 
-    def _emit(self, tok: int) -> None:
+    def _emit(self, tok: int, lp: float | None = None) -> None:
         self.generated.append(tok)
+        self.logprobs.append(float(lp) if lp is not None else float("nan"))
         if self.on_token:
             self.on_token(tok)
 
@@ -266,7 +270,11 @@ class Scheduler:
                 keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
                     jax.random.PRNGKey(s_), p_))(seeds, positions)
                 nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-                return nxt, logits, pool
+                lg = logits.astype(jnp.float32)
+                lse = jax.scipy.special.logsumexp(lg, axis=-1)
+                lp = jnp.take_along_axis(
+                    lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
+                return nxt, lp, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
                      donate_argnums=(4,))
@@ -291,11 +299,15 @@ class Scheduler:
                 keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
                     jax.random.PRNGKey(s_), p_))(seeds, positions)
                 nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
+                lg = logits.astype(jnp.float32)
+                lse = jax.scipy.special.logsumexp(lg, axis=-1)
+                lp = jnp.take_along_axis(
+                    lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
                 # logits returned too: ring-regime admission samples the
                 # first token OUTSIDE the tick with the same key math as the
                 # dense path (_finish_admission folds at the post-increment
                 # position)
-                return nxt, logits, pool
+                return nxt, lp, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
                      donate_argnums=(4,))
@@ -387,7 +399,11 @@ class Scheduler:
             keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
                 seeds, positions)
             nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-            return nxt, cache
+            lg = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(lg, axis=-1)
+            lp = jnp.take_along_axis(
+                lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
+            return nxt, lp, cache
 
         @partial(jax.jit, static_argnames=("logits_mode", "attend_len"),
                  donate_argnums=(5,))
@@ -621,14 +637,17 @@ class Scheduler:
         sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), slot.pos)
         first = int(sample_ext(logits, sub, jnp.float32(req.temperature),
                                jnp.int32(req.top_k), jnp.float32(req.top_p)))
-        self._finish_admission_token(slot, first)
+        lg = logits.astype(jnp.float32)
+        lp = float(lg[first] - jax.scipy.special.logsumexp(lg))
+        self._finish_admission_token(slot, first, lp)
 
-    def _finish_admission_token(self, slot: _Slot, first: int) -> None:
+    def _finish_admission_token(self, slot: _Slot, first: int,
+                                lp: float | None = None) -> None:
         slot.admitting = False
         slot.last_token = first
         if self.spec:
             self._spec_hydrate(slot)
-        if self._emit_checked(slot, first):
+        if self._emit_checked(slot, first, lp):
             self._maybe_finish(slot, first)
 
     def _spec_hydrate(self, slot: _Slot) -> None:
@@ -683,7 +702,7 @@ class Scheduler:
         positions[b] = pos
         write = np.zeros(B, np.int32); write[b] = 1
         zeros_i = jnp.zeros(B, jnp.int32)
-        _, logits, self.cache = self._tick_paged(
+        _, _, logits, self.cache = self._tick_paged(
             self.weights, jnp.asarray(tokens), jnp.asarray(positions),
             self.cache, zeros_i, jnp.zeros(B, jnp.float32),
             jnp.asarray(write), zeros_i, jnp.ones(B, jnp.float32),
@@ -802,11 +821,12 @@ class Scheduler:
         if self.paged:
             self.alloc.release(self.slots.index(slot))
 
-    def _emit_checked(self, slot: _Slot, tok: int) -> bool:
+    def _emit_checked(self, slot: _Slot, tok: int,
+                      lp: float | None = None) -> bool:
         """Emit a token to a request, failing only that request if its
         callback raises. Returns False when the slot was failed."""
         try:
-            slot.request._emit(tok)
+            slot.request._emit(tok, lp)
             return True
         except Exception as e:  # noqa: BLE001 — isolate the poisoned request
             self._fail_slot(slot, e)
@@ -888,22 +908,23 @@ class Scheduler:
                 [s.request.top_p if s.decoding else 1.0 for s in self.slots],
                 jnp.float32)
             if self.paged:
-                nxt, _, self.cache = self._tick_paged(
+                nxt, lps, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, seeds,
                     temps, write, topks, topps,
                     jnp.asarray(self.alloc.table_array()))
             else:
-                nxt, self.cache = self._tick(self.weights, tokens, positions,
-                                             self.cache, seeds, temps, write,
-                                             topks, topps)
+                nxt, lps, self.cache = self._tick(
+                    self.weights, tokens, positions, self.cache, seeds,
+                    temps, write, topks, topps)
             nxt = np.asarray(nxt)
+            lps = np.asarray(lps)
             for b, slot in enumerate(self.slots):
                 if not slot.decoding:
                     continue
                 tok = int(nxt[b])
                 slot.pos += 1
                 slot.last_token = tok
-                if self._emit_checked(slot, tok):
+                if self._emit_checked(slot, tok, float(lps[b])):
                     self._maybe_finish(slot, tok)
         return sum(not s.free for s in self.slots)
 
@@ -971,6 +992,7 @@ class Scheduler:
                     self.weights, jnp.asarray(chunk), jnp.asarray(positions),
                     jnp.asarray(write), self.cache)
             t = np.asarray(jnp.argmax(logits, axis=-1))  # (B, K+1)
+            lg = np.asarray(logits, np.float32)          # (B, K+1, V)
             self.spec_stats["rounds"] += 1
             for b in elig:
                 s = self.slots[b]
@@ -984,10 +1006,14 @@ class Scheduler:
                 s.last_token = emitted[-1]
                 if self.spec_lookup:
                     s.hist.extend(emitted)
-                for tok in emitted:
+                for i, tok in enumerate(emitted):
                     if s.request is None:
                         break  # finished mid-round: discard the tail
-                    if self._emit_checked(s, tok):
+                    row = lg[b, i]
+                    m = row.max()
+                    lp = float(row[tok] - m
+                               - np.log(np.exp(row - m).sum()))
+                    if self._emit_checked(s, tok, lp):
                         self._maybe_finish(s, tok)
                     else:
                         break
@@ -1001,16 +1027,17 @@ class Scheduler:
             zeros_f = jnp.zeros((self.B,), jnp.float32)
             zeros_i = jnp.zeros((self.B,), jnp.int32)
             if self.paged:
-                nxt, _, self.cache = self._tick_paged(
+                nxt, lps, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, zeros_i,
                     zeros_f, write, zeros_i,
                     jnp.ones((self.B,), jnp.float32),
                     jnp.asarray(self.alloc.table_array()))
             else:
-                nxt, self.cache = self._tick(
+                nxt, lps, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, zeros_i,
                     zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
             nxt = np.asarray(nxt)
+            lps = np.asarray(lps)
             for b in plain:
                 s = self.slots[b]
                 tok = int(nxt[b])
@@ -1018,7 +1045,7 @@ class Scheduler:
                 s.last_token = tok
                 if self.spec_lookup and s.spec_ok and s.hist is not None:
                     s.hist.extend([tok])  # stays eligible next round
-                if self._emit_checked(s, tok):
+                if self._emit_checked(s, tok, float(lps[b])):
                     self._maybe_finish(s, tok)
 
     def run(self, max_ticks: int = 100000) -> None:

@@ -311,6 +311,7 @@ def make_handler(engine: ServingEngine):
                 # scheduler lanes (they share every weight sweep, so n
                 # choices cost ~one at the batched-tick roofline).
                 n_choices = int(body.get("n", 1))
+                want_logprobs = bool(body.get("logprobs"))
                 if not 1 <= n_choices <= 8:
                     raise ValueError("n must be between 1 and 8")
                 if stream and n_choices != 1:
@@ -362,13 +363,31 @@ def make_handler(engine: ServingEngine):
                         < max_tokens else "length"
                     total_gen += len(req.generated)
                     if chat:
-                        choices.append({"index": idx,
-                                        "message": {"role": "assistant",
-                                                    "content": out},
-                                        "finish_reason": finish})
+                        choice = {"index": idx,
+                                  "message": {"role": "assistant",
+                                              "content": out},
+                                  "finish_reason": finish}
                     else:
-                        choices.append({"index": idx, "text": out,
-                                        "finish_reason": finish})
+                        choice = {"index": idx, "text": out,
+                                  "finish_reason": finish}
+                    if want_logprobs:
+                        # natural log-probs of each emitted token under the
+                        # model's full distribution (scheduler-computed)
+                        pv = req.prompt_tokens[-1] if req.prompt_tokens \
+                            else engine.cfg.bos_token_id
+                        pieces = []
+                        for tk in req.generated:
+                            pieces.append(engine.tokenizer.decode_one(
+                                pv, tk).decode("utf-8", errors="replace"))
+                            pv = tk
+                        choice["logprobs"] = {
+                            "tokens": pieces,
+                            "token_logprobs": [round(x, 6)
+                                               for x in req.logprobs],
+                            "top_logprobs": None,
+                            "text_offset": None,
+                        }
+                    choices.append(choice)
                 self._json(200, {
                     "object": "chat.completion" if chat
                     else "text_completion",

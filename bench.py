@@ -245,12 +245,20 @@ def _device_reachable(timeout_s: int = 240) -> bool:
 
 
 def main() -> None:
+    probe_needed = True
     if "jax" in sys.modules:
         import jax
-        cpu_pinned = (jax.config.jax_platforms or "") == "cpu"
-    else:
-        cpu_pinned = False
-    if not cpu_pinned and not _device_reachable():
+        if (jax.config.jax_platforms or "") == "cpu":
+            probe_needed = False
+        else:
+            # a backend already initialized in THIS process proves the
+            # device is reachable — and holds it exclusively, so a
+            # subprocess probe would false-fail (never run two TPU
+            # processes at once)
+            from jax._src import xla_bridge as _xb
+            if getattr(_xb, "_backends", None):
+                probe_needed = False
+    if probe_needed and not _device_reachable():
         # fail FAST with a diagnostic artifact instead of hanging the
         # driver: the TPU tunnel is unreachable (plugin init blocks)
         log("TPU unreachable: device probe subprocess hung/failed")

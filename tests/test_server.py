@@ -110,6 +110,45 @@ def test_logprobs_field(server):
     assert "logprobs" not in json.loads(body)["choices"][0]
 
 
+def test_logprobs_streaming_and_chat_schema(server):
+    """Streaming chunks carry per-token logprobs; chat responses use the
+    chat-API logprobs shape ({content: [{token, logprob, ...}]})."""
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/v1/completions",
+        data=json.dumps({"prompt": "hello", "max_tokens": 4,
+                         "temperature": 0.0, "stream": True,
+                         "logprobs": 1}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        raw = r.read().decode()
+    chunks = [json.loads(l[len("data: "):]) for l in raw.splitlines()
+              if l.startswith("data: ") and not l.endswith("[DONE]")]
+    assert chunks
+    for c in chunks:
+        ch = c["choices"][0]
+        lp = ch["logprobs"]
+        assert lp["tokens"] == [ch["text"]]
+        assert all(x is None or x <= 0.0 for x in lp["token_logprobs"])
+    # greedy streamed logprobs must match the non-streamed ones
+    _, body = _post(base + "/v1/completions",
+                    {"prompt": "hello", "max_tokens": 4,
+                     "temperature": 0.0, "logprobs": 1})
+    flat = json.loads(body)["choices"][0]["logprobs"]["token_logprobs"]
+    streamed = [c["choices"][0]["logprobs"]["token_logprobs"][0]
+                for c in chunks]
+    assert streamed == pytest.approx(flat, abs=1e-4)
+
+    _, body = _post(base + "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "hi"}],
+                     "max_tokens": 4, "temperature": 0.0, "logprobs": True})
+    lp = json.loads(body)["choices"][0]["logprobs"]
+    assert "content" in lp and len(lp["content"]) >= 1
+    for e in lp["content"]:
+        assert set(e) == {"token", "logprob", "bytes", "top_logprobs"}
+        assert e["logprob"] <= 0.0
+
+
 def test_n_choices(server):
     """OpenAI `n`: independent choices decode as concurrent lanes; with an
     explicit seed, choice seeds are seed+i so temperature>0 choices

@@ -40,6 +40,56 @@ from .sampler import sample_ext
 from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
+def _sample_pack(logits, seeds, positions, temps, topks, topps):
+    """Batched sample + OpenAI logprob, packed into ONE (2, B) f32 array so
+    the host fetches a single tiny buffer per tick (each host fetch costs a
+    full tunnel RTT; token ids are exact in f32 — vocab < 2^24). Row 0:
+    sampled ids; row 1: log-prob of the sampled token under the FULL
+    (temperature-independent) distribution."""
+    keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
+        seeds, positions)
+    nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
+    lg = logits.astype(jnp.float32)
+    lp = jnp.take_along_axis(
+        lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] \
+        - jax.scipy.special.logsumexp(lg, axis=-1)
+    return jnp.stack([nxt.astype(jnp.float32), lp])
+
+
+def _unpack_sample(packed) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.asarray(packed)  # the one host fetch of the tick
+    return arr[0].astype(np.int32), arr[1]
+
+
+@jax.jit
+def _sample1_pack(logits, seed, pos, temp, topk, topp):
+    """Single-lane variant of _sample_pack (admission's first token):
+    sample + logprob in one jitted dispatch, one (2,) f32 fetch."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
+    nxt = sample_ext(logits, key, temp, topk, topp)
+    lg = logits.astype(jnp.float32)
+    lp = lg[nxt] - jax.scipy.special.logsumexp(lg)
+    return jnp.stack([nxt.astype(jnp.float32), lp])
+
+
+@jax.jit
+def _verify_pack(logits, chunk):
+    """Post-process a speculative verify sweep ON DEVICE so the host fetches
+    (B, K+1, 3) floats instead of the full (B, K+1, V) logits (~5 MB per
+    round at 7B vocab). Layout: [..., 0] greedy target ids (exact in f32),
+    [..., 1] logprob of that id, [..., 2] logprob of the lane's NEXT
+    proposed token chunk[:, i+1] (the accepted-prefix candidate; the last
+    column's value is unused — emission stops at the correction token)."""
+    lg = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)
+    t = jnp.argmax(lg, axis=-1)
+    lp_t = jnp.take_along_axis(lg, t[..., None], axis=-1)[..., 0] - lse
+    shifted = jnp.concatenate([chunk[:, 1:], chunk[:, :1]], axis=1)
+    lp_c = jnp.take_along_axis(
+        lg, shifted[..., None].astype(jnp.int32), axis=-1)[..., 0] - lse
+    return jnp.stack([t.astype(jnp.float32), lp_t, lp_c], axis=-1)
+
+
 @dataclasses.dataclass
 class Request:
     prompt_tokens: list[int]
@@ -267,14 +317,9 @@ class Scheduler:
                             write_mask, topks, topps, tables):
                 logits, pool = _ptick(w, tokens, positions, pool, tables,
                                       write_mask)
-                keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
-                    jax.random.PRNGKey(s_), p_))(seeds, positions)
-                nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-                lg = logits.astype(jnp.float32)
-                lse = jax.scipy.special.logsumexp(lg, axis=-1)
-                lp = jnp.take_along_axis(
-                    lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
-                return nxt, lp, logits, pool
+                packed = _sample_pack(logits, seeds, positions, temps,
+                                      topks, topps)
+                return packed, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
                      donate_argnums=(4,))
@@ -296,18 +341,13 @@ class Scheduler:
                 logits, pool = decode_step_fast_batched_paged(
                     cfg, w, tokens, positions, pool, tables, write_mask,
                     page_size=ps)
-                keys = jax.vmap(lambda s_, p_: jax.random.fold_in(
-                    jax.random.PRNGKey(s_), p_))(seeds, positions)
-                nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-                lg = logits.astype(jnp.float32)
-                lse = jax.scipy.special.logsumexp(lg, axis=-1)
-                lp = jnp.take_along_axis(
-                    lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
+                packed = _sample_pack(logits, seeds, positions, temps,
+                                      topks, topps)
                 # logits returned too: ring-regime admission samples the
                 # first token OUTSIDE the tick with the same key math as the
                 # dense path (_finish_admission folds at the post-increment
                 # position)
-                return nxt, lp, logits, pool
+                return packed, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
                      donate_argnums=(4,))
@@ -396,14 +436,9 @@ class Scheduler:
             mixed sampling settings share one compiled tick."""
             logits, cache = _batched_logits(w, tokens, positions, cache,
                                             write_mask)
-            keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
-                seeds, positions)
-            nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-            lg = logits.astype(jnp.float32)
-            lse = jax.scipy.special.logsumexp(lg, axis=-1)
-            lp = jnp.take_along_axis(
-                lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
-            return nxt, lp, cache
+            packed = _sample_pack(logits, seeds, positions, temps,
+                                  topks, topps)
+            return packed, cache
 
         @partial(jax.jit, static_argnames=("logits_mode", "attend_len"),
                  donate_argnums=(5,))
@@ -634,11 +669,11 @@ class Scheduler:
     def _finish_admission(self, slot: _Slot, logits) -> None:
         """Sample the first generated token (seeded per request)."""
         req = slot.request
-        sub = jax.random.fold_in(jax.random.PRNGKey(req.seed), slot.pos)
-        first = int(sample_ext(logits, sub, jnp.float32(req.temperature),
-                               jnp.int32(req.top_k), jnp.float32(req.top_p)))
-        lg = logits.astype(jnp.float32)
-        lp = float(lg[first] - jax.scipy.special.logsumexp(lg))
+        packed = np.asarray(_sample1_pack(
+            logits, jnp.int32(req.seed), jnp.int32(slot.pos),
+            jnp.float32(req.temperature), jnp.int32(req.top_k),
+            jnp.float32(req.top_p)))
+        first, lp = int(packed[0]), float(packed[1])
         self._finish_admission_token(slot, first, lp)
 
     def _finish_admission_token(self, slot: _Slot, first: int,
@@ -702,7 +737,7 @@ class Scheduler:
         positions[b] = pos
         write = np.zeros(B, np.int32); write[b] = 1
         zeros_i = jnp.zeros(B, jnp.int32)
-        _, _, logits, self.cache = self._tick_paged(
+        _, logits, self.cache = self._tick_paged(
             self.weights, jnp.asarray(tokens), jnp.asarray(positions),
             self.cache, zeros_i, jnp.zeros(B, jnp.float32),
             jnp.asarray(write), zeros_i, jnp.ones(B, jnp.float32),
@@ -908,16 +943,15 @@ class Scheduler:
                 [s.request.top_p if s.decoding else 1.0 for s in self.slots],
                 jnp.float32)
             if self.paged:
-                nxt, lps, _, self.cache = self._tick_paged(
+                packed, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, seeds,
                     temps, write, topks, topps,
                     jnp.asarray(self.alloc.table_array()))
             else:
-                nxt, lps, self.cache = self._tick(
+                packed, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, seeds,
                     temps, write, topks, topps)
-            nxt = np.asarray(nxt)
-            lps = np.asarray(lps)
+            nxt, lps = _unpack_sample(packed)
             for b, slot in enumerate(self.slots):
                 if not slot.decoding:
                     continue
@@ -991,8 +1025,8 @@ class Scheduler:
                 logits, self.cache = self._verify(
                     self.weights, jnp.asarray(chunk), jnp.asarray(positions),
                     jnp.asarray(write), self.cache)
-            t = np.asarray(jnp.argmax(logits, axis=-1))  # (B, K+1)
-            lg = np.asarray(logits, np.float32)          # (B, K+1, V)
+            vp = np.asarray(_verify_pack(logits, jnp.asarray(chunk)))
+            t = vp[..., 0].astype(np.int32)              # (B, K+1)
             self.spec_stats["rounds"] += 1
             for b in elig:
                 s = self.slots[b]
@@ -1009,10 +1043,9 @@ class Scheduler:
                 for i, tok in enumerate(emitted):
                     if s.request is None:
                         break  # finished mid-round: discard the tail
-                    row = lg[b, i]
-                    m = row.max()
-                    lp = float(row[tok] - m
-                               - np.log(np.exp(row - m).sum()))
+                    # i < a: the accepted proposal chunk[b, i+1] -> lp_c;
+                    # i == a: the target's correction t[b, a] -> lp_t
+                    lp = float(vp[b, i, 2] if i < a else vp[b, i, 1])
                     if self._emit_checked(s, tok, lp):
                         self._maybe_finish(s, tok)
                     else:
@@ -1027,17 +1060,16 @@ class Scheduler:
             zeros_f = jnp.zeros((self.B,), jnp.float32)
             zeros_i = jnp.zeros((self.B,), jnp.int32)
             if self.paged:
-                nxt, lps, _, self.cache = self._tick_paged(
+                packed, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, zeros_i,
                     zeros_f, write, zeros_i,
                     jnp.ones((self.B,), jnp.float32),
                     jnp.asarray(self.alloc.table_array()))
             else:
-                nxt, lps, self.cache = self._tick(
+                packed, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, zeros_i,
                     zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
-            nxt = np.asarray(nxt)
-            lps = np.asarray(lps)
+            nxt, lps = _unpack_sample(packed)
             for b in plain:
                 s = self.slots[b]
                 tok = int(nxt[b])

@@ -380,13 +380,22 @@ def make_handler(engine: ServingEngine):
                             pieces.append(engine.tokenizer.decode_one(
                                 pv, tk).decode("utf-8", errors="replace"))
                             pv = tk
-                        choice["logprobs"] = {
-                            "tokens": pieces,
-                            "token_logprobs": [round(x, 6)
-                                               for x in req.logprobs],
-                            "top_logprobs": None,
-                            "text_offset": None,
-                        }
+                        lps = [round(x, 6) for x in req.logprobs]
+                        if chat:
+                            # chat API shape: {content: [{token, logprob,
+                            # bytes, top_logprobs}]}
+                            choice["logprobs"] = {"content": [
+                                {"token": s, "logprob": l,
+                                 "bytes": list(s.encode("utf-8")),
+                                 "top_logprobs": []}
+                                for s, l in zip(pieces, lps)]}
+                        else:
+                            choice["logprobs"] = {
+                                "tokens": pieces,
+                                "token_logprobs": lps,
+                                "top_logprobs": None,
+                                "text_offset": None,
+                            }
                     choices.append(choice)
                 self._json(200, {
                     "object": "chat.completion" if chat
@@ -413,48 +422,86 @@ def make_handler(engine: ServingEngine):
             def chunk(data: bytes) -> None:
                 self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
 
-            def emit(piece: str) -> None:
+            def emit(piece: str, lp: float | None = None) -> None:
                 if not piece:
                     return
+                if lp is not None and lp != lp:  # NaN is not valid JSON
+                    lp = None
                 if chat:
+                    ch = {"index": 0, "delta": {"content": piece}}
+                    if want_logprobs:
+                        ch["logprobs"] = {"content": [
+                            {"token": piece,
+                             "logprob": None if lp is None else round(lp, 6),
+                             "bytes": list(piece.encode("utf-8")),
+                             "top_logprobs": []}]}
                     payload = {"object": "chat.completion.chunk",
-                               "choices": [{"index": 0,
-                                            "delta": {"content": piece}}]}
+                               "choices": [ch]}
                 else:
-                    payload = {"choices": [{"index": 0, "text": piece}]}
+                    ch = {"index": 0, "text": piece}
+                    if want_logprobs:
+                        ch["logprobs"] = {
+                            "tokens": [piece],
+                            "token_logprobs": [None if lp is None
+                                               else round(lp, 6)],
+                            "top_logprobs": None,
+                            "text_offset": None,
+                        }
+                    payload = {"choices": [ch]}
                 chunk(b"data: " + json.dumps(payload).encode() + b"\n\n")
 
             hold = max((len(ss) for ss in stop_strings), default=0)
-            pending = ""
+            # decoded-but-unflushed (piece, logprob) per token: WHOLE tokens
+            # flush (one chunk each, so streamed logprobs stay per-token)
+            # once the unflushed tail is long enough that a stop marker
+            # split across tokens can still match inside it
+            toks: list[tuple[str, float | None]] = []
             stopped = False
+            item_i = 0
             prev = req.prompt_tokens[-1] if req.prompt_tokens else engine.cfg.bos_token_id
+
+            def flush(keep_chars: int) -> None:
+                while toks:
+                    tail = sum(len(p) for p, _ in toks) - len(toks[0][0])
+                    if tail < keep_chars:
+                        return
+                    piece, lp = toks.pop(0)
+                    emit(piece, lp)
+
             while True:
                 item = out_q.get()
                 if item is _SENTINEL:
                     break
+                lp = (req.logprobs[item_i] if want_logprobs
+                      and item_i < len(req.logprobs) else None)
+                item_i += 1
                 if stopped:
                     continue  # drain until the scheduler frees the lane
                 if item in req.stop_tokens:
                     prev = int(item)
                     continue
-                pending += engine.tokenizer.decode_one(prev, int(item)).decode(
-                    "utf-8", errors="replace")
+                toks.append((engine.tokenizer.decode_one(
+                    prev, int(item)).decode("utf-8", errors="replace"), lp))
                 prev = int(item)
-                cut = min((i for i in (pending.find(ss) for ss in stop_strings)
+                text = "".join(p for p, _ in toks)
+                cut = min((i for i in (text.find(ss) for ss in stop_strings)
                            if i >= 0), default=-1)
                 if cut >= 0:
-                    emit(pending[:cut])
+                    # flush whole tokens before the marker, then the final
+                    # partial piece (its logprob still applies to the token
+                    # the fragment came from)
+                    for piece, plp in toks:
+                        if cut <= 0:
+                            break
+                        emit(piece[:cut], plp)
+                        cut -= len(piece)
                     req.cancelled = True
                     stopped = True
+                    toks = []
                     continue
-                if hold and len(pending) > hold:
-                    emit(pending[:-hold])
-                    pending = pending[-hold:]
-                elif not hold:
-                    emit(pending)
-                    pending = ""
+                flush(hold)
             if not stopped:
-                emit(pending)
+                flush(0)
             chunk(b"data: [DONE]\n\n")
             chunk(b"")  # terminal chunk
 

@@ -35,8 +35,11 @@ def test_fast_tp_supported_gates():
     assert not fast_tp_supported(cfg, 2, ep=2)  # dense can't use ep
 
 
-def test_decode_step_fast_tp_matches_oracle(tmp_path):
-    cfg = fast_config()
+@pytest.mark.parametrize("embed_scale", [1.0, 8.0])
+def test_decode_step_fast_tp_matches_oracle(tmp_path, embed_scale):
+    # embed_scale=8.0 exercises the Gemma sqrt(dim) embedding normalizer
+    # through the sharded gather (_embed_psum call sites)
+    cfg = fast_config(embed_scale=embed_scale)
     path = str(tmp_path / "m.yalm")
     synth_checkpoint(path, cfg, seed=9)
     weights = load_weights(read_yalm(path), cfg)

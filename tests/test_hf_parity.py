@@ -46,7 +46,8 @@ def _write_tokenizer(d, vocab_size):
 
 
 def _mk_hf(tmp_path, arch, **extra):
-    from transformers import (LlamaConfig, LlamaForCausalLM, MixtralConfig,
+    from transformers import (GemmaConfig, GemmaForCausalLM, LlamaConfig,
+                              LlamaForCausalLM, MixtralConfig,
                               MixtralForCausalLM, Qwen2Config,
                               Qwen2ForCausalLM, Qwen3Config,
                               Qwen3ForCausalLM)
@@ -55,6 +56,7 @@ def _mk_hf(tmp_path, arch, **extra):
         "qwen2": (Qwen2Config, Qwen2ForCausalLM),
         "qwen3": (Qwen3Config, Qwen3ForCausalLM),
         "mixtral": (MixtralConfig, MixtralForCausalLM),
+        "gemma": (GemmaConfig, GemmaForCausalLM),
     }
     cfg_cls, model_cls = builders[arch]
     hf_cfg = cfg_cls(**DIMS, **extra)
@@ -75,6 +77,9 @@ def _mk_hf(tmp_path, arch, **extra):
     ("qwen2", {}),
     ("qwen3", {"head_dim": 16}),
     ("mixtral", {"num_local_experts": 4, "num_experts_per_tok": 2}),
+    # sqrt(dim) embedding normalizer + (1+w) norm offset + tanh-gelu + tied
+    # head; head_dim decoupled from dim/n_heads like the real Gemma (256)
+    ("gemma", {"head_dim": 16, "hidden_activation": "gelu_pytorch_tanh"}),
 ])
 def test_converted_logits_match_transformers(tmp_path, arch, extra):
     model, d = _mk_hf(tmp_path, arch, **extra)
@@ -87,6 +92,8 @@ def test_converted_logits_match_transformers(tmp_path, arch, extra):
         assert cfg.has_qkv_bias
     if arch == "qwen3":
         assert cfg.has_qk_norm
+    if arch == "gemma":
+        assert cfg.embed_scale == pytest.approx(DIMS["hidden_size"] ** 0.5)
     weights = load_weights(yf, cfg)
 
     T = 12
@@ -104,14 +111,20 @@ def test_converted_logits_match_transformers(tmp_path, arch, extra):
     assert (got.argmax(-1) == want.argmax(-1)).all()
 
 
-def test_fast_path_matches_transformers_llama(tmp_path):
+@pytest.mark.parametrize("arch,extra", [
+    ("llama", {}),
+    ("gemma", {"head_dim": 16,
+               "hidden_activation": "gelu_pytorch_tanh"}),
+])
+def test_fast_path_matches_transformers(tmp_path, arch, extra):
     """Close the loop on the FAST path too: the Pallas-layout prefill's
     all-position logits track HF's forward (bf16 attention dots => looser
-    tolerance) with matching argmax."""
+    tolerance) with matching argmax. Gemma pins the fast path's
+    embed_scale + folded norm offsets."""
     from yalm_tpu.models.cache import KVCache
     from yalm_tpu.models.fast import FastWeights, prefill_fast
 
-    model, d = _mk_hf(tmp_path, "llama")
+    model, d = _mk_hf(tmp_path, arch, **extra)
     out = str(tmp_path / "fastpath.yalm")
     convert(d, out, "fp32")
     yf = read_yalm(out)

@@ -23,8 +23,8 @@ from yalm_tpu.utils.testing import synth_checkpoint
 from test_fast_path import fast_config
 
 
-def _setup(tmp_path, seed, pp, B, n_layers=4):
-    cfg = fast_config(max_seq_len=64, n_layers=n_layers)
+def _setup(tmp_path, seed, pp, B, n_layers=4, **over):
+    cfg = fast_config(max_seq_len=64, n_layers=n_layers, **over)
     assert pp_supported(cfg, pp, B)
     path = str(tmp_path / f"p{seed}.yalm")
     synth_checkpoint(path, cfg, seed=seed)
@@ -34,9 +34,13 @@ def _setup(tmp_path, seed, pp, B, n_layers=4):
     return cfg, fw, mesh
 
 
-@pytest.mark.parametrize("pp,B", [(2, 16), (4, 32)])
-def test_pp_tick_matches_single_device(tmp_path, pp, B):
-    cfg, fw, mesh = _setup(tmp_path, seed=101 + pp, pp=pp, B=B)
+@pytest.mark.parametrize("pp,B,embed_scale", [
+    (2, 16, 1.0), (4, 32, 1.0),
+    (2, 16, 8.0),  # Gemma-style embedding normalizer in the pipeline tick
+])
+def test_pp_tick_matches_single_device(tmp_path, pp, B, embed_scale):
+    cfg, fw, mesh = _setup(tmp_path, seed=101 + pp, pp=pp, B=B,
+                           embed_scale=embed_scale)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, B), jnp.int32)
     positions = jnp.asarray(rng.integers(0, 20, B), jnp.int32)

@@ -36,9 +36,13 @@ def _setup(tmp_path, seed=91, **over):
     return cfg, weights
 
 
-@pytest.mark.parametrize("sp,tp", [(4, 1), (2, 2), (8, 1), (4, 2)])
-def test_ring_prefill_matches_oracle(tmp_path, sp, tp):
-    cfg, weights = _setup(tmp_path, seed=91 + sp * 10 + tp)
+@pytest.mark.parametrize("sp,tp,embed_scale", [
+    (4, 1, 1.0), (2, 2, 1.0), (8, 1, 1.0), (4, 2, 1.0),
+    (2, 2, 8.0),  # Gemma-style embedding normalizer through the ring path
+])
+def test_ring_prefill_matches_oracle(tmp_path, sp, tp, embed_scale):
+    cfg, weights = _setup(tmp_path, seed=91 + sp * 10 + tp,
+                          embed_scale=embed_scale)
     assert ring_supported(cfg, sp, tp)
     mesh = _mesh(sp, tp)
     T = 32

@@ -126,6 +126,19 @@ def test_chatml_render():
         render(msgs, "nope")
 
 
+def test_gemma_render():
+    msgs = [{"role": "system", "content": "S"},
+            {"role": "user", "content": "u1"},
+            {"role": "assistant", "content": "a1"},
+            {"role": "user", "content": "u2"}]
+    out = render(msgs, "gemma")
+    assert out == ("<start_of_turn>user\nS\n\nu1<end_of_turn>\n"
+                   "<start_of_turn>model\na1<end_of_turn>\n"
+                   "<start_of_turn>user\nu2<end_of_turn>\n"
+                   "<start_of_turn>model\n")
+    assert STOP_STRINGS["gemma"] == ("<end_of_turn>",)
+
+
 def test_inst_render():
     msgs = [{"role": "system", "content": "S"},
             {"role": "user", "content": "u1"},

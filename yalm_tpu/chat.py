@@ -69,10 +69,34 @@ def render_llama3(messages: Sequence[dict]) -> str:
     return "".join(parts)
 
 
+def render_gemma(messages: Sequence[dict]) -> str:
+    """Gemma instruct convention: <start_of_turn>{user|model}\\n blocks
+    closed by <end_of_turn>; system content folds into the first user turn
+    (Gemma's template has no system role)."""
+    sys_txt = ""
+    parts = []
+    for m in messages:
+        role = m.get("role", "user")
+        content = m.get("content", "")
+        if role not in ROLES:
+            raise ValueError(f"unknown role {role!r}")
+        if role == "system":
+            sys_txt = content
+            continue
+        if role == "user" and sys_txt:
+            content = f"{sys_txt}\n\n{content}"
+            sys_txt = ""
+        name = "model" if role == "assistant" else "user"
+        parts.append(f"<start_of_turn>{name}\n{content}<end_of_turn>\n")
+    parts.append("<start_of_turn>model\n")
+    return "".join(parts)
+
+
 TEMPLATES = {
     "chatml": render_chatml,
     "inst": render_inst,
     "llama3": render_llama3,
+    "gemma": render_gemma,
 }
 
 # text markers that end an assistant turn per template (checked as decoded
@@ -81,6 +105,7 @@ STOP_STRINGS = {
     "chatml": ("<|im_end|>",),
     "inst": ("[INST]",),
     "llama3": ("<|eot_id|>",),
+    "gemma": ("<end_of_turn>",),
 }
 
 

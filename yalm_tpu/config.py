@@ -74,6 +74,11 @@ class ModelConfig:
     # Llama-3.1 remap (ops/core.scale_inv_freq). The reference has no
     # rope_scaling handling at all, so Llama-3.1+ mis-rotates there.
     rope_scale: tuple = ()
+    # Gemma multiplies the embedding row by sqrt(dim) before the first block
+    # (NOT foldable into the table: the tied LM head reads it unscaled, and
+    # rmsnorm's scale-invariance stops the factor from commuting through the
+    # residual stream). Static, applied at every embedding-gather site.
+    embed_scale: float = 1.0
 
     def __post_init__(self):
         if self.rotary_dim == 0:
@@ -144,6 +149,7 @@ class ModelConfig:
             has_qkv_bias=md.get("has_qkv_bias", "0") in ("1", "true", "True"),
             has_qk_norm=md.get("has_qk_norm", "0") in ("1", "true", "True"),
             rope_scale=_parse_rope_scale(md),
+            embed_scale=float(md.get("embed_scale", "1")),
         )
 
     def to_metadata(self) -> dict[str, str]:
@@ -176,6 +182,8 @@ class ModelConfig:
             md["has_qkv_bias"] = "1"
         if self.has_qk_norm:
             md["has_qk_norm"] = "1"
+        if self.embed_scale != 1.0:
+            md["embed_scale"] = str(self.embed_scale)
         if self.rope_scale:
             md["rope_scaling"] = str(self.rope_scale[0])
             md["rope_factor"] = str(self.rope_scale[1])

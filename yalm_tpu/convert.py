@@ -41,6 +41,7 @@ SUPPORTED_ARCHITECTURES = [
     "MixtralForCausalLM",
     "Qwen2ForCausalLM",
     "Qwen3ForCausalLM",
+    "GemmaForCausalLM",
 ]
 
 
@@ -54,8 +55,14 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
                          f"{list(DTYPE_STR_TO_TAG) + ['int4']}")
 
     head_dim = config.get("head_dim") or config["hidden_size"] // config["num_attention_heads"]
-    if config.get("hidden_act") not in ("gelu", "silu"):
-        raise ValueError(f"unsupported hidden_act {config.get('hidden_act')}")
+    # Gemma declares its act as `hidden_activation` (gelu_pytorch_tanh);
+    # this repo's `gelu` IS the tanh approximation (reference
+    # src/infer.cpp:187-189 uses the same constants), so both map to "gelu".
+    act = config.get("hidden_activation") or config.get("hidden_act")
+    if act == "gelu_pytorch_tanh":
+        act = "gelu"
+    if act not in ("gelu", "silu"):
+        raise ValueError(f"unsupported hidden_act {act}")
     # Qwen2 uses QKV biases without declaring attention_bias in its config;
     # their presence is detected from the safetensors in load_weights.
     if config.get("mlp_bias", False):
@@ -82,8 +89,12 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
         "rotary_dim": str(int(head_dim * config.get("partial_rotary_factor", 1))),
         "norm_eps": str(config["rms_norm_eps"]),
         "norm_type": "rmsnorm",
-        "act_type": config["hidden_act"],
+        "act_type": act,
     }
+    if arch == "GemmaForCausalLM":
+        # sqrt(dim) embedding normalizer (HF GemmaModel.forward); the (1+w)
+        # norm offset is folded into the norm tensors by load_weights
+        md["embed_scale"] = str(float(config["hidden_size"]) ** 0.5)
     if arch == "MixtralForCausalLM":
         md["n_experts"] = str(config["num_local_experts"])
         md["n_experts_active"] = str(config["num_experts_per_tok"])
@@ -331,6 +342,14 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
     def f32(t: np.ndarray) -> np.ndarray:
         return t.astype(np.float32)
 
+    gemma = md["arch"].startswith("Gemma")
+
+    def norm(t: np.ndarray) -> np.ndarray:
+        # Gemma's RMSNorm multiplies by (1 + w); folding the offset into the
+        # stored tensor keeps every runtime norm the standard rmsnorm
+        # (exact: a single f32 add per element, same as HF's float32 math)
+        return f32(t) + 1.0 if gemma else f32(t)
+
     tensors: dict[str, np.ndarray] = {}
 
     def put(name: str, t: np.ndarray) -> None:
@@ -364,7 +383,7 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
 
     for l in range(n_layers):
         p = f"model.layers.{l}"
-        tensors[f"{p}.attn.norm.weight"] = f32(weights[f"{p}.input_layernorm.weight"])
+        tensors[f"{p}.attn.norm.weight"] = norm(weights[f"{p}.input_layernorm.weight"])
         put(f"{p}.attn.wq.weight",
             permute_reverse(f32(weights[f"{p}.self_attn.q_proj.weight"]), n_heads, rotary_dim))
         put(f"{p}.attn.wk.weight",
@@ -401,7 +420,7 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             tensors[f"{p}.attn.k_norm.weight"] = permute_reverse(
                 f32(weights[f"{p}.self_attn.k_norm.weight"])[:, None],
                 1, rotary_dim)[:, 0]
-        tensors[f"{p}.mlp.norm.weight"] = f32(weights[f"{p}.post_attention_layernorm.weight"])
+        tensors[f"{p}.mlp.norm.weight"] = norm(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:
             # router stays per-channel int8 in int4 mode (tiny, and its
@@ -420,8 +439,10 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             put(f"{p}.mlp.w2.weight", weights[f"{p}.mlp.down_proj.weight"])
             put(f"{p}.mlp.w3.weight", weights[f"{p}.mlp.up_proj.weight"])
 
-    tensors["model.norm.weight"] = f32(weights["model.norm.weight"])
-    if not tie_word_embeddings:
+    tensors["model.norm.weight"] = norm(weights["model.norm.weight"])
+    # Tied checkpoints may omit the flag entirely (HF's base default is
+    # True — Gemma relies on it), so key on the tensor's presence too.
+    if not tie_word_embeddings and "lm_head.weight" in weights:
         put_head("model.output.weight", weights["lm_head.weight"])
     # (tied embeddings: the loader falls back to model.embed.weight, like
     #  reference src/model.cpp:371-373)

@@ -451,6 +451,8 @@ def decode_step_fast(
     sc = fw.scales
 
     x = fw.embed[token].astype(jnp.float32)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[token]
 
@@ -655,6 +657,8 @@ def decode_step_fast_batched(
     sc = fw.scales
 
     x = fw.embed[tokens].astype(jnp.float32)           # (B, dim)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[tokens][:, None]
 
@@ -784,6 +788,8 @@ def prefill_fast(
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
 
     x = fw.embed[tokens].astype(jnp.float32)  # (T, dim)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[tokens][:, None]
 
@@ -988,6 +994,8 @@ def verify_chunk_fast_batched(
     att_mask = jnp.arange(L)[None, None, :] <= positions[:, :, None]
 
     x = fw.embed[tokens].astype(jnp.float32)                    # (B, T, dim)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[tokens][..., None]
     x = x.reshape(B * T, cfg.dim)
@@ -1089,6 +1097,8 @@ def decode_step_fast_batched_paged(
     sc = fw.scales
 
     x = fw.embed[tokens].astype(jnp.float32)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[tokens][:, None]
 
@@ -1173,6 +1183,8 @@ def prefill_fast_paged(
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
 
     x = fw.embed[tokens].astype(jnp.float32)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[tokens][:, None]
 
@@ -1277,6 +1289,8 @@ def verify_chunk_fast_batched_paged(
     pf, rf = pages.reshape(-1), row.reshape(-1)
 
     x = fw.embed[tokens].astype(jnp.float32)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
     if sc is not None:
         x = x * sc.embed[tokens][..., None]
     x = x.reshape(B * T, cfg.dim)

@@ -138,6 +138,8 @@ def decode_step(
     """
     L = cfg.max_seq_len
     x = weights.embed[token].astype(jnp.float32)            # embedding gather
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
 
     kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
     kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
@@ -241,6 +243,8 @@ def prefill(
     valid = jnp.arange(T) < valid_len                       # (T,)
 
     x = weights.embed[tokens].astype(jnp.float32)           # (T, dim)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
 
     # causal visibility: query at chunk-row i attends to cache slot l iff
     # l <= pos0 + i (all earlier slots are valid history; no wraparound).

@@ -280,6 +280,8 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                      and _use_fused_ffn(cfg, tp, itemsize))
         x = _embed_psum(fw.embed, token, V_l,
                         sc.embed if sc is not None else None)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
 
         kv_sink = jnp.where(pos >= L, KV_SINKS, 0)
         kv_pos = kv_sink + (pos - kv_sink) % (L - kv_sink)
@@ -415,6 +417,8 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
         sc = fw.scales
         x = _embed_psum(fw.embed, tokens, V_l,
                         sc.embed if sc is not None else None)  # (T, dim)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]
@@ -579,6 +583,8 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                      and _use_fused_ffn(cfg, tp, itemsize))
         x = _embed_psum(fw.embed, tokens, V_l,
                         sc.embed if sc is not None else None)  # (B_l, dim)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
 
         kv_sink = jnp.where(positions >= L, KV_SINKS, 0)
         kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
@@ -699,6 +705,8 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
 
         x = _embed_psum(fw.embed, tokens.reshape(-1), V_l,
                         sc.embed if sc is not None else None)   # (B_l*T, dim)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
 
         def attend(q4, kc, vc):
             scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
@@ -834,6 +842,8 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
         sc = fw.scales
         x = _embed_psum(fw.embed, tokens, V_l,
                         sc.embed if sc is not None else None)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
 
         kv_sink = jnp.where(positions >= L, KV_SINKS, 0)
         kv_pos = kv_sink + (positions - kv_sink) % (L - kv_sink)
@@ -925,6 +935,8 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
         own = jax.lax.axis_index("dp") == group   # this shard owns the lane
         x = _embed_psum(fw.embed, tokens, V_l,
                         sc.embed if sc is not None else None)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]

@@ -162,6 +162,8 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
             sl = mb_c * Bm
             toks_mb = jax.lax.dynamic_slice(tokens, (sl,), (Bm,))
             x_fresh = fw.embed[toks_mb].astype(jnp.float32)
+            if cfg.embed_scale != 1.0:
+                x_fresh = x_fresh * cfg.embed_scale
             if sc is not None:
                 x_fresh = x_fresh * sc.embed[toks_mb][:, None]
             x_in = jnp.where(p == 0, x_fresh, xbuf)

@@ -118,6 +118,8 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
         positions = offset + jnp.arange(T_l)
         x = _embed_psum(fw.embed, tokens, V_l,
                         sc.embed if sc is not None else None)  # (T_l, dim)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
         k_out = jnp.zeros((nl, T_l, Hk_l, D), jnp.bfloat16)
         v_out = jnp.zeros((nl, T_l, Hk_l, D), jnp.bfloat16)
 

@@ -46,7 +46,8 @@ def _write_tokenizer(d, vocab_size):
 
 
 def _mk_hf(tmp_path, arch, **extra):
-    from transformers import (GemmaConfig, GemmaForCausalLM, LlamaConfig,
+    from transformers import (Gemma2Config, Gemma2ForCausalLM, GemmaConfig,
+                              GemmaForCausalLM, LlamaConfig,
                               LlamaForCausalLM, MixtralConfig,
                               MixtralForCausalLM, Qwen2Config,
                               Qwen2ForCausalLM, Qwen3Config,
@@ -57,6 +58,7 @@ def _mk_hf(tmp_path, arch, **extra):
         "qwen3": (Qwen3Config, Qwen3ForCausalLM),
         "mixtral": (MixtralConfig, MixtralForCausalLM),
         "gemma": (GemmaConfig, GemmaForCausalLM),
+        "gemma2": (Gemma2Config, Gemma2ForCausalLM),
     }
     cfg_cls, model_cls = builders[arch]
     hf_cfg = cfg_cls(**DIMS, **extra)
@@ -80,6 +82,13 @@ def _mk_hf(tmp_path, arch, **extra):
     # sqrt(dim) embedding normalizer + (1+w) norm offset + tanh-gelu + tied
     # head; head_dim decoupled from dim/n_heads like the real Gemma (256)
     ("gemma", {"head_dim": 16, "hidden_activation": "gelu_pytorch_tanh"}),
+    # Gemma2: sandwich norms, score+logit softcaps, query_pre_attn_scalar
+    # != head_dim (exercises the wq fold), and a sliding window SMALLER
+    # than the prompt so alternating local attention genuinely masks
+    ("gemma2", {"head_dim": 16, "query_pre_attn_scalar": 32.0,
+                "sliding_window": 8, "attn_logit_softcapping": 50.0,
+                "final_logit_softcapping": 30.0,
+                "hidden_activation": "gelu_pytorch_tanh"}),
 ])
 def test_converted_logits_match_transformers(tmp_path, arch, extra):
     model, d = _mk_hf(tmp_path, arch, **extra)
@@ -111,10 +120,44 @@ def test_converted_logits_match_transformers(tmp_path, arch, extra):
     assert (got.argmax(-1) == want.argmax(-1)).all()
 
 
+def test_gemma2_decode_step_matches_transformers(tmp_path):
+    """Token-by-token decode (the AGE-based sliding mask, a different code
+    path from prefill's position mask) tracks HF at every step."""
+    from yalm_tpu.models.transformer import decode_step
+
+    model, d = _mk_hf(tmp_path, "gemma2", head_dim=16,
+                      query_pre_attn_scalar=32.0, sliding_window=8,
+                      attn_logit_softcapping=50.0,
+                      final_logit_softcapping=30.0,
+                      hidden_activation="gelu_pytorch_tanh")
+    out = str(tmp_path / "g2dec.yalm")
+    convert(d, out, "fp32")
+    yf = read_yalm(out)
+    cfg = ModelConfig.from_metadata(yf.metadata)
+    weights = load_weights(yf, cfg)
+
+    T = 12
+    ids = np.array([1, 5, 9, 13, 42, 7, 99, 3, 64, 120, 17, 2])[None, :T]
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits[0].float().numpy()
+
+    cache = KVCache.init(cfg, jnp.float32)
+    for t in range(T):
+        got, cache = decode_step(cfg, weights, jnp.int32(ids[0, t]),
+                                 jnp.int32(t), cache,
+                                 compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), want[t],
+                                   rtol=2e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("arch,extra", [
     ("llama", {}),
     ("gemma", {"head_dim": 16,
                "hidden_activation": "gelu_pytorch_tanh"}),
+    ("gemma2", {"head_dim": 16, "query_pre_attn_scalar": 32.0,
+                "sliding_window": 8, "attn_logit_softcapping": 50.0,
+                "final_logit_softcapping": 30.0,
+                "hidden_activation": "gelu_pytorch_tanh"}),
 ])
 def test_fast_path_matches_transformers(tmp_path, arch, extra):
     """Close the loop on the FAST path too: the Pallas-layout prefill's

@@ -79,6 +79,22 @@ class ModelConfig:
     # rmsnorm's scale-invariance stops the factor from commuting through the
     # residual stream). Static, applied at every embedding-gather site.
     embed_scale: float = 1.0
+    # Gemma2-style "sandwich" norms: rmsnorm the attention/FFN DELTA before
+    # its residual add (post_attention/post_feedforward_layernorm; rms_ffn
+    # maps to pre_feedforward_layernorm). Weights in LayerWeights.pa/pf.
+    has_post_norms: bool = False
+    # Gemma2 logit soft-capping: x -> cap * tanh(x / cap); 0.0 = off.
+    # attn_softcap applies to attention scores AFTER the 1/sqrt(head_dim)
+    # scale (the query_pre_attn_scalar rescale is folded into wq by the
+    # converter), final_softcap to the LM-head logits.
+    attn_softcap: float = 0.0
+    final_softcap: float = 0.0
+    # Alternating local attention (Gemma2/3): sliding layers see only the
+    # last `sliding_window` positions. layer_sliding is a per-layer 0/1
+    # tuple ((): none). The KV ring window itself stays max_seq_len; the
+    # narrower visibility is a pure attention mask.
+    sliding_window: int = 0
+    layer_sliding: tuple = ()
 
     def __post_init__(self):
         if self.rotary_dim == 0:
@@ -91,6 +107,11 @@ class ModelConfig:
             raise ValueError(f"unsupported norm_type {self.norm_type!r}")
         if self.n_heads % max(self.n_kv_heads, 1) != 0:
             raise ValueError("n_heads must be a multiple of n_kv_heads")
+        if self.layer_sliding:
+            if len(self.layer_sliding) != self.n_layers:
+                raise ValueError("layer_sliding must have one entry per layer")
+            if self.sliding_window <= 0 and any(self.layer_sliding):
+                raise ValueError("layer_sliding set but sliding_window is 0")
 
     @property
     def rope_param(self):
@@ -150,6 +171,12 @@ class ModelConfig:
             has_qk_norm=md.get("has_qk_norm", "0") in ("1", "true", "True"),
             rope_scale=_parse_rope_scale(md),
             embed_scale=float(md.get("embed_scale", "1")),
+            has_post_norms=md.get("has_post_norms", "0") in ("1", "true", "True"),
+            attn_softcap=float(md.get("attn_softcap", "0")),
+            final_softcap=float(md.get("final_softcap", "0")),
+            sliding_window=(min(int(md["sliding_window"]), max_seq_len)
+                            if "sliding_window" in md else 0),
+            layer_sliding=tuple(int(c) for c in md.get("layer_sliding", "")),
         )
 
     def to_metadata(self) -> dict[str, str]:
@@ -184,6 +211,16 @@ class ModelConfig:
             md["has_qk_norm"] = "1"
         if self.embed_scale != 1.0:
             md["embed_scale"] = str(self.embed_scale)
+        if self.has_post_norms:
+            md["has_post_norms"] = "1"
+        if self.attn_softcap:
+            md["attn_softcap"] = str(self.attn_softcap)
+        if self.final_softcap:
+            md["final_softcap"] = str(self.final_softcap)
+        if self.sliding_window:
+            md["sliding_window"] = str(self.sliding_window)
+        if self.layer_sliding:
+            md["layer_sliding"] = "".join(str(int(b)) for b in self.layer_sliding)
         if self.rope_scale:
             md["rope_scaling"] = str(self.rope_scale[0])
             md["rope_factor"] = str(self.rope_scale[1])

@@ -42,6 +42,7 @@ SUPPORTED_ARCHITECTURES = [
     "Qwen2ForCausalLM",
     "Qwen3ForCausalLM",
     "GemmaForCausalLM",
+    "Gemma2ForCausalLM",
 ]
 
 
@@ -91,10 +92,34 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
         "norm_type": "rmsnorm",
         "act_type": act,
     }
-    if arch == "GemmaForCausalLM":
+    if arch.startswith("Gemma"):
         # sqrt(dim) embedding normalizer (HF GemmaModel.forward); the (1+w)
         # norm offset is folded into the norm tensors by load_weights
         md["embed_scale"] = str(float(config["hidden_size"]) ** 0.5)
+    if arch == "Gemma2ForCausalLM":
+        md["has_post_norms"] = "1"
+        if config.get("attn_logit_softcapping"):
+            md["attn_softcap"] = str(float(config["attn_logit_softcapping"]))
+        if config.get("final_logit_softcapping"):
+            md["final_softcap"] = str(float(config["final_logit_softcapping"]))
+        # Gemma2 scales scores by query_pre_attn_scalar**-0.5 instead of
+        # head_dim**-0.5; the runtime always divides by sqrt(head_dim), so
+        # load_weights folds sqrt(head_dim/scalar) into wq (exact: RoPE is
+        # a rotation and there is no q bias/norm to interfere)
+        scalar = float(config.get("query_pre_attn_scalar", head_dim))
+        if scalar != float(head_dim):
+            md["query_scale_fold"] = str((float(head_dim) / scalar) ** 0.5)
+        # alternating local attention: every even layer is sliding unless
+        # the config carries an explicit layer_types list
+        lt = config.get("layer_types")
+        if lt is not None:
+            sliding = ["1" if t == "sliding_attention" else "0" for t in lt]
+        else:
+            sliding = ["1" if i % 2 == 0 else "0"
+                       for i in range(int(md["n_layers"]))]
+        if config.get("sliding_window") and any(c == "1" for c in sliding):
+            md["sliding_window"] = str(int(config["sliding_window"]))
+            md["layer_sliding"] = "".join(sliding)
     if arch == "MixtralForCausalLM":
         md["n_experts"] = str(config["num_local_experts"])
         md["n_experts_active"] = str(config["num_experts_per_tok"])
@@ -381,11 +406,15 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
 
     put_head("model.embed.weight", weights["model.embed_tokens.weight"])
 
+    post_norms = md.get("has_post_norms") == "1"
+    q_fold = float(md.get("query_scale_fold", "1"))
+
     for l in range(n_layers):
         p = f"model.layers.{l}"
         tensors[f"{p}.attn.norm.weight"] = norm(weights[f"{p}.input_layernorm.weight"])
         put(f"{p}.attn.wq.weight",
-            permute_reverse(f32(weights[f"{p}.self_attn.q_proj.weight"]), n_heads, rotary_dim))
+            q_fold * permute_reverse(
+                f32(weights[f"{p}.self_attn.q_proj.weight"]), n_heads, rotary_dim))
         put(f"{p}.attn.wk.weight",
             permute_reverse(f32(weights[f"{p}.self_attn.k_proj.weight"]), n_kv_heads, rotary_dim))
         put(f"{p}.attn.wv.weight", weights[f"{p}.self_attn.v_proj.weight"])
@@ -420,7 +449,19 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             tensors[f"{p}.attn.k_norm.weight"] = permute_reverse(
                 f32(weights[f"{p}.self_attn.k_norm.weight"])[:, None],
                 1, rotary_dim)[:, 0]
-        tensors[f"{p}.mlp.norm.weight"] = norm(weights[f"{p}.post_attention_layernorm.weight"])
+        if post_norms:
+            # Gemma2 sandwich: post_attention_layernorm norms the attention
+            # DELTA; the pre-FFN norm is pre_feedforward_layernorm (in
+            # Llama-lineage models post_attention_layernorm IS the pre-FFN
+            # norm — same HF name, different role)
+            tensors[f"{p}.attn.post_norm.weight"] = norm(
+                weights[f"{p}.post_attention_layernorm.weight"])
+            tensors[f"{p}.mlp.norm.weight"] = norm(
+                weights[f"{p}.pre_feedforward_layernorm.weight"])
+            tensors[f"{p}.mlp.post_norm.weight"] = norm(
+                weights[f"{p}.post_feedforward_layernorm.weight"])
+        else:
+            tensors[f"{p}.mlp.norm.weight"] = norm(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:
             # router stays per-channel int8 in int4 mode (tiny, and its

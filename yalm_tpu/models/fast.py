@@ -109,6 +109,9 @@ class FastWeights(NamedTuple):
     # Qwen3-style per-head-dim RMSNorm weights for q/k (pre-RoPE)
     qnorm: Optional[jax.Array] = None    # (n_layers, head_dim) f32
     knorm: Optional[jax.Array] = None    # (n_layers, head_dim) f32
+    # Gemma2-style sandwich norms on the attention/FFN delta
+    pa: Optional[jax.Array] = None       # (n_layers, dim) f32
+    pf: Optional[jax.Array] = None       # (n_layers, dim) f32
 
     @classmethod
     def from_weights(cls, w: Weights, cfg: ModelConfig) -> "FastWeights":
@@ -129,6 +132,8 @@ class FastWeights(NamedTuple):
                   if lw.bq is not None else None),
             qnorm=lw.qn,
             knorm=lw.kn,
+            pa=lw.pa,
+            pf=lw.pf,
         )
 
 
@@ -218,6 +223,10 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
             knorm=(device_put(stack("model.layers.{}.attn.k_norm.weight",
                                     (cfg.head_dim,)))
                    if cfg.has_qk_norm else None),
+            pa=(device_put(stack("model.layers.{}.attn.post_norm.weight",
+                                 (d,))) if cfg.has_post_norms else None),
+            pf=(device_put(stack("model.layers.{}.mlp.post_norm.weight",
+                                 (d,))) if cfg.has_post_norms else None),
             scales=FastScales(
                 embed=semb,
                 # group scales are (G, N): concat along the N axis mirrors
@@ -319,6 +328,10 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
         knorm=(device_put(stack("model.layers.{}.attn.k_norm.weight",
                                 (cfg.head_dim,)))
                if cfg.has_qk_norm else None),
+        pa=(device_put(stack("model.layers.{}.attn.post_norm.weight", (d,)))
+            if cfg.has_post_norms else None),
+        pf=(device_put(stack("model.layers.{}.mlp.post_norm.weight", (d,)))
+            if cfg.has_post_norms else None),
     )
 
 
@@ -356,17 +369,51 @@ def _proj1_le(x1d, w_all, layer, expert, scale):
     return gemv_le(x1d, w_all, layer, expert, scale)
 
 
+def _layer_win(cfg: ModelConfig, i):
+    """Per-layer sliding-window bound for the fused attention kernels
+    (Gemma2/3): a traced () int32 — cfg.sliding_window on sliding layers,
+    the full window on global ones — or None when no layer slides (the
+    kernels then compile the mask-free program)."""
+    if not any(cfg.layer_sliding):
+        return None
+    flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+    return jnp.where(flags[i] != 0, cfg.sliding_window, cfg.max_seq_len)
+
+
+def _post_norm(delta, w_all, i, eps):
+    """Gemma2 sandwich norm on a residual delta (w_all None -> identity)."""
+    if w_all is None:
+        return delta
+    return rmsnorm(delta, jax.lax.dynamic_index_in_dim(w_all, i,
+                                                       keepdims=False), eps)
+
+
+def _cap_logits(cfg: ModelConfig, logits):
+    if cfg.final_softcap:
+        return cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
+
+
+def _softcap_scores(cfg: ModelConfig, scores):
+    """Gemma2 attention score cap (applied after the 1/sqrt(D) scale,
+    before masking); cfg.attn_softcap == 0 -> identity."""
+    if cfg.attn_softcap:
+        return cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+    return scores
+
+
 def _ffn2_l(x2d, fw, layer, sc, cfg):
     """Dense FFN dispatch for the chunk/batched paths: the fused ffn_l
     kernel normally; explicit norm + two group-scale projections for
     packed int4 (half the weight bytes beats the lost fusion)."""
-    if is_int4(fw.w13):
+    if is_int4(fw.w13) or fw.pf is not None:
         act = silu if cfg.act_type == "silu" else gelu
         xb2 = rmsnorm(x2d, jax.lax.dynamic_index_in_dim(
             fw.rms_ffn, layer, keepdims=False), cfg.norm_eps)
         h13 = _proj_l(xb2, fw.w13, layer, sc.w13 if sc else None)
         h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-        return x2d + _proj_l(h, fw.w2, layer, sc.w2 if sc else None)
+        delta = _proj_l(h, fw.w2, layer, sc.w2 if sc else None)
+        return x2d + _post_norm(delta, fw.pf, layer, cfg.norm_eps)
     return ffn_l(x2d, fw.rms_ffn, fw.w13, fw.w2, layer,
                  sc.w13 if sc else None, sc.w2 if sc else None,
                  norm_eps=cfg.norm_eps, act=cfg.act_type)
@@ -490,11 +537,18 @@ def decode_step_fast(
             mixed, k_all, v_all = attend_step_l(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, jnp.int32(i), kv_pos, kv_len, kv_sink, pos,
+                _layer_win(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
-                rotary_dim=cfg.rotary_dim)
+                rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
             rec["att_mix"] = mixed.reshape(cfg.q_dim)
-            x = gemv_l(rec["att_mix"], fw.wo, jnp.int32(i), residual=x,
-                       scale=sc.wo if sc else None)
+            if fw.pa is None:
+                x = gemv_l(rec["att_mix"], fw.wo, jnp.int32(i), residual=x,
+                           scale=sc.wo if sc else None)
+            else:
+                x = x + _post_norm(
+                    gemv_l(rec["att_mix"], fw.wo, jnp.int32(i),
+                           scale=sc.wo if sc else None),
+                    fw.pa, jnp.int32(i), cfg.norm_eps)
             xb2 = rmsnorm(x, fw.rms_ffn[i], cfg.norm_eps)
             rec["ffn_in"] = xb2
             if cfg.is_moe:
@@ -512,8 +566,10 @@ def decode_step_fast(
                 h13 = gemv_l(xb2, fw.w13, jnp.int32(i),
                              scale=sc.w13 if sc else None)
                 h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                x = x + gemv_l(h, fw.w2, jnp.int32(i),
-                               scale=sc.w2 if sc else None)
+                x = x + _post_norm(
+                    gemv_l(h, fw.w2, jnp.int32(i),
+                           scale=sc.w2 if sc else None),
+                    fw.pf, jnp.int32(i), cfg.norm_eps)
             rec["block_out"] = x
             cap_layers.append(rec)
         cap = {k_: jnp.stack([r[k_] for r in cap_layers])
@@ -522,7 +578,8 @@ def decode_step_fast(
         if not output_logits:
             return None, new_cache, cap
         xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-        logits = gemv(xn, fw.lm_head, sc.lm_head if sc else None)
+        logits = _cap_logits(cfg, gemv(xn, fw.lm_head,
+                                       sc.lm_head if sc else None))
         cap["final_norm"] = xn
         cap["logits"] = logits
         return logits, new_cache, cap
@@ -538,7 +595,8 @@ def decode_step_fast(
     # int4 takes the unfused projection sequence (the group-scale kernel
     # has no norm/residual fusions) — its weight stream is HALF the bytes,
     # which outweighs the lost fusions on this bandwidth-bound path.
-    use_block = (fuse_norm and fw.qnorm is None
+    use_block = (fuse_norm and fw.qnorm is None and fw.pa is None
+                 and not cfg.attn_softcap and not any(cfg.layer_sliding)
                  and attn_block_supported(cfg, fw.wqkv.dtype.itemsize))
 
     def layer_body(i, carry):
@@ -581,16 +639,20 @@ def decode_step_fast(
             mixed, k_all, v_all = attend_step_l(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
-                kv_sinks=KV_SINKS, theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
-            if int4:
-                x = x + _proj1_l(mixed.reshape(cfg.q_dim), fw.wo, i,
-                                 sc.wo if sc else None)
+                _layer_win(cfg, i),
+                kv_sinks=KV_SINKS, theta=cfg.rope_param,
+                rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
+            if int4 or fw.pa is not None:
+                x = x + _post_norm(
+                    _proj1_l(mixed.reshape(cfg.q_dim), fw.wo, i,
+                             sc.wo if sc else None),
+                    fw.pa, i, cfg.norm_eps)
             else:
                 x = gemv_l(mixed.reshape(cfg.q_dim), fw.wo, i, residual=x,
                            scale=sc.wo if sc else None)
 
         # -- FFN --------------------------------------------------------------
-        if fuse_norm and not cfg.is_moe:
+        if fuse_norm and not cfg.is_moe and fw.pf is None:
             # whole FFN (norm + w13 stream + GLU + w2 stream + residual) in
             # one kernel: no pipeline drain between the two weight sweeps
             x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
@@ -614,7 +676,8 @@ def decode_step_fast(
         else:
             h13 = _proj1_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-            x = x + _proj1_l(h, fw.w2, i, sc.w2 if sc else None)
+            x = x + _post_norm(_proj1_l(h, fw.w2, i, sc.w2 if sc else None),
+                               fw.pf, i, cfg.norm_eps)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -624,7 +687,7 @@ def decode_step_fast(
     if not output_logits:
         return None, new_cache
     x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemv(x, fw.lm_head, sc.lm_head if sc else None)
+    logits = _cap_logits(cfg, gemv(x, fw.lm_head, sc.lm_head if sc else None))
     return logits, new_cache
 
 
@@ -687,9 +750,12 @@ def decode_step_fast_batched(
         mixed, k_all, v_all = attend_step_batched_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             k_all, v_all, i, kv_pos, kv_len, kv_sink, positions, write_mask,
-            kv_sinks=KV_SINKS, theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
-        x = x + _proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
-                        sc.wo if sc else None)
+            _layer_win(cfg, i),
+            kv_sinks=KV_SINKS, theta=cfg.rope_param,
+            rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
+        x = x + _post_norm(_proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
+                                   sc.wo if sc else None),
+                           fw.pa, i, cfg.norm_eps)
 
         if cfg.is_moe:
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
@@ -710,12 +776,13 @@ def decode_step_fast_batched(
                 delta = delta + gate_e[:, None] * _proj_le(
                     h, fw.w2, i, e, sc.w2 if sc else None)
             x = x + delta
-        elif is_int4(fw.w13):
+        elif is_int4(fw.w13) or fw.pf is not None:
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
             h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + _proj_l(h, fw.w2, i, sc.w2 if sc else None)
+            x = x + _post_norm(_proj_l(h, fw.w2, i, sc.w2 if sc else None),
+                               fw.pf, i, cfg.norm_eps)
         else:
             # one fused kernel for the whole batched FFN (norm + w13 + GLU
             # + w2 + residual), weight stream shared by all lanes
@@ -727,7 +794,7 @@ def decode_step_fast_batched(
     x, k_new, v_new = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
     x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemm(x, fw.lm_head, sc.lm_head if sc else None)
+    logits = _cap_logits(cfg, gemm(x, fw.lm_head, sc.lm_head if sc else None))
     return logits, KVCache(k=k_new, v=v_new)
 
 
@@ -776,6 +843,13 @@ def prefill_fast(
     positions = pos0 + jnp.arange(T)
     valid = jnp.arange(T) < valid_len
     att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+    # sliding layers: no ring during prefill, slot index IS the position
+    if any(cfg.layer_sliding):
+        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+        slide_mask = att_mask & (positions[:, None] - jnp.arange(S)[None, :]
+                                 < cfg.sliding_window)
+    else:
+        sl_flags = None
 
     def proj(x, w):
         return jax.lax.dot_general(
@@ -793,15 +867,16 @@ def prefill_fast(
     if sc is not None:
         x = x * sc.embed[tokens][:, None]
 
-    def attend_chunk_bf16(q4, kc, vc):
+    def attend_chunk_bf16(q4, kc, vc, mask):
         """Chunk attention with bf16 dots + f32 softmax — the decode kernels'
         numerics. The oracle's f32 formulation costs ~2.3x the chunk time at
         7B (f32 MXU rate + materialized f32 score tensors)."""
         scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
                             kc.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32) / math.sqrt(D)
+        scores = _softcap_scores(cfg, scores)
         att = jax.nn.softmax(
-            jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+            jnp.where(mask[None, None], scores, -1e30), axis=-1)
         return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
                           vc.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -838,15 +913,20 @@ def prefill_fast(
             # visible history for this chunk (attend_len contract)
             kc = jax.lax.dynamic_slice(k_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
             vc = jax.lax.dynamic_slice(v_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
-            mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
-            x = x + _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
-                            sc.wo if sc else None)
+            mask_l = att_mask if sl_flags is None else jnp.where(
+                sl_flags[i] != 0, slide_mask, att_mask)
+            mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc,
+                                      mask_l)
+            x = x + _post_norm(
+                _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                        sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                           cfg.norm_eps)
             h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + _proj_l(h, fw.w2, i, sc.w2 if sc else None)
+            x = x + _post_norm(_proj_l(h, fw.w2, i, sc.w2 if sc else None),
+                               fw.pf, i, cfg.norm_eps)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -947,13 +1027,14 @@ def prefill_fast(
     if logits_mode == "last":
         x_last = jnp.take(x, valid_len - 1, axis=0)
         x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
-        return gemv(x_last, fw.lm_head, sc.lm_head if sc else None), new_cache
+        return _cap_logits(cfg, gemv(x_last, fw.lm_head,
+                                     sc.lm_head if sc else None)), new_cache
     if logits_mode == "all":
         xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         out = proj(xn, fw.lm_head)
         if sc is not None:
             out = out * sc.lm_head[None].astype(jnp.float32)
-        return out, new_cache
+        return _cap_logits(cfg, out), new_cache
     raise ValueError(f"bad logits_mode {logits_mode!r}")
 
 
@@ -992,6 +1073,13 @@ def verify_chunk_fast_batched(
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
     att_mask = jnp.arange(L)[None, None, :] <= positions[:, :, None]
+    if any(cfg.layer_sliding):
+        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+        slide_mask = att_mask & (
+            positions[:, :, None] - jnp.arange(L)[None, None, :]
+            < cfg.sliding_window)
+    else:
+        sl_flags = None
 
     x = fw.embed[tokens].astype(jnp.float32)                    # (B, T, dim)
     if cfg.embed_scale != 1.0:
@@ -1000,13 +1088,14 @@ def verify_chunk_fast_batched(
         x = x * sc.embed[tokens][..., None]
     x = x.reshape(B * T, cfg.dim)
 
-    def attend(q4, kc, vc):
+    def attend(q4, kc, vc, mask):
         # (B, T, Hk, qpk, D) x (B, S, Hk, D) -> (B, T, Hk, qpk, D)
         scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
                             kc.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32) / math.sqrt(D)
+        scores = _softcap_scores(cfg, scores)
         att = jax.nn.softmax(
-            jnp.where(att_mask[:, None, None], scores, -1e30), axis=-1)
+            jnp.where(mask[:, None, None], scores, -1e30), axis=-1)
         return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
                           vc.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -1054,16 +1143,20 @@ def verify_chunk_fast_batched(
         v_all = jax.lax.dynamic_update_slice(
             v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
 
-        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i, vc_i)
-        x = x + _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
-                        sc.wo if sc else None)
+        mask_l = att_mask if sl_flags is None else jnp.where(
+            sl_flags[i] != 0, slide_mask, att_mask)
+        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i, vc_i, mask_l)
+        x = x + _post_norm(
+            _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
+                    sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
         x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
     xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
+    logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
+                                   sc.lm_head if sc else None))
     return logits.reshape(B, T, -1), KVCache(k=k_new, v=v_new)
 
 
@@ -1129,17 +1222,19 @@ def decode_step_fast_batched_paged(
         mixed, kp, vp = attend_step_paged_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             kp, vp, tables, i, kv_pos, kv_len, kv_sink, positions, write_mask,
+            _layer_win(cfg, i),
             kv_sinks=KV_SINKS, theta=cfg.rope_param,
-            rotary_dim=cfg.rotary_dim, window=L)
-        x = x + _proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
-                        sc.wo if sc else None)
+            rotary_dim=cfg.rotary_dim, window=L, softcap=cfg.attn_softcap)
+        x = x + _post_norm(_proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
+                                   sc.wo if sc else None),
+                           fw.pa, i, cfg.norm_eps)
         x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
     x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemm(x, fw.lm_head, sc.lm_head if sc else None)
+    logits = _cap_logits(cfg, gemm(x, fw.lm_head, sc.lm_head if sc else None))
     return logits, PagedKVPool(k=kp, v=vp)
 
 
@@ -1176,6 +1271,12 @@ def prefill_fast_paged(
     positions = pos0 + jnp.arange(T)
     valid = jnp.arange(T) < valid_len
     att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+    if any(cfg.layer_sliding):
+        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+        slide_mask = att_mask & (positions[:, None] - jnp.arange(S)[None, :]
+                                 < cfg.sliding_window)
+    else:
+        sl_flags = None
 
     def clip(a):
         if math.isinf(cfg.qkv_clip):
@@ -1188,12 +1289,13 @@ def prefill_fast_paged(
     if sc is not None:
         x = x * sc.embed[tokens][:, None]
 
-    def attend_chunk_bf16(q4, kc, vc):
+    def attend_chunk_bf16(q4, kc, vc, mask):
         scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
                             kc.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32) / math.sqrt(D)
+        scores = _softcap_scores(cfg, scores)
         att = jax.nn.softmax(
-            jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+            jnp.where(mask[None, None], scores, -1e30), axis=-1)
         return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
                           vc.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -1230,9 +1332,12 @@ def prefill_fast_paged(
         # lane view for this layer: gather mapped pages -> (S, Hk, D)
         kc = kp[table_b, i].reshape(S, Hk, D)
         vc = vp[table_b, i].reshape(S, Hk, D)
-        mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc)
-        x = x + _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
-                        sc.wo if sc else None)
+        mask_l = att_mask if sl_flags is None else jnp.where(
+            sl_flags[i] != 0, slide_mask, att_mask)
+        mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc, mask_l)
+        x = x + _post_norm(
+            _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                    sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
         x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
@@ -1245,7 +1350,8 @@ def prefill_fast_paged(
     if logits_mode == "last":
         x_last = jnp.take(x, valid_len - 1, axis=0)
         x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
-        return gemv(x_last, fw.lm_head, sc.lm_head if sc else None), new_pool
+        return _cap_logits(cfg, gemv(x_last, fw.lm_head,
+                                     sc.lm_head if sc else None)), new_pool
     raise ValueError(f"paged prefill: bad logits_mode {logits_mode!r}")
 
 
@@ -1282,6 +1388,13 @@ def verify_chunk_fast_batched_paged(
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
     att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+    if any(cfg.layer_sliding):
+        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+        slide_mask = att_mask & (
+            positions[:, :, None] - jnp.arange(S)[None, None, :]
+            < cfg.sliding_window)
+    else:
+        sl_flags = None
     blk = positions // page_size
     row = positions % page_size
     pages = jnp.take_along_axis(tables, blk, axis=1)            # (B, T)
@@ -1295,12 +1408,13 @@ def verify_chunk_fast_batched_paged(
         x = x * sc.embed[tokens][..., None]
     x = x.reshape(B * T, cfg.dim)
 
-    def attend(q4, kc, vc):
+    def attend(q4, kc, vc, mask):
         scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
                             kc.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32) / math.sqrt(D)
+        scores = _softcap_scores(cfg, scores)
         att = jax.nn.softmax(
-            jnp.where(att_mask[:, None, None], scores, -1e30), axis=-1)
+            jnp.where(mask[:, None, None], scores, -1e30), axis=-1)
         return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
                           vc.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -1338,14 +1452,18 @@ def verify_chunk_fast_batched_paged(
 
         kc = kp[tables, i].reshape(B, S, Hk, D)
         vc = vp[tables, i].reshape(B, S, Hk, D)
-        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc, vc)
-        x = x + _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
-                        sc.wo if sc else None)
+        mask_l = att_mask if sl_flags is None else jnp.where(
+            sl_flags[i] != 0, slide_mask, att_mask)
+        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc, vc, mask_l)
+        x = x + _post_norm(
+            _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
+                    sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
         x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
     xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
-    logits = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
+    logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
+                                   sc.lm_head if sc else None))
     return logits.reshape(B, T, -1), PagedKVPool(k=kp, v=vp)

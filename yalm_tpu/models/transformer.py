@@ -146,8 +146,21 @@ def decode_step(
     kv_len = jnp.minimum(pos + 1, L)
     slot_valid = jnp.arange(L) < kv_len                     # (L,)
 
+    # Alternating local attention (Gemma2/3): sliding layers mask by slot
+    # AGE, which is well-defined in both regimes — linear: pos - s; ring:
+    # (kv_pos - s) mod (L - sinks); rotated sink views sit at age L-1-s.
+    if any(cfg.layer_sliding):
+        s_idx = jnp.arange(L)
+        age = jnp.where(s_idx < kv_sink, L - 1 - s_idx,
+                        (kv_pos - s_idx) % jnp.maximum(L - kv_sink, 1))
+        sliding_valid = slot_valid & (age < cfg.sliding_window)
+        flags = jnp.asarray(cfg.layer_sliding, jnp.bool_)
+    else:
+        sliding_valid = slot_valid
+        flags = jnp.zeros(cfg.n_layers, jnp.bool_)
+
     def layer_fn(x, layer):
-        lw, kc, vc = layer
+        lw, kc, vc, sliding = layer
         # -- attention ----------------------------------------------------
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
         q, k, v = _qkv(xb, lw, cfg, compute_dtype)
@@ -177,13 +190,21 @@ def decode_step(
         # -- GQA attention over the ring buffer ---------------------------
         qpk = cfg.n_heads // cfg.n_kv_heads
         q3 = q.reshape(cfg.n_kv_heads, qpk, cfg.head_dim)
-        mixed = attend_one(q3, k_view, vc, slot_valid).reshape(cfg.q_dim)
+        valid_l = jnp.where(sliding, sliding_valid, slot_valid)
+        mixed = attend_one(q3, k_view, vc, valid_l,
+                           softcap=cfg.attn_softcap).reshape(cfg.q_dim)
 
-        x = x + _proj(mixed, lw.wo, compute_dtype)
+        delta = _proj(mixed, lw.wo, compute_dtype)
+        if lw.pa is not None:  # Gemma2 sandwich norm on the attention delta
+            delta = rmsnorm(delta, lw.pa, cfg.norm_eps)
+        x = x + delta
 
         # -- FFN ----------------------------------------------------------
         xb2 = rmsnorm(x, lw.rms_ffn, cfg.norm_eps)
-        x = x + _dense_ffn_delta(cfg, xb2, lw, compute_dtype)
+        delta = _dense_ffn_delta(cfg, xb2, lw, compute_dtype)
+        if lw.pf is not None:
+            delta = rmsnorm(delta, lw.pf, cfg.norm_eps)
+        x = x + delta
         ys = (kc, vc)
         if capture:
             # DEBUG_MODEL-style per-layer activation capture
@@ -192,7 +213,8 @@ def decode_step(
                            "att_mix": mixed, "ffn_in": xb2, "block_out": x})
         return x, ys
 
-    x, ys = jax.lax.scan(layer_fn, x, (weights.layers, cache.k, cache.v))
+    x, ys = jax.lax.scan(layer_fn, x,
+                         (weights.layers, cache.k, cache.v, flags))
     new_cache = KVCache(k=ys[0], v=ys[1])
     cap = ys[2] if capture else None
 
@@ -200,6 +222,8 @@ def decode_step(
         return (None, new_cache, cap) if capture else (None, new_cache)
     x = rmsnorm(x, weights.final_norm, cfg.norm_eps)
     logits = _proj(x, weights.lm_head, compute_dtype)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     if capture:
         cap = dict(cap)
         cap["final_norm"] = x
@@ -250,8 +274,18 @@ def prefill(
     # l <= pos0 + i (all earlier slots are valid history; no wraparound).
     att_mask = jnp.arange(L)[None, :] <= positions[:, None]  # (T, L)
 
+    # sliding layers additionally require pos - slot < window (no ring can
+    # occur during prefill, so slot index IS the absolute position)
+    if any(cfg.layer_sliding):
+        sliding_mask = att_mask & (
+            positions[:, None] - jnp.arange(L)[None, :] < cfg.sliding_window)
+        flags = jnp.asarray(cfg.layer_sliding, jnp.bool_)
+    else:
+        sliding_mask = att_mask
+        flags = jnp.zeros(cfg.n_layers, jnp.bool_)
+
     def layer_fn(x, layer):
-        lw, kc, vc = layer
+        lw, kc, vc, sliding = layer
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
         q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
@@ -270,26 +304,39 @@ def prefill(
 
         qpk = cfg.n_heads // cfg.n_kv_heads
         q4 = q.reshape(T, cfg.n_kv_heads, qpk, cfg.head_dim)
-        mixed = attend_chunk(q4, kc, vc, att_mask).reshape(T, cfg.q_dim)
+        mask_l = jnp.where(sliding, sliding_mask, att_mask)
+        mixed = attend_chunk(q4, kc, vc, mask_l,
+                             softcap=cfg.attn_softcap).reshape(T, cfg.q_dim)
 
-        x = x + _proj(mixed, lw.wo, compute_dtype)
+        delta = _proj(mixed, lw.wo, compute_dtype)
+        if lw.pa is not None:  # Gemma2 sandwich norm on the attention delta
+            delta = rmsnorm(delta, lw.pa, cfg.norm_eps)
+        x = x + delta
         xb = rmsnorm(x, lw.rms_ffn, cfg.norm_eps)
         if cfg.is_moe:
-            x = x + jax.vmap(lambda r: _moe_ffn(cfg, r, lw, compute_dtype))(xb)
+            delta = jax.vmap(lambda r: _moe_ffn(cfg, r, lw, compute_dtype))(xb)
         else:
-            x = x + _ffn(xb, lw.w1, lw.w2, lw.w3, cfg.act_type, compute_dtype)
+            delta = _ffn(xb, lw.w1, lw.w2, lw.w3, cfg.act_type, compute_dtype)
+        if lw.pf is not None:
+            delta = rmsnorm(delta, lw.pf, cfg.norm_eps)
+        x = x + delta
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(layer_fn, x, (weights.layers, cache.k, cache.v))
+    x, (k_new, v_new) = jax.lax.scan(
+        layer_fn, x, (weights.layers, cache.k, cache.v, flags))
     new_cache = KVCache(k=k_new, v=v_new)
+
+    def head(xn):
+        logits = _proj(xn, weights.lm_head, compute_dtype)
+        if cfg.final_softcap:
+            logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+        return logits
 
     if logits_mode == "none":
         return None, new_cache
     if logits_mode == "last":
         x_last = jnp.take(x, valid_len - 1, axis=0)
-        x_last = rmsnorm(x_last, weights.final_norm, cfg.norm_eps)
-        return _proj(x_last, weights.lm_head, compute_dtype), new_cache
+        return head(rmsnorm(x_last, weights.final_norm, cfg.norm_eps)), new_cache
     if logits_mode == "all":
-        xn = rmsnorm(x, weights.final_norm, cfg.norm_eps)
-        return _proj(xn, weights.lm_head, compute_dtype), new_cache
+        return head(rmsnorm(x, weights.final_norm, cfg.norm_eps)), new_cache
     raise ValueError(f"bad logits_mode {logits_mode!r}")

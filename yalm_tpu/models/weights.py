@@ -40,6 +40,10 @@ class LayerWeights(NamedTuple):
     # weights carry the same RoPE un-permutation as the q/k rows
     qn: Optional[jax.Array] = None  # (n_layers, head_dim) f32
     kn: Optional[jax.Array] = None  # (n_layers, head_dim) f32
+    # Gemma2-style sandwich norms applied to the attention/FFN delta before
+    # its residual add (rms_ffn holds pre_feedforward_layernorm)
+    pa: Optional[jax.Array] = None  # (n_layers, dim) f32 post-attention
+    pf: Optional[jax.Array] = None  # (n_layers, dim) f32 post-feedforward
 
 
 class Weights(NamedTuple):
@@ -158,6 +162,10 @@ def load_weights(yf: YalmFile, cfg: ModelConfig, device_put=jnp.asarray) -> Weig
             if cfg.has_qk_norm else None),
         kn=(stacked("model.layers.{}.attn.k_norm.weight", (cfg.head_dim,))
             if cfg.has_qk_norm else None),
+        pa=(stacked("model.layers.{}.attn.post_norm.weight", (d,))
+            if cfg.has_post_norms else None),
+        pf=(stacked("model.layers.{}.mlp.post_norm.weight", (d,))
+            if cfg.has_post_norms else None),
     )
     embed = device_put(get("model.embed.weight", (cfg.vocab_size, d)))
     if "model.output.weight" in t:

@@ -17,7 +17,17 @@ import jax.numpy as jnp
 from .core import masked_softmax
 
 
-def attend_one(q: jax.Array, kb: jax.Array, vb: jax.Array, slot_valid: jax.Array) -> jax.Array:
+def _softcap(scores: jax.Array, cap: float) -> jax.Array:
+    """Gemma2 logit soft-capping: cap * tanh(scores / cap); cap=0 -> off.
+    Applied after the 1/sqrt(head_dim) scale, before masking (HF
+    eager_attention_forward order)."""
+    if not cap:
+        return scores
+    return cap * jnp.tanh(scores / cap)
+
+
+def attend_one(q: jax.Array, kb: jax.Array, vb: jax.Array, slot_valid: jax.Array,
+               softcap: float = 0.0) -> jax.Array:
     """Single-position GQA attention.
 
     q: (n_kv_heads, q_per_kv, head_dim) f32 — queries grouped by KV head
@@ -29,11 +39,12 @@ def attend_one(q: jax.Array, kb: jax.Array, vb: jax.Array, slot_valid: jax.Array
     kb = kb.astype(jnp.float32)
     vb = vb.astype(jnp.float32)
     scores = jnp.einsum("gqd,lgd->gql", q.astype(jnp.float32), kb) / math.sqrt(head_dim)
-    att = masked_softmax(scores, slot_valid)
+    att = masked_softmax(_softcap(scores, softcap), slot_valid)
     return jnp.einsum("gql,lgd->gqd", att, vb)
 
 
-def attend_chunk(q: jax.Array, kb: jax.Array, vb: jax.Array, att_mask: jax.Array) -> jax.Array:
+def attend_chunk(q: jax.Array, kb: jax.Array, vb: jax.Array, att_mask: jax.Array,
+                 softcap: float = 0.0) -> jax.Array:
     """Chunked GQA attention for prefill.
 
     q: (T, n_kv_heads, q_per_kv, head_dim) f32
@@ -45,5 +56,5 @@ def attend_chunk(q: jax.Array, kb: jax.Array, vb: jax.Array, att_mask: jax.Array
     kb = kb.astype(jnp.float32)
     vb = vb.astype(jnp.float32)
     scores = jnp.einsum("tgqd,lgd->gqtl", q.astype(jnp.float32), kb) / math.sqrt(head_dim)
-    att = masked_softmax(scores, att_mask[None, None])
+    att = masked_softmax(_softcap(scores, softcap), att_mask[None, None])
     return jnp.einsum("gqtl,lgd->tgqd", att, vb)

@@ -34,18 +34,24 @@ _NEG_INF = -1e30
 
 
 def _attend_ref(q2: jax.Array, k: jax.Array, v: jax.Array,
-                kv_len: jax.Array) -> jax.Array:
+                kv_len: jax.Array, softcap: float = 0.0,
+                extra_valid: jax.Array | None = None) -> jax.Array:
     """jnp emulation with the kernel's numerics (bf16 dots, f32 softmax).
 
     q2: (rows, D) pre-scaled; k/v: (S, Hk, D) one layer; rows = Hk * P.
-    Returns (rows, D) f32. Off-TPU default — see gemv._emulate.
+    extra_valid: optional (S,) bool ANDed into the slot mask (sliding
+    window). Returns (rows, D) f32. Off-TPU default — see gemv._emulate.
     """
     S, Hk, D = k.shape
     P = q2.shape[0] // Hk
     q3 = q2.reshape(Hk, P, D).astype(jnp.bfloat16)
     scores = jnp.einsum("gpd,sgd->gps", q3, k.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
+    if softcap:
+        scores = softcap * jnp.tanh(scores / softcap)
     valid = (jnp.arange(S) < kv_len)[None, None, :]
+    if extra_valid is not None:
+        valid = valid & extra_valid[None, None, :]
     scores = jnp.where(valid, scores, _NEG_INF)
     att = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("gps,sgd->gpd", att.astype(jnp.bfloat16),
@@ -157,11 +163,13 @@ def attention_supported(cfg) -> bool:
 
 
 def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
-                 Hk: int, P: int):
+                 Hk: int, P: int, softcap: float = 0.0):
     """One KV block's online-softmax update for every kv head (shared by all
     fused attention kernels; accumulators live in VMEM scratch refs).
     slot=None means kbuf/vbuf are 3-D (block_s, Hk, D) refs (the bf16
-    staging buffers of a quantized cache) instead of 4-D slot buffers."""
+    staging buffers of a quantized cache) instead of 4-D slot buffers.
+    softcap != 0 applies Gemma2's cap*tanh(s/cap) to the scaled scores
+    BEFORE the validity mask (masked slots must stay -inf, not -cap)."""
     for h in range(Hk):
         r0 = h * P  # python-static row offset, P is a sublane multiple
         qh = q_rot[r0:r0 + P, :]
@@ -170,6 +178,8 @@ def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
         sh = jax.lax.dot_general(
             qh.astype(jnp.bfloat16), _bf16(kh),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if softcap:
+            sh = softcap * jnp.tanh(sh * (1.0 / softcap))
         sh = jnp.where(valid, sh, _NEG_INF)
         m_prev = m_ref[r0:r0 + P, 0:1]
         l_prev = l_ref[r0:r0 + P, 0:1]
@@ -182,6 +192,16 @@ def _flash_heads(q_rot, kbuf, vbuf, slot, valid, m_ref, l_ref, acc_ref,
         m_ref[r0:r0 + P, 0:1] = m_new
         l_ref[r0:r0 + P, 0:1] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[r0:r0 + P, :] = acc_ref[r0:r0 + P, :] * alpha + ob
+
+
+def _slot_age(slot_idx, kv_pos, kv_sink, S: int):
+    """Age (pos - held position) of each absolute cache slot, valid in both
+    regimes: linear (kv_sink=0, kv_pos=pos -> pos - s) and ring
+    ((kv_pos - s) mod (S - kv_sink)); the rotated sink view sits at age
+    S-1-s. Used for Gemma2/3 sliding-window masking (age < window)."""
+    m = jnp.maximum(S - kv_sink, 1)
+    return jnp.where(slot_idx < kv_sink, S - 1 - slot_idx,
+                     jnp.mod(kv_pos - slot_idx, m))
 
 
 def _lazy_sink_rotate(kbuf, slot, rot, kv_sink, *, kv_sinks, theta,
@@ -205,7 +225,8 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                      kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, *, S, block_s, Hk, P, kv_sinks, theta,
                      rotary_dim, kv_pos, kv_len, kv_sink, pos,
-                     do_write=True, kst=None, vst=None):
+                     do_write=True, kst=None, vst=None,
+                     softcap: float = 0.0, win=None):
     """The whole fused step: in-kernel RoPE, kv-row write, lazy sink
     rotation, and double-buffered flash attention. `idx` is the HBM index
     prefix for this lane's cache (e.g. (layer,) or (b, layer)).
@@ -323,8 +344,11 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
 
         slot_idx = sblk * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (P, block_s), 1)
-        _flash_heads(q_rot, kb, vb, sl, slot_idx < kv_len,
-                     m_ref, l_ref, acc_ref, Hk, P)
+        valid = slot_idx < kv_len
+        if win is not None:  # Gemma2/3 sliding layer: mask by slot age
+            valid &= _slot_age(slot_idx, kv_pos, kv_sink, S) < win
+        _flash_heads(q_rot, kb, vb, sl, valid,
+                     m_ref, l_ref, acc_ref, Hk, P, softcap)
         return 0
 
     jax.lax.fori_loop(0, n_act, block_step, 0)
@@ -350,7 +374,8 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               sem, rowsem, *rest,
                               S: int, block_s: int, n_kv_heads: int,
                               p_rows: int, kv_sinks: int, theta: float,
-                              rotary_dim: int):
+                              rotary_dim: int, softcap: float = 0.0,
+                              sliding: bool = False):
     """ONE program sweeps all B lanes with CROSS-LANE pipelined KV fetches:
     while lane b's block j is being flash-attended, the next block — lane
     b's j+1, or lane b+1's block 0 at a lane boundary — is already in
@@ -358,7 +383,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     latency serially (measured 197 µs/layer at batch 16 for ~44 µs of
     bytes); the pipeline keeps exactly one fetch outstanding across the
     whole sweep. Scalars: [layer, kv_pos[B], kv_len[B], kv_sink[B], pos[B],
-    write[B]].
+    write[B], win] (win: this layer's sliding window, read when sliding).
 
     Correctness of the early prefetch: a lane's new-row HBM write is async
     and may land before OR after any fetch of the region — every fetched
@@ -460,8 +485,12 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
             slot_idx = j * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (P, block_s), 1)
-            _flash_heads(q_rot, kb, vb, sl, slot_idx < kv_len,
-                         m_ref, l_ref, acc_ref, Hk, P)
+            valid = slot_idx < kv_len
+            if sliding:
+                valid &= _slot_age(slot_idx, kv_pos, kv_sink, S) \
+                    < scal_ref[1 + 5 * B]
+            _flash_heads(q_rot, kb, vb, sl, valid,
+                         m_ref, l_ref, acc_ref, Hk, P, softcap)
             return nslot
 
         slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
@@ -482,14 +511,16 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_sinks", "theta", "rotary_dim",
-                                    "block_s", "interpret"))
+                                    "block_s", "interpret", "softcap"))
 def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                           k_all: jax.Array, v_all: jax.Array,
                           layer: jax.Array, kv_pos: jax.Array,
                           kv_len: jax.Array, kv_sink: jax.Array,
-                          pos: jax.Array, write: jax.Array | None = None, *,
+                          pos: jax.Array, write: jax.Array | None = None,
+                          win: jax.Array | None = None, *,
                           kv_sinks: int, theta: float, rotary_dim: int,
-                          block_s: int = 0, interpret: bool | None = None
+                          block_s: int = 0, interpret: bool | None = None,
+                          softcap: float = 0.0
                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched attend_step_l for the continuous-batching tick.
 
@@ -511,7 +542,8 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             q2 = q1.astype(jnp.float32).reshape(Hk * qpk, D)
             out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kp, kl, ks, p1,
-                kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+                kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+                softcap=softcap, win=win)
             # write-masked lanes mutate NOTHING and attend the cache as-is
             # except for the lazy sink VIEW, which is part of attention —
             # matching the kernel exactly
@@ -519,10 +551,13 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                                  jnp.asarray(p1, jnp.float32)) \
                 * (1.0 / math.sqrt(D))
             k1l = jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False)
+            extra = (None if win is None
+                     else _slot_age(jnp.arange(S), kp, ks, S) < win)
             out_r = _attend_ref(
                 q2r, _sink_view_ref(k1l, ks, p1, kv_sinks=kv_sinks,
                                     theta=theta, rotary_dim=rotary_dim),
-                jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl)
+                jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl,
+                softcap, extra)
             keep = wr1 != 0
             return (jnp.where(keep, out, out_r).reshape(Hk, qpk, D),
                     jnp.where(keep, k2, k1), jnp.where(keep, v2, v1))
@@ -578,11 +613,13 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         jnp.asarray(kv_sink, jnp.int32).reshape(B),
         jnp.asarray(pos, jnp.int32).reshape(B),
         jnp.asarray(write, jnp.int32).reshape(B),
+        jnp.asarray(S if win is None else win, jnp.int32).reshape(1),
     ])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(
             _attn_step_batched_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
-            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim),
+            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+            softcap=softcap, sliding=win is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hk * P, D), jnp.float32),
@@ -689,29 +726,33 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                       kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                       sem, rowsem, *rest,
                       S: int, block_s: int, n_kv_heads: int, p_rows: int,
-                      kv_sinks: int, theta: float, rotary_dim: int):
+                      kv_sinks: int, theta: float, rotary_dim: int,
+                      softcap: float = 0.0, sliding: bool = False):
     kst, vst = rest if rest else (None, None)
     layer, kv_pos, kv_len, kv_sink, pos = (scal_ref[0], scal_ref[1],
                                            scal_ref[2], scal_ref[3],
                                            scal_ref[4])
+    win = scal_ref[5] if sliding else None
     _fused_attn_body((layer,), q_ref[...], knew_ref[...], vnew_ref[...],
                      ko_hbm, vo_hbm, o_ref,
                      kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
                      sem, rowsem, S=S, block_s=block_s, Hk=n_kv_heads,
                      P=p_rows, kv_sinks=kv_sinks, theta=theta,
                      rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
-                     kv_sink=kv_sink, pos=pos, kst=kst, vst=vst)
+                     kv_sink=kv_sink, pos=pos, kst=kst, vst=vst,
+                     softcap=softcap, win=win)
 
 
 def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
-                   kv_sink, pos, *, kv_sinks, theta, rotary_dim):
+                   kv_sink, pos, *, kv_sinks, theta, rotary_dim,
+                   softcap: float = 0.0, win=None):
     """jnp emulation of the fused step (off-TPU default; kernel numerics).
 
     q2 (rows, D) and k_new arrive UNrotated/unscaled; RoPE at `pos` and the
     1/sqrt(D) scale are applied here like the kernel does. Sink rotation is
     LAZY: only the new row mutates the cache; attention sees a VIEW whose
     sink keys are rotated by the accumulated offset (see _fused_attn_body)."""
-    D = k_all.shape[3]
+    S, D = k_all.shape[1], k_all.shape[3]
     posf = jnp.asarray(pos, jnp.float32)
     q2 = _rot_lanes_ref(q2.astype(jnp.float32), theta, rotary_dim, posf) \
         * (1.0 / math.sqrt(D))
@@ -724,19 +765,24 @@ def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
     v = jax.lax.dynamic_index_in_dim(v_all, layer, keepdims=False)
     k_view = _sink_view_ref(k, kv_sink, pos, kv_sinks=kv_sinks, theta=theta,
                             rotary_dim=rotary_dim)
-    out = _attend_ref(q2, k_view, v, kv_len)
+    extra = None
+    if win is not None:
+        extra = _slot_age(jnp.arange(S), kv_pos, kv_sink, S) < win
+    out = _attend_ref(q2, k_view, v, kv_len, softcap, extra)
     return out, k_all, v_all
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_sinks", "theta", "rotary_dim",
-                                    "block_s", "interpret"))
+                                    "block_s", "interpret", "softcap"))
 def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                   k_all: jax.Array, v_all: jax.Array,
                   layer: jax.Array, kv_pos: jax.Array, kv_len: jax.Array,
-                  kv_sink: jax.Array, pos: jax.Array, *,
+                  kv_sink: jax.Array, pos: jax.Array,
+                  win: jax.Array | None = None, *,
                   kv_sinks: int, theta: float, rotary_dim: int,
-                  block_s: int = 0, interpret: bool | None = None
+                  block_s: int = 0, interpret: bool | None = None,
+                  softcap: float = 0.0
                   ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused decode-attention step against layer `layer` of the cache.
 
@@ -748,6 +794,8 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     q: (n_kv_heads, q_per_kv, head_dim) f32 (UNrotated, unscaled)
     k_new/v_new: (n_kv_heads, head_dim) f32 (k_new UNrotated)
+    win: optional () int32 — this layer's sliding window (Gemma2/3): only
+    slots younger than `win` are attendable. softcap: Gemma2 score cap.
     returns (mix (n_kv_heads, q_per_kv, head_dim) f32, k_all, v_all)
     """
     L, S, Hk, D = k_all.shape
@@ -756,7 +804,8 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         q2 = q.astype(jnp.float32).reshape(Hk * qpk, D)
         out, k_all, v_all = _attn_step_ref(
             q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len, kv_sink,
-            pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+            pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+            softcap=softcap, win=win)
         return out.reshape(Hk, qpk, D)[:, :qpk, :], k_all, v_all
 
     if not block_s:
@@ -805,11 +854,13 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                       jnp.asarray(kv_pos, jnp.int32),
                       jnp.asarray(kv_len, jnp.int32),
                       jnp.asarray(kv_sink, jnp.int32),
-                      jnp.asarray(pos, jnp.int32)])
+                      jnp.asarray(pos, jnp.int32),
+                      jnp.asarray(S if win is None else win, jnp.int32)])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(
             _attn_step_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
-            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim),
+            p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+            softcap=softcap, sliding=win is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Hk * P, D), jnp.float32),
@@ -852,12 +903,13 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                             sem, rowsem, *rest,
                             S: int, block_s: int, n_kv_heads: int,
                             p_rows: int, kv_sinks: int, theta: float,
-                            rotary_dim: int, nblk: int):
+                            rotary_dim: int, nblk: int,
+                            softcap: float = 0.0, sliding: bool = False):
     """One program sweeps all lanes with cross-lane pipelined PAGE fetches
     (same pipeline as the dense batched kernel; every fetch target resolves
     through the page table). Sink keys use the lazy rotation view, never an
     HBM rewrite (see _fused_attn_body). Scalars: [layer, kv_pos[B],
-    kv_len[B], kv_sink[B], pos[B], write[B], pages[B * nblk]]."""
+    kv_len[B], kv_sink[B], pos[B], write[B], pages[B * nblk], win]."""
     kst, vst = rest if rest else (None, None)
     quant = kst is not None
     B = q_ref.shape[0]
@@ -950,8 +1002,12 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
 
             slot_idx = j * block_s + jax.lax.broadcasted_iota(
                 jnp.int32, (P, block_s), 1)
-            _flash_heads(q_rot, kb, vb, sl, slot_idx < kv_len,
-                         m_ref, l_ref, acc_ref, Hk, P)
+            valid = slot_idx < kv_len
+            if sliding:
+                valid &= _slot_age(slot_idx, kv_pos, kv_sink, S) \
+                    < scal_ref[1 + 5 * B + B * nblk]
+            _flash_heads(q_rot, kb, vb, sl, valid,
+                         m_ref, l_ref, acc_ref, Hk, P, softcap)
             return nslot
 
         slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
@@ -987,15 +1043,17 @@ def _scatter_lane(pool, table_b, lane):
 
 @functools.partial(jax.jit,
                    static_argnames=("kv_sinks", "theta", "rotary_dim",
-                                    "window", "interpret"))
+                                    "window", "interpret", "softcap"))
 def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                         k_pool: jax.Array, v_pool: jax.Array,
                         tables: jax.Array,
                         layer: jax.Array, kv_pos: jax.Array,
                         kv_len: jax.Array, kv_sink: jax.Array,
-                        pos: jax.Array, write: jax.Array | None = None, *,
+                        pos: jax.Array, write: jax.Array | None = None,
+                        win: jax.Array | None = None, *,
                         kv_sinks: int, theta: float, rotary_dim: int,
-                        window: int, interpret: bool | None = None
+                        window: int, interpret: bool | None = None,
+                        softcap: float = 0.0
                         ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Paged attend_step_batched_l.
 
@@ -1018,17 +1076,21 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             v1 = _gather_lane(vp, tb)
             out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kpos, kl, ks, p1,
-                kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim)
+                kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
+                softcap=softcap, win=win)
             # write-masked lanes attend the cache as-is except for the lazy
             # sink view (see batched twin)
             q2r = _rot_lanes_ref(q2, theta, rotary_dim,
                                  jnp.asarray(p1, jnp.float32)) \
                 * (1.0 / math.sqrt(D))
             k1l = jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False)
+            extra = (None if win is None else
+                     _slot_age(jnp.arange(window), kpos, ks, window) < win)
             out_r = _attend_ref(
                 q2r, _sink_view_ref(k1l, ks, p1, kv_sinks=kv_sinks,
                                     theta=theta, rotary_dim=rotary_dim),
-                jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl)
+                jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl,
+                softcap, extra)
             keep = wr1 != 0
             out = jnp.where(keep, out, out_r)
             k2 = jnp.where(keep, k2, k1)
@@ -1091,12 +1153,13 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         jnp.asarray(pos, jnp.int32).reshape(B),
         jnp.asarray(write, jnp.int32).reshape(B),
         jnp.asarray(tables, jnp.int32).reshape(B * nblk),
+        jnp.asarray(window if win is None else win, jnp.int32).reshape(1),
     ])
     out, kp_out, vp_out = pl.pallas_call(
         functools.partial(
             _attn_step_paged_kernel, S=window, block_s=bs, n_kv_heads=Hk,
             p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-            nblk=nblk),
+            nblk=nblk, softcap=softcap, sliding=win is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hk * P, D), jnp.float32),

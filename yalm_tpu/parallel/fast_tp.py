@@ -161,6 +161,9 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     expert-internal dims over `tp`."""
     if tp < 1 or ep < 1:
         return False
+    if cfg.has_post_norms or cfg.attn_softcap or cfg.final_softcap \
+            or any(cfg.layer_sliding):
+        return False  # Gemma2-style features: oracle path only for now
 
     if cfg.is_moe:
         if cfg.n_experts % ep:

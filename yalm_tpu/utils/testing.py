@@ -107,6 +107,11 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
             tensors[f"{p}.attn.k_norm.weight"] = \
                 1.0 + 0.1 * rng.standard_normal(cfg.head_dim).astype(np.float32)
         tensors[f"{p}.mlp.norm.weight"] = np.ones(cfg.dim, np.float32)
+        if cfg.has_post_norms:
+            tensors[f"{p}.attn.post_norm.weight"] = \
+                1.0 + 0.1 * rng.standard_normal(cfg.dim).astype(np.float32)
+            tensors[f"{p}.mlp.post_norm.weight"] = \
+                1.0 + 0.1 * rng.standard_normal(cfg.dim).astype(np.float32)
         if cfg.is_moe:
             put(tensors, f"{p}.moegate.weight",
                 w(cfg.n_experts, cfg.dim, head=True))

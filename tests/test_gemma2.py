@@ -48,7 +48,43 @@ def test_fast_supported_and_gates(ckpt):
     cfg, _ = ckpt
     assert fast_supported(cfg)
     from yalm_tpu.parallel.fast_tp import fast_tp_supported
-    assert not fast_tp_supported(cfg, 2)  # TP: oracle-only for now
+    from yalm_tpu.parallel.pipeline import pp_supported
+    from yalm_tpu.parallel.ring import ring_supported
+    assert fast_tp_supported(cfg, 2)
+    # ring/pp bodies don't implement the Gemma2 features yet: must refuse
+    # rather than silently compute the wrong math
+    assert not ring_supported(cfg, 2)
+    assert not pp_supported(cfg, 2, 16)
+
+
+def test_fast_tp_matches_oracle(ckpt):
+    """Gemma2 through tensor parallelism: sharded decode (win/softcap via
+    the kernels, sandwich norms on the post-psum deltas, capped gathered
+    logits) tracks the oracle across the window edge."""
+    from yalm_tpu.parallel.fast_tp import (make_decode_step_fast_tp,
+                                           shard_fast_tp_weights)
+    from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+    from yalm_tpu.parallel.sharding import shard_cache
+
+    cfg, path = ckpt
+    weights = load_weights(read_yalm(path), cfg)
+    mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
+    sweights = shard_fast_tp_weights(weights, cfg, mesh)
+    scache = shard_cache(KVCache.init(cfg, jnp.bfloat16), cfg, mesh)
+    tp_step = jax.jit(make_decode_step_fast_tp(cfg, mesh),
+                      donate_argnums=(3,))
+    cache_o = KVCache.init(cfg, jnp.bfloat16)
+
+    tok = jnp.int32(5)
+    for pos in range(cfg.max_seq_len + 4):
+        lo, cache_o = decode_step(cfg, weights, tok, jnp.int32(pos), cache_o,
+                                  compute_dtype=jnp.bfloat16)
+        lt, scache = tp_step(sweights, tok, jnp.int32(pos), scache)
+        lo, lt = np.asarray(lo), np.asarray(lt)
+        scale = max(1.0, float(np.abs(lo).max()))
+        assert float(np.abs(lo - lt).max()) / scale < 0.05, f"pos {pos}"
+        assert lo[np.argmax(lt)] >= lo.max() - 0.02 * scale, f"pos {pos}"
+        tok = jnp.int32(int(np.argmax(lo)))
 
 
 def test_decode_fast_matches_oracle_through_ring(ckpt):

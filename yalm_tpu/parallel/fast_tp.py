@@ -42,7 +42,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import (FastScales, FastWeights, _proj1_l, _proj_l,
+from ..models.fast import (FastScales, FastWeights, _cap_logits, _layer_win,
+                           _post_norm, _proj1_l, _proj_l, _softcap_scores,
                            _qk_norm, is_int4)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
@@ -86,6 +87,8 @@ def fast_tp_weights(w: Weights, cfg: ModelConfig, tp: int) -> FastWeights:
               if lw.bq is not None else None),
         qnorm=lw.qn,
         knorm=lw.kn,
+        pa=lw.pa,
+        pf=lw.pf,
     )
 
 
@@ -138,6 +141,9 @@ def fast_weight_pspecs(cfg: ModelConfig,
         # per-head-dim q/k norm weights replicate (shared by all heads)
         qnorm=P(None, None) if cfg.has_qk_norm else None,
         knorm=P(None, None) if cfg.has_qk_norm else None,
+        # sandwich norms act on the psum'd full-width delta -> replicate
+        pa=P(None, None) if cfg.has_post_norms else None,
+        pf=P(None, None) if cfg.has_post_norms else None,
     )
 
 
@@ -161,10 +167,6 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
     expert-internal dims over `tp`."""
     if tp < 1 or ep < 1:
         return False
-    if cfg.has_post_norms or cfg.attn_softcap or cfg.final_softcap \
-            or any(cfg.layer_sliding):
-        return False  # Gemma2-style features: oracle path only for now
-
     if cfg.is_moe:
         if cfg.n_experts % ep:
             return False
@@ -227,6 +229,8 @@ def _clipper(cfg):
 
 def _use_block(cfg, tp: int, itemsize: int) -> bool:
     """Whether the fused attention-block kernel fits the LOCAL shard dims."""
+    if cfg.has_post_norms or cfg.attn_softcap or any(cfg.layer_sliding):
+        return False  # Gemma2 features take the unfused sequence
     if cfg.has_qk_norm:
         return False  # no norm hook between wqkv and in-kernel rope
     return attn_block_dims_supported(
@@ -235,6 +239,8 @@ def _use_block(cfg, tp: int, itemsize: int) -> bool:
 
 
 def _use_fused_ffn(cfg, tp: int, itemsize: int) -> bool:
+    if cfg.has_post_norms:
+        return False  # sandwich norm needs the unfused w13/w2 sequence
     h_l = cfg.hidden_dim // tp
     return (pick_blocks(2 * h_l, cfg.dim, itemsize)[1] == cfg.dim
             and pick_blocks(cfg.dim, h_l, itemsize)[1] == h_l)
@@ -319,12 +325,15 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
                     v.reshape(Hk_l, D), k_all, v_all,
                     i, kv_pos, kv_len, kv_sink, pos,
+                    _layer_win(cfg, i),
                     kv_sinks=KV_SINKS, theta=cfg.rope_param,
-                    rotary_dim=cfg.rotary_dim)
+                    rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
                 delta = _proj1_l(mixed.reshape(q_l), fw.wo, i,
                                sc.wo if sc is not None else None)
-            # row-parallel wo: partial sums -> ONE psum per block
-            x = x + jax.lax.psum(delta, "tp")
+            # row-parallel wo: partial sums -> ONE psum per block; sandwich
+            # norm acts on the FULL (post-psum) delta
+            x = x + _post_norm(jax.lax.psum(delta, "tp"), fw.pa, i,
+                               cfg.norm_eps)
 
             if cfg.is_moe:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
@@ -364,9 +373,10 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 h13 = _proj1_l(xb2, fw.w13, i,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:h_l]) * h13[h_l:]
-                x = x + jax.lax.psum(
-                    _proj1_l(h, fw.w2, i,
-                           sc.w2 if sc is not None else None), "tp")
+                x = x + _post_norm(
+                    jax.lax.psum(_proj1_l(h, fw.w2, i,
+                                          sc.w2 if sc is not None else None),
+                                 "tp"), fw.pf, i, cfg.norm_eps)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -376,8 +386,10 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
             return jnp.zeros((1,), jnp.float32), KVCache(k=k_new, v=v_new)
         x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         # vocab-sharded logits -> gathered so the sampler sees the full row
+        # (the softcap is elementwise: capping local shards is exact)
         logits = jax.lax.all_gather(
-            gemv(x, fw.lm_head, sc.lm_head if sc is not None else None),
+            _cap_logits(cfg, gemv(x, fw.lm_head,
+                                  sc.lm_head if sc is not None else None)),
             "tp").reshape(-1)
         return logits, KVCache(k=k_new, v=v_new)
 
@@ -425,13 +437,21 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+        if any(cfg.layer_sliding):
+            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+            slide_mask = att_mask & (
+                positions[:, None] - jnp.arange(S)[None, :]
+                < cfg.sliding_window)
+        else:
+            sl_flags = None
 
-        def attend_chunk_bf16(q4, kc, vc):
+        def attend_chunk_bf16(q4, kc, vc, mask):
             scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
                                 kc.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32) / math.sqrt(D)
+            scores = _softcap_scores(cfg, scores)
             att = jax.nn.softmax(
-                jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+                jnp.where(mask[None, None], scores, -1e30), axis=-1)
             return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
                               vc.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
@@ -465,10 +485,14 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 (i, pos0, 0, 0))
             kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
-            mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
-            x = x + jax.lax.psum(
+            mask_l = att_mask if sl_flags is None else jnp.where(
+                sl_flags[i] != 0, slide_mask, att_mask)
+            mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc,
+                                      mask_l)
+            x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(T, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp")
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
 
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
@@ -495,9 +519,10 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 h13 = _proj_l(xb2, fw.w13, i,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
-                x = x + jax.lax.psum(
-                    _proj_l(h, fw.w2, i,
-                           sc.w2 if sc is not None else None), "tp")
+                x = x + _post_norm(
+                    jax.lax.psum(_proj_l(h, fw.w2, i,
+                                         sc.w2 if sc is not None else None),
+                                 "tp"), fw.pf, i, cfg.norm_eps)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -510,8 +535,8 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
             x_last = jnp.take(x, valid_len - 1, axis=0)
             x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
             logits = jax.lax.all_gather(
-                gemv(x_last, fw.lm_head,
-                     sc.lm_head if sc is not None else None),
+                _cap_logits(cfg, gemv(x_last, fw.lm_head,
+                                      sc.lm_head if sc is not None else None)),
                 "tp").reshape(-1)
             return logits, new_cache
         # "all"
@@ -521,7 +546,8 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if sc is not None:
             local = local * sc.lm_head[None].astype(jnp.float32)
-        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
+                                    axis=1, tiled=True)
         return logits, new_cache
 
     fns = {
@@ -611,11 +637,13 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), k_all, v_all, i,
                 kv_pos, kv_len, kv_sink, positions, write_mask,
+                _layer_win(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
-                rotary_dim=cfg.rotary_dim)
-            x = x + jax.lax.psum(
+                rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
+            x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(B_l, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp")
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
 
             if cfg.is_moe:
                 xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
@@ -649,9 +677,10 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 h13 = _proj_l(xb2, fw.w13, i,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
-                x = x + jax.lax.psum(
-                    _proj_l(h, fw.w2, i,
-                           sc.w2 if sc is not None else None), "tp")
+                x = x + _post_norm(
+                    jax.lax.psum(_proj_l(h, fw.w2, i,
+                                         sc.w2 if sc is not None else None),
+                                 "tp"), fw.pf, i, cfg.norm_eps)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -659,7 +688,8 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
         x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         local = gemm(x, fw.lm_head,
                      sc.lm_head if sc is not None else None)   # (B_l, V_l)
-        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
+                                    axis=1, tiled=True)
         return logits, KVCache(k=k_new, v=v_new)
 
     return shard_map(
@@ -705,18 +735,26 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
         p0 = jnp.where(enable != 0, pos0, 0)
         positions = p0[:, None] + jnp.arange(T)[None, :]        # (B_l, T)
         att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+        if any(cfg.layer_sliding):
+            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+            slide_mask = att_mask & (
+                positions[:, :, None] - jnp.arange(S)[None, None, :]
+                < cfg.sliding_window)
+        else:
+            sl_flags = None
 
         x = _embed_psum(fw.embed, tokens.reshape(-1), V_l,
                         sc.embed if sc is not None else None)   # (B_l*T, dim)
         if cfg.embed_scale != 1.0:
             x = x * cfg.embed_scale
 
-        def attend(q4, kc, vc):
+        def attend(q4, kc, vc, mask):
             scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
                                 kc.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32) / math.sqrt(D)
+            scores = _softcap_scores(cfg, scores)
             att = jax.nn.softmax(
-                jnp.where(att_mask[:, None, None], scores, -1e30), axis=-1)
+                jnp.where(mask[:, None, None], scores, -1e30), axis=-1)
             return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
                               vc.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
@@ -757,18 +795,23 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
             v_all = jax.lax.dynamic_update_slice(
                 v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
 
-            mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc_i, vc_i)
-            x = x + jax.lax.psum(
+            mask_l = att_mask if sl_flags is None else jnp.where(
+                sl_flags[i] != 0, slide_mask, att_mask)
+            mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc_i, vc_i,
+                           mask_l)
+            x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp")
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
             h13 = _proj_l(xb2, fw.w13, i,
                          sc.w13 if sc is not None else None)
             h = act(h13[:, :h_l]) * h13[:, h_l:]
-            x = x + jax.lax.psum(
-                _proj_l(h, fw.w2, i,
-                       sc.w2 if sc is not None else None), "tp")
+            x = x + _post_norm(
+                jax.lax.psum(_proj_l(h, fw.w2, i,
+                                     sc.w2 if sc is not None else None),
+                             "tp"), fw.pf, i, cfg.norm_eps)
             return (x, k_all, v_all)
 
         x, k_new, v_new = jax.lax.fori_loop(
@@ -779,7 +822,8 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         if sc is not None:
             local = local * sc.lm_head[None].astype(jnp.float32)
-        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
+                                    axis=1, tiled=True)
         return logits.reshape(B_l, T, -1), KVCache(k=k_new, v=v_new)
 
     return shard_map(
@@ -870,11 +914,14 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), kp, vp, tables, i,
                 kv_pos, kv_len, kv_sink, positions, write_mask,
+                _layer_win(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
-                rotary_dim=cfg.rotary_dim, window=L)
-            x = x + jax.lax.psum(
+                rotary_dim=cfg.rotary_dim, window=L,
+                softcap=cfg.attn_softcap)
+            x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(B_l, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp")
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
             d = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
                       sc.w13 if sc is not None else None,
                       sc.w2 if sc is not None else None,
@@ -890,14 +937,15 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                              sc.w13 if sc is not None else None)
                 h = act(h13[:, :h_l]) * h13[:, h_l:]
                 d = _proj_l(h, fw.w2, i, sc.w2 if sc is not None else None)
-            x = x + jax.lax.psum(d, "tp")
+            x = x + _post_norm(jax.lax.psum(d, "tp"), fw.pf, i, cfg.norm_eps)
             return (x, kp, vp)
 
         x, kp, vp = jax.lax.fori_loop(
             0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
         x = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         local = gemm(x, fw.lm_head, sc.lm_head if sc is not None else None)
-        logits = jax.lax.all_gather(local, "tp", axis=1, tiled=True)
+        logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
+                                    axis=1, tiled=True)
         return logits, PagedKVPool(k=kp, v=vp)
 
     return shard_map(
@@ -943,13 +991,21 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]
+        if any(cfg.layer_sliding):
+            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+            slide_mask = att_mask & (
+                positions[:, None] - jnp.arange(S)[None, :]
+                < cfg.sliding_window)
+        else:
+            sl_flags = None
 
-        def attend_chunk_bf16(q4, kc, vc):
+        def attend_chunk_bf16(q4, kc, vc, mask):
             scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
                                 kc.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32) / math.sqrt(D)
+            scores = _softcap_scores(cfg, scores)
             att = jax.nn.softmax(
-                jnp.where(att_mask[None, None], scores, -1e30), axis=-1)
+                jnp.where(mask[None, None], scores, -1e30), axis=-1)
             return jnp.einsum("gqtl,lgd->tgqd", att.astype(jnp.bfloat16),
                               vc.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
@@ -988,17 +1044,22 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
 
             kc = kp[table_b, i].reshape(S, Hk_l, D)
             vc = vp[table_b, i].reshape(S, Hk_l, D)
-            mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc)
-            x = x + jax.lax.psum(
+            mask_l = att_mask if sl_flags is None else jnp.where(
+                sl_flags[i] != 0, slide_mask, att_mask)
+            mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc,
+                                      mask_l)
+            x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(T, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp")
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
             h13 = _proj_l(xb2, fw.w13, i,
                          sc.w13 if sc is not None else None)
             h = act(h13[:, :h_l]) * h13[:, h_l:]
-            x = x + jax.lax.psum(
-                _proj_l(h, fw.w2, i, sc.w2 if sc is not None else None), "tp")
+            x = x + _post_norm(jax.lax.psum(
+                _proj_l(h, fw.w2, i, sc.w2 if sc is not None else None),
+                "tp"), fw.pf, i, cfg.norm_eps)
             return (x, kp, vp)
 
         x, kp, vp = jax.lax.fori_loop(
@@ -1008,8 +1069,9 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
         x_last = jnp.take(x, valid_len - 1, axis=0)
         x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
         logits = jax.lax.all_gather(
-            gemv(x_last, fw.lm_head,
-                 sc.lm_head if sc is not None else None), "tp").reshape(-1)
+            _cap_logits(cfg, gemv(x_last, fw.lm_head,
+                                  sc.lm_head if sc is not None else None)),
+            "tp").reshape(-1)
         return logits[None], kp, vp  # (1, V): dp shards stack to (dp, V)
 
     def wrap(mode):

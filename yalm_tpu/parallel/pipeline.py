@@ -40,8 +40,12 @@ from ..ops.pallas.gemv import gemm, gemm_l
 
 
 def pp_supported(cfg: ModelConfig, pp: int, batch: int) -> bool:
-    # int4 packed weights not threaded into the pipeline stages yet
+    # int4 packed weights and Gemma2 features (sandwich norms, softcaps,
+    # sliding layers) not threaded into the pipeline stages yet
     return (not cfg.is_moe and cfg.weight_dtype != "int4" and pp >= 1
+            and not cfg.has_post_norms and not cfg.attn_softcap
+            and not cfg.final_softcap
+            and not any(cfg.layer_sliding)
             and cfg.n_layers % pp == 0 and batch % pp == 0)
 
 

@@ -43,9 +43,12 @@ from .fast_tp import (_clipper, _embed_psum, fast_tp_supported,
 
 
 def ring_supported(cfg: ModelConfig, sp: int, tp: int = 1) -> bool:
-    # int4 packed weights not threaded into the ring body yet (it uses the
-    # plain gemm_l/ffn path)
+    # int4 packed weights and Gemma2 features (sandwich norms, softcaps,
+    # sliding layers) not threaded into the ring body yet
     return (not cfg.is_moe and cfg.weight_dtype != "int4"
+            and not cfg.has_post_norms and not cfg.attn_softcap
+            and not cfg.final_softcap
+            and not any(cfg.layer_sliding)
             and fast_tp_supported(cfg, tp) and cfg.n_kv_heads % tp == 0)
 
 

@@ -47,7 +47,8 @@ def _write_tokenizer(d, vocab_size):
 
 def _mk_hf(tmp_path, arch, **extra):
     from transformers import (Gemma2Config, Gemma2ForCausalLM, GemmaConfig,
-                              GemmaForCausalLM, LlamaConfig,
+                              GemmaForCausalLM, Gemma3ForCausalLM,
+                              Gemma3TextConfig, LlamaConfig,
                               LlamaForCausalLM, MixtralConfig,
                               MixtralForCausalLM, Qwen2Config,
                               Qwen2ForCausalLM, Qwen3Config,
@@ -59,6 +60,7 @@ def _mk_hf(tmp_path, arch, **extra):
         "mixtral": (MixtralConfig, MixtralForCausalLM),
         "gemma": (GemmaConfig, GemmaForCausalLM),
         "gemma2": (Gemma2Config, Gemma2ForCausalLM),
+        "gemma3": (Gemma3TextConfig, Gemma3ForCausalLM),
     }
     cfg_cls, model_cls = builders[arch]
     hf_cfg = cfg_cls(**DIMS, **extra)
@@ -88,6 +90,14 @@ def _mk_hf(tmp_path, arch, **extra):
     ("gemma2", {"head_dim": 16, "query_pre_attn_scalar": 32.0,
                 "sliding_window": 8, "attn_logit_softcapping": 50.0,
                 "final_logit_softcapping": 30.0,
+                "hidden_activation": "gelu_pytorch_tanh"}),
+    # Gemma3: qk-norm with the (1+w) offset, DUAL per-layer rope (local
+    # theta on sliding layers, linear-scaled global theta elsewhere),
+    # sandwich norms, no softcaps
+    ("gemma3", {"head_dim": 16, "query_pre_attn_scalar": 32.0,
+                "sliding_window": 8, "sliding_window_pattern": 2,
+                "rope_local_base_freq": 10000.0,
+                "rope_scaling": {"rope_type": "linear", "factor": 2.0},
                 "hidden_activation": "gelu_pytorch_tanh"}),
 ])
 def test_converted_logits_match_transformers(tmp_path, arch, extra):
@@ -157,6 +167,11 @@ def test_gemma2_decode_step_matches_transformers(tmp_path):
     ("gemma2", {"head_dim": 16, "query_pre_attn_scalar": 32.0,
                 "sliding_window": 8, "attn_logit_softcapping": 50.0,
                 "final_logit_softcapping": 30.0,
+                "hidden_activation": "gelu_pytorch_tanh"}),
+    ("gemma3", {"head_dim": 16, "query_pre_attn_scalar": 32.0,
+                "sliding_window": 8, "sliding_window_pattern": 2,
+                "rope_local_base_freq": 10000.0,
+                "rope_scaling": {"rope_type": "linear", "factor": 2.0},
                 "hidden_activation": "gelu_pytorch_tanh"}),
 ])
 def test_fast_path_matches_transformers(tmp_path, arch, extra):

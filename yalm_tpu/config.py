@@ -39,6 +39,11 @@ def _parse_rope_scale(md) -> tuple:
         return ("yarn", float(md["rope_factor"]),
                 float(md["rope_yarn_low"]), float(md["rope_yarn_high"]),
                 float(md["rope_mscale"]))
+    if kind == "gemma3":
+        # per-layer dual rope: global layers theta/factor, sliding layers
+        # the unscaled local theta (ops/core.rope_pair_freqs)
+        return ("gemma3", float(md.get("rope_factor", "1")),
+                float(md["rope_local_theta"]))
     raise ValueError(f"unsupported rope_scaling {kind!r}")
 
 
@@ -232,6 +237,8 @@ class ModelConfig:
                 md["rope_yarn_low"] = str(self.rope_scale[2])
                 md["rope_yarn_high"] = str(self.rope_scale[3])
                 md["rope_mscale"] = str(self.rope_scale[4])
+            elif self.rope_scale[0] == "gemma3":
+                md["rope_local_theta"] = str(self.rope_scale[2])
         return md
 
     # -- analytic bandwidth model -----------------------------------------

@@ -43,6 +43,7 @@ SUPPORTED_ARCHITECTURES = [
     "Qwen3ForCausalLM",
     "GemmaForCausalLM",
     "Gemma2ForCausalLM",
+    "Gemma3ForCausalLM",
 ]
 
 
@@ -120,10 +121,39 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
         if config.get("sliding_window") and any(c == "1" for c in sliding):
             md["sliding_window"] = str(int(config["sliding_window"]))
             md["layer_sliding"] = "".join(sliding)
+    if arch == "Gemma3ForCausalLM":
+        md["has_post_norms"] = "1"
+        scalar = float(config.get("query_pre_attn_scalar", head_dim))
+        if scalar != float(head_dim):
+            md["query_scale_fold"] = str((float(head_dim) / scalar) ** 0.5)
+        lt = config.get("layer_types")
+        if lt is not None:
+            sliding = ["1" if t == "sliding_attention" else "0" for t in lt]
+        else:
+            # HF default: every sliding_window_pattern-th layer is global
+            pat = int(config.get("sliding_window_pattern", 6))
+            sliding = ["1" if (i + 1) % pat else "0"
+                       for i in range(int(md["n_layers"]))]
+        if config.get("sliding_window") and any(c == "1" for c in sliding):
+            md["sliding_window"] = str(int(config["sliding_window"]))
+            md["layer_sliding"] = "".join(sliding)
+        # dual rope: global layers rope_theta (+ optional linear factor),
+        # sliding layers the unscaled local theta — packed as ONE static
+        # rope kind so every rope site selects per layer (ops/core)
+        md["rope_scaling"] = "gemma3"
+        md["rope_local_theta"] = str(
+            float(config.get("rope_local_base_freq", 10000.0)))
+        g3rs = config.get("rope_scaling") or {}
+        if g3rs.get("rope_type", g3rs.get("type", "linear")) != "linear":
+            raise ValueError("Gemma3 global-layer rope_scaling must be "
+                             f"linear, got {g3rs}")
+        md["rope_factor"] = str(float(g3rs.get("factor", 1.0)))
     if arch == "MixtralForCausalLM":
         md["n_experts"] = str(config["num_local_experts"])
         md["n_experts_active"] = str(config["num_experts_per_tok"])
     rs = config.get("rope_scaling") or {}
+    if arch == "Gemma3ForCausalLM":
+        rs = {}  # consumed by the gemma3 packed kind above
     if rs:
         # Llama-3.1+ / long-context checkpoints declare a RoPE frequency
         # remap; converting without it silently mis-rotates every position
@@ -408,12 +438,17 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
 
     post_norms = md.get("has_post_norms") == "1"
     q_fold = float(md.get("query_scale_fold", "1"))
+    # with a post-projection q-norm (Gemma3), rmsnorm's scale-invariance
+    # would ERASE a factor folded into wq — fold it into the q-norm WEIGHT
+    # instead (the norm's output multiply), which is equally exact
+    has_qn = "model.layers.0.self_attn.q_norm.weight" in weights
+    wq_fold, qn_fold = (1.0, q_fold) if has_qn else (q_fold, 1.0)
 
     for l in range(n_layers):
         p = f"model.layers.{l}"
         tensors[f"{p}.attn.norm.weight"] = norm(weights[f"{p}.input_layernorm.weight"])
         put(f"{p}.attn.wq.weight",
-            q_fold * permute_reverse(
+            wq_fold * permute_reverse(
                 f32(weights[f"{p}.self_attn.q_proj.weight"]), n_heads, rotary_dim))
         put(f"{p}.attn.wk.weight",
             permute_reverse(f32(weights[f"{p}.self_attn.k_proj.weight"]), n_kv_heads, rotary_dim))
@@ -443,11 +478,11 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             # head_dim rows), or the elementwise multiply lands on the
             # wrong components after our interleaved-pair relayout
             md["has_qk_norm"] = "1"
-            tensors[f"{p}.attn.q_norm.weight"] = permute_reverse(
-                f32(weights[f"{p}.self_attn.q_norm.weight"])[:, None],
+            tensors[f"{p}.attn.q_norm.weight"] = qn_fold * permute_reverse(
+                norm(weights[f"{p}.self_attn.q_norm.weight"])[:, None],
                 1, rotary_dim)[:, 0]
             tensors[f"{p}.attn.k_norm.weight"] = permute_reverse(
-                f32(weights[f"{p}.self_attn.k_norm.weight"])[:, None],
+                norm(weights[f"{p}.self_attn.k_norm.weight"])[:, None],
                 1, rotary_dim)[:, 0]
         if post_norms:
             # Gemma2 sandwich: post_attention_layernorm norms the attention

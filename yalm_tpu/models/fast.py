@@ -380,6 +380,15 @@ def _layer_win(cfg: ModelConfig, i):
     return jnp.where(flags[i] != 0, cfg.sliding_window, cfg.max_seq_len)
 
 
+def _layer_alt(cfg: ModelConfig, i):
+    """Gemma3 dual-rope selector: the sliding flag doubles as the local-
+    theta flag (HF Gemma3: sliding layers use rope_local_base_freq). None
+    unless the packed rope kind is "gemma3" (ops/core.rope_pair_freqs)."""
+    if not (cfg.rope_scale and cfg.rope_scale[0] == "gemma3"):
+        return None
+    return jnp.asarray(cfg.layer_sliding, jnp.int32)[i]
+
+
 def _post_norm(delta, w_all, i, eps):
     """Gemma2 sandwich norm on a residual delta (w_all None -> identity)."""
     if w_all is None:
@@ -530,14 +539,16 @@ def decode_step_fast(
             q, k = _qk_norm(q, k, fw, i, cfg)
             # kernels rope internally; capture post-rope like the oracle
             rec["q"] = apply_rope(q.reshape(Hq, D), pos,
-                                  cfg.rope_param, cfg.rotary_dim)
+                                  cfg.rope_param, cfg.rotary_dim,
+                                  _layer_alt(cfg, i))
             rec["k"] = apply_rope(k.reshape(Hk, D), pos,
-                                  cfg.rope_param, cfg.rotary_dim)
+                                  cfg.rope_param, cfg.rotary_dim,
+                                  _layer_alt(cfg, i))
             rec["v"] = v.reshape(Hk, D)
             mixed, k_all, v_all = attend_step_l(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, jnp.int32(i), kv_pos, kv_len, kv_sink, pos,
-                _layer_win(cfg, i),
+                _layer_win(cfg, i), _layer_alt(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
             rec["att_mix"] = mixed.reshape(cfg.q_dim)
@@ -639,7 +650,7 @@ def decode_step_fast(
             mixed, k_all, v_all = attend_step_l(
                 q.reshape(Hk, qpk, D), k.reshape(Hk, D), v.reshape(Hk, D),
                 k_all, v_all, i, kv_pos, kv_len, kv_sink, pos,
-                _layer_win(cfg, i),
+                _layer_win(cfg, i), _layer_alt(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
             if int4 or fw.pa is not None:
@@ -750,7 +761,7 @@ def decode_step_fast_batched(
         mixed, k_all, v_all = attend_step_batched_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             k_all, v_all, i, kv_pos, kv_len, kv_sink, positions, write_mask,
-            _layer_win(cfg, i),
+            _layer_win(cfg, i), _layer_alt(cfg, i),
             kv_sinks=KV_SINKS, theta=cfg.rope_param,
             rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
         x = x + _post_norm(_proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
@@ -894,9 +905,9 @@ def prefill_fast(
                               qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim],
                               fw, i, cfg)
             q = apply_rope(qf.reshape(T, Hq, D), positions,
-                           cfg.rope_param, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
             k = apply_rope(kf.reshape(T, Hk, D), positions,
-                           cfg.rope_param, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
             v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
             old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk, D))
@@ -1115,8 +1126,9 @@ def verify_chunk_fast_batched(
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
                                                      keepdims=False)
         qkv = clip(qkv).reshape(B, T, -1)
+        alt_i = _layer_alt(cfg, i)
         rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
-                                                  cfg.rotary_dim))
+                                                  cfg.rotary_dim, alt_i))
         qf, kf = _qk_norm(qkv[..., : cfg.q_dim],
                           qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim],
                           fw, i, cfg)
@@ -1222,7 +1234,7 @@ def decode_step_fast_batched_paged(
         mixed, kp, vp = attend_step_paged_l(
             q.reshape(B, Hk, qpk, D), k.reshape(B, Hk, D), v.reshape(B, Hk, D),
             kp, vp, tables, i, kv_pos, kv_len, kv_sink, positions, write_mask,
-            _layer_win(cfg, i),
+            _layer_win(cfg, i), _layer_alt(cfg, i),
             kv_sinks=KV_SINKS, theta=cfg.rope_param,
             rotary_dim=cfg.rotary_dim, window=L, softcap=cfg.attn_softcap)
         x = x + _post_norm(_proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
@@ -1312,9 +1324,9 @@ def prefill_fast_paged(
                           qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim],
                           fw, i, cfg)
         q = apply_rope(qf.reshape(T, Hq, D), positions,
-                       cfg.rope_param, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
         k = apply_rope(kf.reshape(T, Hk, D), positions,
-                       cfg.rope_param, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
         v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
         old_k = jax.lax.dynamic_slice(kp, (page, i, row0, 0, 0),
@@ -1434,8 +1446,9 @@ def verify_chunk_fast_batched_paged(
             qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
                                                      keepdims=False)
         qkv = clip(qkv).reshape(B, T, -1)
+        alt_i = _layer_alt(cfg, i)
         rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
-                                                  cfg.rotary_dim))
+                                                  cfg.rotary_dim, alt_i))
         qf, kf = _qk_norm(qkv[..., : cfg.q_dim],
                           qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim],
                           fw, i, cfg)

@@ -159,14 +159,21 @@ def decode_step(
         sliding_valid = slot_valid
         flags = jnp.zeros(cfg.n_layers, jnp.bool_)
 
+    # Gemma3's dual rope: sliding layers rotate with the LOCAL theta —
+    # the selector is the same per-layer flag as the sliding mask
+    g3 = bool(cfg.rope_scale) and cfg.rope_scale[0] == "gemma3"
+
     def layer_fn(x, layer):
         lw, kc, vc, sliding = layer
+        alt = sliding if g3 else None
         # -- attention ----------------------------------------------------
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
         q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
-        q = apply_rope(q.reshape(cfg.n_heads, cfg.head_dim), pos, cfg.rope_param, cfg.rotary_dim)
-        k = apply_rope(k.reshape(cfg.n_kv_heads, cfg.head_dim), pos, cfg.rope_param, cfg.rotary_dim)
+        q = apply_rope(q.reshape(cfg.n_heads, cfg.head_dim), pos,
+                       cfg.rope_param, cfg.rotary_dim, alt)
+        k = apply_rope(k.reshape(cfg.n_kv_heads, cfg.head_dim), pos,
+                       cfg.rope_param, cfg.rotary_dim, alt)
         v = v.reshape(cfg.n_kv_heads, cfg.head_dim)
 
         kc = jax.lax.dynamic_update_slice(kc, k[None].astype(kc.dtype), (kv_pos, 0, 0))
@@ -181,7 +188,7 @@ def decode_step(
         rot = jnp.maximum(pos - L + 1, 0)
         sink_rows = kc[:KV_SINKS].astype(jnp.float32)
         rotated = rope_rotate_cached(sink_rows, cfg.rope_param,
-                                     cfg.rotary_dim, rot)
+                                     cfg.rotary_dim, rot, alt)
         sink_mask = (jnp.arange(KV_SINKS) < kv_sink)[:, None, None]
         k_view = jax.lax.dynamic_update_slice(
             kc.astype(jnp.float32),
@@ -284,15 +291,18 @@ def prefill(
         sliding_mask = att_mask
         flags = jnp.zeros(cfg.n_layers, jnp.bool_)
 
+    g3 = bool(cfg.rope_scale) and cfg.rope_scale[0] == "gemma3"
+
     def layer_fn(x, layer):
         lw, kc, vc, sliding = layer
+        alt = sliding if g3 else None
         xb = rmsnorm(x, lw.rms_att, cfg.norm_eps)
         q, k, v = _qkv(xb, lw, cfg, compute_dtype)
 
         q = apply_rope(q.reshape(T, cfg.n_heads, cfg.head_dim), positions,
-                       cfg.rope_param, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim, alt)
         k = apply_rope(k.reshape(T, cfg.n_kv_heads, cfg.head_dim), positions,
-                       cfg.rope_param, cfg.rotary_dim)
+                       cfg.rope_param, cfg.rotary_dim, alt)
         v = v.reshape(T, cfg.n_kv_heads, cfg.head_dim)
 
         # masked region write: only valid rows replace cache contents

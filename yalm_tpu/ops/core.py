@@ -99,18 +99,34 @@ def decode_rope_param(theta) -> tuple[float, tuple]:
     return float(theta), ()
 
 
-def rope_pair_freqs(theta, rotary_dim: int, j: jax.Array) -> jax.Array:
+def rope_pair_freqs(theta, rotary_dim: int, j: jax.Array,
+                    alt=None) -> jax.Array:
     """Inverse frequencies for pair-start indices j (0, 2, 4, ...); j >=
     rotary_dim pairs get frequency 0 (identity — partial rotary dims,
-    reference src/infer.cpp:200-213). Applies any packed scaling."""
+    reference src/infer.cpp:200-213). Applies any packed scaling.
+
+    The packed kind ("gemma3", theta_global, factor, theta_local) carries
+    Gemma3's PER-LAYER dual rope: global layers rotate with theta_global /
+    linear factor, sliding layers with theta_local unscaled. Both freq
+    tables are built from STATIC constants; `alt` (a traced scalar, != 0
+    on local-rope layers) just selects — so one compiled program serves
+    every layer, matching the repo's static-rope-param design."""
     th, scale = decode_rope_param(theta)
     freq = jnp.where(j >= rotary_dim, 0.0,
                      jnp.exp(-jnp.log(th) * j / rotary_dim))
+    if scale and scale[0] == "gemma3":
+        _, factor, th_local = scale
+        f_global = freq / factor
+        if alt is None:
+            return f_global
+        f_local = jnp.where(j >= rotary_dim, 0.0,
+                            jnp.exp(-jnp.log(th_local) * j / rotary_dim))
+        return jnp.where(jnp.asarray(alt) != 0, f_local, f_global)
     return scale_inv_freq(freq, scale, j)
 
 
 def _rope_angles(positions: jax.Array, head_dim: int, theta,
-                 rotary_dim: int) -> tuple[jax.Array, jax.Array]:
+                 rotary_dim: int, alt=None) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables for interleaved-pair RoPE.
 
     Pair p rotates elements (2p, 2p+1) of each head by pos * theta^(-2p/rotary_dim);
@@ -120,14 +136,14 @@ def _rope_angles(positions: jax.Array, head_dim: int, theta,
     """
     half = head_dim // 2
     j = 2.0 * jnp.arange(half, dtype=jnp.float32)          # first-element index of each pair
-    freq = rope_pair_freqs(theta, rotary_dim, j)
+    freq = rope_pair_freqs(theta, rotary_dim, j, alt)
     val = positions.astype(jnp.float32)[..., None] * freq  # (..., half)
     ms = rope_mscale(theta)
     return ms * jnp.cos(val), ms * jnp.sin(val)
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, theta,
-               rotary_dim: int) -> jax.Array:
+               rotary_dim: int, alt=None) -> jax.Array:
     """Interleaved RoPE on x[..., n_heads, head_dim] at positions[...].
 
     positions broadcasts against x's leading axes (scalar for single-token
@@ -137,7 +153,7 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta,
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     head_dim = x.shape[-1]
-    cos, sin = _rope_angles(positions, head_dim, theta, rotary_dim)
+    cos, sin = _rope_angles(positions, head_dim, theta, rotary_dim, alt)
     cos = cos[..., None, :]  # broadcast over the heads axis
     sin = sin[..., None, :]
     xr = x.reshape(*x.shape[:-1], head_dim // 2, 2)
@@ -147,7 +163,7 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta,
 
 
 def rope_rotate_cached(k_rows: jax.Array, theta, rotary_dim: int,
-                       n=1) -> jax.Array:
+                       n=1, alt=None) -> jax.Array:
     """Rotate cached sink-key rows forward by `n` positions (StreamingLLM).
 
     Sink slots stay physically frozen in the ring buffer but must remain a
@@ -162,7 +178,8 @@ def rope_rotate_cached(k_rows: jax.Array, theta, rotary_dim: int,
     k_rows: [..., n_kv_heads, head_dim]; n: () scalar or python int.
     """
     pos = jnp.broadcast_to(jnp.asarray(n, jnp.float32), k_rows.shape[:-2])
-    return apply_rope(k_rows, pos, rope_rotation_param(theta), rotary_dim)
+    return apply_rope(k_rows, pos, rope_rotation_param(theta), rotary_dim,
+                      alt)
 
 
 def masked_softmax(scores: jax.Array, mask: jax.Array) -> jax.Array:

@@ -205,7 +205,7 @@ def _slot_age(slot_idx, kv_pos, kv_sink, S: int):
 
 
 def _lazy_sink_rotate(kbuf, slot, rot, kv_sink, *, kv_sinks, theta,
-                      rotary_dim):
+                      rotary_dim, alt=None):
     """Rotate the first kv_sink sink rows of the fetched block 0 IN VMEM by
     the accumulated offset `rot` (StreamingLLM lazy view — the HBM cache
     keeps sink keys as originally written; see _attn_step_ref). slot=None
@@ -214,7 +214,8 @@ def _lazy_sink_rotate(kbuf, slot, rot, kv_sink, *, kv_sinks, theta,
         at = (slot, r) if slot is not None else (r,)
         rowf = kbuf[at].astype(jnp.float32)
         # rotation of already-written (already-mscaled) keys: mscale off
-        rowr = _rot_lanes(rowf, rope_rotation_param(theta), rotary_dim, rot)
+        rowr = _rot_lanes(rowf, rope_rotation_param(theta), rotary_dim, rot,
+                          alt)
 
         @pl.when(r < kv_sink)
         def _(rowr=rowr):
@@ -226,7 +227,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                      sem, rowsem, *, S, block_s, Hk, P, kv_sinks, theta,
                      rotary_dim, kv_pos, kv_len, kv_sink, pos,
                      do_write=True, kst=None, vst=None,
-                     softcap: float = 0.0, win=None):
+                     softcap: float = 0.0, win=None, alt=None):
     """The whole fused step: in-kernel RoPE, kv-row write, lazy sink
     rotation, and double-buffered flash attention. `idx` is the HBM index
     prefix for this lane's cache (e.g. (layer,) or (b, layer)).
@@ -268,9 +269,9 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
     # current position (reference fused_rope_and_cache_update,
     # src/infer.cu:642-677)
     q_rot = _rot_lanes(q_in.astype(jnp.float32), theta, rotary_dim,
-                       pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+                       pos.astype(jnp.float32), alt) * (1.0 / math.sqrt(D))
     k_rot = _rot_lanes(knew_in.astype(jnp.float32).reshape(Hk, D),
-                       theta, rotary_dim, pos.astype(jnp.float32))
+                       theta, rotary_dim, pos.astype(jnp.float32), alt)
     kdt = k_rot.astype(newk.dtype)             # the exact bits HBM will hold
     vdt = vnew_in.astype(newv.dtype).reshape(Hk, D)
     sink_rot = jnp.maximum(pos - S + 1, 0).astype(jnp.float32)
@@ -327,7 +328,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
         def _():
             _lazy_sink_rotate(kb, sl, sink_rot, kv_sink,
                               kv_sinks=kv_sinks, theta=theta,
-                              rotary_dim=rotary_dim)
+                              rotary_dim=rotary_dim, alt=alt)
 
         # patch the row whose in-flight HBM write may not have landed
         # before this block's fetch read it (the staging patch uses the
@@ -375,7 +376,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                               S: int, block_s: int, n_kv_heads: int,
                               p_rows: int, kv_sinks: int, theta: float,
                               rotary_dim: int, softcap: float = 0.0,
-                              sliding: bool = False):
+                              sliding: bool = False, alt_rope: bool = False):
     """ONE program sweeps all B lanes with CROSS-LANE pipelined KV fetches:
     while lane b's block j is being flash-attended, the next block — lane
     b's j+1, or lane b+1's block 0 at a lane boundary — is already in
@@ -416,6 +417,8 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     kv_dma(0, 0, 0, kbuf, ko_hbm).start()
     kv_dma(0, 0, 0, vbuf, vo_hbm).start()
 
+    alt = scal_ref[1 + 5 * B + 1] if alt_rope else None
+
     def lane_body(b, slot0):
         kv_pos = lane_scal(0, b)
         kv_len = lane_scal(1, b)
@@ -424,9 +427,10 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
         wr = lane_scal(4, b) != 0
 
         q_rot = _rot_lanes(q_ref[b].astype(jnp.float32), theta, rotary_dim,
-                           pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+                           pos.astype(jnp.float32), alt) \
+            * (1.0 / math.sqrt(D))
         k_rot = _rot_lanes(knew_ref[b].astype(jnp.float32), theta,
-                           rotary_dim, pos.astype(jnp.float32))
+                           rotary_dim, pos.astype(jnp.float32), alt)
         kdt = k_rot.astype(newk.dtype)
         vdt = vnew_ref[b].astype(newv.dtype)
         sink_rot = jnp.maximum(pos - S + 1, 0).astype(jnp.float32)
@@ -470,7 +474,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             def _():
                 _lazy_sink_rotate(kb, sl, sink_rot, kv_sink,
                                   kv_sinks=kv_sinks, theta=theta,
-                                  rotary_dim=rotary_dim)
+                                  rotary_dim=rotary_dim, alt=alt)
 
             row = kv_pos - j * block_s
 
@@ -517,7 +521,8 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                           layer: jax.Array, kv_pos: jax.Array,
                           kv_len: jax.Array, kv_sink: jax.Array,
                           pos: jax.Array, write: jax.Array | None = None,
-                          win: jax.Array | None = None, *,
+                          win: jax.Array | None = None,
+                          alt: jax.Array | None = None, *,
                           kv_sinks: int, theta: float, rotary_dim: int,
                           block_s: int = 0, interpret: bool | None = None,
                           softcap: float = 0.0
@@ -543,19 +548,20 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kp, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-                softcap=softcap, win=win)
+                softcap=softcap, win=win, alt=alt)
             # write-masked lanes mutate NOTHING and attend the cache as-is
             # except for the lazy sink VIEW, which is part of attention —
             # matching the kernel exactly
             q2r = _rot_lanes_ref(q2, theta, rotary_dim,
-                                 jnp.asarray(p1, jnp.float32)) \
+                                 jnp.asarray(p1, jnp.float32), alt) \
                 * (1.0 / math.sqrt(D))
             k1l = jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False)
             extra = (None if win is None
                      else _slot_age(jnp.arange(S), kp, ks, S) < win)
             out_r = _attend_ref(
                 q2r, _sink_view_ref(k1l, ks, p1, kv_sinks=kv_sinks,
-                                    theta=theta, rotary_dim=rotary_dim),
+                                    theta=theta, rotary_dim=rotary_dim,
+                                    alt=alt),
                 jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl,
                 softcap, extra)
             keep = wr1 != 0
@@ -614,12 +620,14 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         jnp.asarray(pos, jnp.int32).reshape(B),
         jnp.asarray(write, jnp.int32).reshape(B),
         jnp.asarray(S if win is None else win, jnp.int32).reshape(1),
+        jnp.asarray(0 if alt is None else alt, jnp.int32).reshape(1),
     ])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(
             _attn_step_batched_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
             p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-            softcap=softcap, sliding=win is not None),
+            softcap=softcap, sliding=win is not None,
+            alt_rope=alt is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hk * P, D), jnp.float32),
@@ -660,13 +668,13 @@ def attend_step_batched_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
 
 def _rot_lanes_ref(rows: jax.Array, theta: float, rotary_dim: int,
-                   pos) -> jax.Array:
+                   pos, alt=None) -> jax.Array:
     """XLA twin of _rot_lanes (pair-split reshape; Mosaic can't lower it but
     the emulation path can): RoPE rows[..., D] forward by `pos` positions."""
     D = rows.shape[-1]
     half = D // 2
     j = 2.0 * jax.lax.broadcasted_iota(jnp.int32, (1, half), 1).astype(jnp.float32)
-    freq = rope_pair_freqs(theta, rotary_dim, j)
+    freq = rope_pair_freqs(theta, rotary_dim, j, alt)
     ang = jnp.asarray(pos, jnp.float32) * freq
     ms = rope_mscale(theta)
     cos, sin = ms * jnp.cos(ang), ms * jnp.sin(ang)
@@ -677,7 +685,7 @@ def _rot_lanes_ref(rows: jax.Array, theta: float, rotary_dim: int,
 
 
 def _sink_view_ref(k: jax.Array, kv_sink, pos, *, kv_sinks: int,
-                   theta: float, rotary_dim: int) -> jax.Array:
+                   theta: float, rotary_dim: int, alt=None) -> jax.Array:
     """Emulation of the kernels' lazy sink view: rotate the first kv_sink
     rows of one layer's cache (S, Hk, D) forward by max(0, pos - S + 1) and
     round them through the VMEM working dtype (the cache dtype, or bf16 for
@@ -686,7 +694,7 @@ def _sink_view_ref(k: jax.Array, kv_sink, pos, *, kv_sinks: int,
     rot = jnp.maximum(jnp.asarray(pos, jnp.int32) - S + 1, 0)
     rows = k[:kv_sinks].astype(jnp.float32).reshape(kv_sinks * Hk, D)
     rotr = _rot_lanes_ref(rows, rope_rotation_param(theta), rotary_dim,
-                          rot.astype(jnp.float32))
+                          rot.astype(jnp.float32), alt)
     mask = (jnp.arange(kv_sinks) < kv_sink)[:, None, None]
     wd = k.dtype if k.dtype.itemsize >= 2 else jnp.bfloat16
     view = jnp.where(mask, rotr.reshape(kv_sinks, Hk, D),
@@ -695,7 +703,7 @@ def _sink_view_ref(k: jax.Array, kv_sink, pos, *, kv_sinks: int,
 
 
 def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
-               pos) -> jax.Array:
+               pos, alt=None) -> jax.Array:
     """In-kernel RoPE by `pos` positions without lane-splitting reshapes.
 
     Pair p lives in lanes (2p, 2p+1). rotated = rows * cos_full +
@@ -706,7 +714,7 @@ def _rot_lanes(rows: jax.Array, theta: float, rotary_dim: int,
     R, D = rows.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, D), 1)
     j = (lane - (lane % 2)).astype(jnp.float32)          # 2p per pair
-    freq = rope_pair_freqs(theta, rotary_dim, j)
+    freq = rope_pair_freqs(theta, rotary_dim, j, alt)
     ang = jnp.asarray(pos, jnp.float32) * freq
     ms = rope_mscale(theta)
     cos_full = ms * jnp.cos(ang)
@@ -727,12 +735,14 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                       sem, rowsem, *rest,
                       S: int, block_s: int, n_kv_heads: int, p_rows: int,
                       kv_sinks: int, theta: float, rotary_dim: int,
-                      softcap: float = 0.0, sliding: bool = False):
+                      softcap: float = 0.0, sliding: bool = False,
+                      alt_rope: bool = False):
     kst, vst = rest if rest else (None, None)
     layer, kv_pos, kv_len, kv_sink, pos = (scal_ref[0], scal_ref[1],
                                            scal_ref[2], scal_ref[3],
                                            scal_ref[4])
     win = scal_ref[5] if sliding else None
+    alt = scal_ref[6] if alt_rope else None
     _fused_attn_body((layer,), q_ref[...], knew_ref[...], vnew_ref[...],
                      ko_hbm, vo_hbm, o_ref,
                      kbuf, vbuf, newk, newv, m_ref, l_ref, acc_ref,
@@ -740,12 +750,12 @@ def _attn_step_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                      P=p_rows, kv_sinks=kv_sinks, theta=theta,
                      rotary_dim=rotary_dim, kv_pos=kv_pos, kv_len=kv_len,
                      kv_sink=kv_sink, pos=pos, kst=kst, vst=vst,
-                     softcap=softcap, win=win)
+                     softcap=softcap, win=win, alt=alt)
 
 
 def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
                    kv_sink, pos, *, kv_sinks, theta, rotary_dim,
-                   softcap: float = 0.0, win=None):
+                   softcap: float = 0.0, win=None, alt=None):
     """jnp emulation of the fused step (off-TPU default; kernel numerics).
 
     q2 (rows, D) and k_new arrive UNrotated/unscaled; RoPE at `pos` and the
@@ -754,9 +764,10 @@ def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
     sink keys are rotated by the accumulated offset (see _fused_attn_body)."""
     S, D = k_all.shape[1], k_all.shape[3]
     posf = jnp.asarray(pos, jnp.float32)
-    q2 = _rot_lanes_ref(q2.astype(jnp.float32), theta, rotary_dim, posf) \
-        * (1.0 / math.sqrt(D))
-    k_new = _rot_lanes_ref(k_new.astype(jnp.float32), theta, rotary_dim, posf)
+    q2 = _rot_lanes_ref(q2.astype(jnp.float32), theta, rotary_dim, posf,
+                        alt) * (1.0 / math.sqrt(D))
+    k_new = _rot_lanes_ref(k_new.astype(jnp.float32), theta, rotary_dim,
+                           posf, alt)
     k_all = jax.lax.dynamic_update_slice(
         k_all, k_new[None, None].astype(k_all.dtype), (layer, kv_pos, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
@@ -764,7 +775,7 @@ def _attn_step_ref(q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len,
     k = jax.lax.dynamic_index_in_dim(k_all, layer, keepdims=False)
     v = jax.lax.dynamic_index_in_dim(v_all, layer, keepdims=False)
     k_view = _sink_view_ref(k, kv_sink, pos, kv_sinks=kv_sinks, theta=theta,
-                            rotary_dim=rotary_dim)
+                            rotary_dim=rotary_dim, alt=alt)
     extra = None
     if win is not None:
         extra = _slot_age(jnp.arange(S), kv_pos, kv_sink, S) < win
@@ -779,7 +790,8 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                   k_all: jax.Array, v_all: jax.Array,
                   layer: jax.Array, kv_pos: jax.Array, kv_len: jax.Array,
                   kv_sink: jax.Array, pos: jax.Array,
-                  win: jax.Array | None = None, *,
+                  win: jax.Array | None = None,
+                  alt: jax.Array | None = None, *,
                   kv_sinks: int, theta: float, rotary_dim: int,
                   block_s: int = 0, interpret: bool | None = None,
                   softcap: float = 0.0
@@ -805,7 +817,7 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         out, k_all, v_all = _attn_step_ref(
             q2, k_new, v_new, k_all, v_all, layer, kv_pos, kv_len, kv_sink,
             pos, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-            softcap=softcap, win=win)
+            softcap=softcap, win=win, alt=alt)
         return out.reshape(Hk, qpk, D)[:, :qpk, :], k_all, v_all
 
     if not block_s:
@@ -855,12 +867,14 @@ def attend_step_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                       jnp.asarray(kv_len, jnp.int32),
                       jnp.asarray(kv_sink, jnp.int32),
                       jnp.asarray(pos, jnp.int32),
-                      jnp.asarray(S if win is None else win, jnp.int32)])
+                      jnp.asarray(S if win is None else win, jnp.int32),
+                      jnp.asarray(0 if alt is None else alt, jnp.int32)])
     out, k_out, v_out = pl.pallas_call(
         functools.partial(
             _attn_step_kernel, S=S, block_s=block_s, n_kv_heads=Hk,
             p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-            softcap=softcap, sliding=win is not None),
+            softcap=softcap, sliding=win is not None,
+            alt_rope=alt is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Hk * P, D), jnp.float32),
@@ -904,7 +918,8 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                             S: int, block_s: int, n_kv_heads: int,
                             p_rows: int, kv_sinks: int, theta: float,
                             rotary_dim: int, nblk: int,
-                            softcap: float = 0.0, sliding: bool = False):
+                            softcap: float = 0.0, sliding: bool = False,
+                            alt_rope: bool = False):
     """One program sweeps all lanes with cross-lane pipelined PAGE fetches
     (same pipeline as the dense batched kernel; every fetch target resolves
     through the page table). Sink keys use the lazy rotation view, never an
@@ -932,6 +947,8 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
     kv_dma(0, 0, 0, kbuf, kp_hbm).start()
     kv_dma(0, 0, 0, vbuf, vp_hbm).start()
 
+    alt = scal_ref[1 + 5 * B + B * nblk + 1] if alt_rope else None
+
     def lane_body(b, slot0):
         kv_pos = lane_scal(0, b)
         kv_len = lane_scal(1, b)
@@ -940,9 +957,10 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
         wr = lane_scal(4, b) != 0
 
         q_rot = _rot_lanes(q_ref[b].astype(jnp.float32), theta, rotary_dim,
-                           pos.astype(jnp.float32)) * (1.0 / math.sqrt(D))
+                           pos.astype(jnp.float32), alt) \
+            * (1.0 / math.sqrt(D))
         k_rot = _rot_lanes(knew_ref[b].astype(jnp.float32), theta,
-                           rotary_dim, pos.astype(jnp.float32))
+                           rotary_dim, pos.astype(jnp.float32), alt)
         kdt = k_rot.astype(newk.dtype)
         vdt = vnew_ref[b].astype(newv.dtype)
         sink_rot = jnp.maximum(pos - S + 1, 0).astype(jnp.float32)
@@ -987,7 +1005,7 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             def _():
                 _lazy_sink_rotate(kb, sl, sink_rot, kv_sink,
                                   kv_sinks=kv_sinks, theta=theta,
-                                  rotary_dim=rotary_dim)
+                                  rotary_dim=rotary_dim, alt=alt)
 
             row = kv_pos - j * block_s
 
@@ -1050,7 +1068,8 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                         layer: jax.Array, kv_pos: jax.Array,
                         kv_len: jax.Array, kv_sink: jax.Array,
                         pos: jax.Array, write: jax.Array | None = None,
-                        win: jax.Array | None = None, *,
+                        win: jax.Array | None = None,
+                        alt: jax.Array | None = None, *,
                         kv_sinks: int, theta: float, rotary_dim: int,
                         window: int, interpret: bool | None = None,
                         softcap: float = 0.0
@@ -1077,18 +1096,19 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
             out, k2, v2 = _attn_step_ref(
                 q2, kn1, vn1, k1, v1, layer, kpos, kl, ks, p1,
                 kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-                softcap=softcap, win=win)
+                softcap=softcap, win=win, alt=alt)
             # write-masked lanes attend the cache as-is except for the lazy
             # sink view (see batched twin)
             q2r = _rot_lanes_ref(q2, theta, rotary_dim,
-                                 jnp.asarray(p1, jnp.float32)) \
+                                 jnp.asarray(p1, jnp.float32), alt) \
                 * (1.0 / math.sqrt(D))
             k1l = jax.lax.dynamic_index_in_dim(k1, layer, keepdims=False)
             extra = (None if win is None else
                      _slot_age(jnp.arange(window), kpos, ks, window) < win)
             out_r = _attend_ref(
                 q2r, _sink_view_ref(k1l, ks, p1, kv_sinks=kv_sinks,
-                                    theta=theta, rotary_dim=rotary_dim),
+                                    theta=theta, rotary_dim=rotary_dim,
+                                    alt=alt),
                 jax.lax.dynamic_index_in_dim(v1, layer, keepdims=False), kl,
                 softcap, extra)
             keep = wr1 != 0
@@ -1154,12 +1174,14 @@ def attend_step_paged_l(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         jnp.asarray(write, jnp.int32).reshape(B),
         jnp.asarray(tables, jnp.int32).reshape(B * nblk),
         jnp.asarray(window if win is None else win, jnp.int32).reshape(1),
+        jnp.asarray(0 if alt is None else alt, jnp.int32).reshape(1),
     ])
     out, kp_out, vp_out = pl.pallas_call(
         functools.partial(
             _attn_step_paged_kernel, S=window, block_s=bs, n_kv_heads=Hk,
             p_rows=P, kv_sinks=kv_sinks, theta=theta, rotary_dim=rotary_dim,
-            nblk=nblk, softcap=softcap, sliding=win is not None),
+            nblk=nblk, softcap=softcap, sliding=win is not None,
+            alt_rope=alt is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hk * P, D), jnp.float32),

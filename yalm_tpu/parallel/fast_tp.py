@@ -42,8 +42,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import (FastScales, FastWeights, _cap_logits, _layer_win,
-                           _post_norm, _proj1_l, _proj_l, _softcap_scores,
+from ..models.fast import (FastScales, FastWeights, _cap_logits, _layer_alt,
+                           _layer_win, _post_norm, _proj1_l, _proj_l,
+                           _softcap_scores,
                            _qk_norm, is_int4)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
@@ -325,7 +326,7 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     q.reshape(Hk_l, Hq_l // Hk_l, D), k.reshape(Hk_l, D),
                     v.reshape(Hk_l, D), k_all, v_all,
                     i, kv_pos, kv_len, kv_sink, pos,
-                    _layer_win(cfg, i),
+                    _layer_win(cfg, i), _layer_alt(cfg, i),
                     kv_sinks=KV_SINKS, theta=cfg.rope_param,
                     rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
                 delta = _proj1_l(mixed.reshape(q_l), fw.wo, i,
@@ -469,9 +470,11 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
             qf, kf = _qk_norm(qkv[:, :q_l], qkv[:, q_l:q_l + kv_l],
                               fw, i, cfg)
             q = apply_rope(qf.reshape(T, Hq_l, D), positions,
-                           cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(kf.reshape(T, Hk_l, D),
-                           positions, cfg.rope_param, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim,
+                           _layer_alt(cfg, i))
+            k = apply_rope(kf.reshape(T, Hk_l, D), positions,
+                           cfg.rope_param, cfg.rotary_dim,
+                           _layer_alt(cfg, i))
             v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
 
             old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk_l, D))
@@ -637,7 +640,7 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), k_all, v_all, i,
                 kv_pos, kv_len, kv_sink, positions, write_mask,
-                _layer_win(cfg, i),
+                _layer_win(cfg, i), _layer_alt(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, softcap=cfg.attn_softcap)
             x = x + _post_norm(jax.lax.psum(
@@ -769,8 +772,10 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
             qkv = clip(qkv).reshape(B_l, T, -1)
+            alt_i = _layer_alt(cfg, i)
             rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
-                                                      cfg.rotary_dim))
+                                                      cfg.rotary_dim,
+                                                      alt_i))
             qf, kf = _qk_norm(qkv[..., :q_l], qkv[..., q_l:q_l + kv_l],
                               fw, i, cfg)
             q = rope_b(qf.reshape(B_l, T, Hq_l, D), positions)
@@ -830,6 +835,135 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
         body, mesh=mesh,
         in_specs=(w_specs, P("dp"), P("dp"), P("dp"), c_specs),
         out_specs=(P("dp"), c_specs),
+        check_vma=False,
+    )
+
+
+def make_verify_chunk_paged_fast_tp(cfg: ModelConfig, mesh: Mesh,
+                                    page_size: int,
+                                    with_scales: bool = False):
+    """Speculative verify sweep over a PAGED pool on the dp x tp mesh —
+    the last composition corner (spec x paged x mesh): lanes + page-pool
+    shards on `dp` (GROUP-LOCAL page ids), heads/hidden on `tp`. Chunk KV
+    rows scatter through each group's tables exactly like the single-
+    device paged verify (models/fast.verify_chunk_fast_batched_paged);
+    disabled lanes collide harmlessly on their group's reserved page 0.
+    Dense models, ep=1 (spec-mode envelope)."""
+    from ..models.paged import PagedKVPool
+
+    tp = mesh.shape["tp"]
+    assert mesh.shape.get("ep", 1) == 1 and not cfg.is_moe, \
+        "spec verify x paged x mesh: dense, ep=1"
+    assert fast_tp_supported(cfg, tp, 1)
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    Hq_l, Hk_l = Hq // tp, Hk // tp
+    q_l, kv_l, h_l = cfg.q_dim // tp, cfg.kv_dim // tp, cfg.hidden_dim // tp
+    V_l = cfg.vocab_size // tp
+    qpk = Hq // Hk
+    act = silu if cfg.act_type == "silu" else gelu
+    clip = _clipper(cfg)
+    w_specs = fast_weight_pspecs(cfg, with_scales)
+    p_specs = paged_pool_pspecs()
+
+    def body(fw: FastWeights, tokens, pos0, enable, pool: "PagedKVPool",
+             tables):
+        B_l, T = tokens.shape
+        sc = fw.scales
+        p0 = jnp.where(enable != 0, pos0, 0)
+        positions = p0[:, None] + jnp.arange(T)[None, :]        # (B_l, T)
+        att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
+        if any(cfg.layer_sliding):
+            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+            slide_mask = att_mask & (
+                positions[:, :, None] - jnp.arange(S)[None, None, :]
+                < cfg.sliding_window)
+        else:
+            sl_flags = None
+        blk = positions // page_size
+        row = positions % page_size
+        pages = jnp.take_along_axis(tables, blk, axis=1)        # (B_l, T)
+        pages = jnp.where(enable[:, None] != 0, pages, 0)       # sink page
+        pf, rf = pages.reshape(-1), row.reshape(-1)
+
+        x = _embed_psum(fw.embed, tokens.reshape(-1), V_l,
+                        sc.embed if sc is not None else None)   # (B_l*T, dim)
+        if cfg.embed_scale != 1.0:
+            x = x * cfg.embed_scale
+
+        def attend(q4, kc, vc, mask):
+            scores = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
+                                kc.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) \
+                / math.sqrt(D)
+            scores = _softcap_scores(cfg, scores)
+            att = jax.nn.softmax(
+                jnp.where(mask[:, None, None], scores, -1e30), axis=-1)
+            return jnp.einsum("bgqts,bsgd->btgqd", att.astype(jnp.bfloat16),
+                              vc.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+
+        def layer_body(i, carry):
+            x, kp, vp = carry
+            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_att, i, keepdims=False), cfg.norm_eps)
+            qkv = _proj_l(xb, fw.wqkv, i,
+                         sc.wqkv if sc is not None else None)
+            if fw.bqkv is not None:
+                qkv = qkv + jax.lax.dynamic_index_in_dim(
+                    fw.bqkv, i, keepdims=False)
+            qkv = clip(qkv).reshape(B_l, T, -1)
+            alt_i = _layer_alt(cfg, i)
+            rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
+                                                      cfg.rotary_dim,
+                                                      alt_i))
+            qf, kf = _qk_norm(qkv[..., :q_l], qkv[..., q_l:q_l + kv_l],
+                              fw, i, cfg)
+            q = rope_b(qf.reshape(B_l, T, Hq_l, D), positions)
+            k = rope_b(kf.reshape(B_l, T, Hk_l, D), positions)
+            v = qkv[..., q_l + kv_l:].reshape(B_l, T, Hk_l, D)
+
+            # scatter BEFORE the gather so the chunk attends to itself
+            kp = kp.at[pf, i, rf].set(
+                k.reshape(B_l * T, Hk_l, D).astype(kp.dtype))
+            vp = vp.at[pf, i, rf].set(
+                v.reshape(B_l * T, Hk_l, D).astype(vp.dtype))
+            kc = kp[tables, i].reshape(B_l, S, Hk_l, D)
+            vc = vp[tables, i].reshape(B_l, S, Hk_l, D)
+            mask_l = att_mask if sl_flags is None else jnp.where(
+                sl_flags[i] != 0, slide_mask, att_mask)
+            mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc, vc, mask_l)
+            x = x + _post_norm(jax.lax.psum(
+                _proj_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
+            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+            h13 = _proj_l(xb2, fw.w13, i,
+                         sc.w13 if sc is not None else None)
+            h = act(h13[:, :h_l]) * h13[:, h_l:]
+            x = x + _post_norm(
+                jax.lax.psum(_proj_l(h, fw.w2, i,
+                                     sc.w2 if sc is not None else None),
+                             "tp"), fw.pf, i, cfg.norm_eps)
+            return (x, kp, vp)
+
+        x, kp, vp = jax.lax.fori_loop(
+            0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
+        xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+        local = jax.lax.dot_general(
+            xn.astype(jnp.bfloat16), fw.lm_head.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if sc is not None:
+            local = local * sc.lm_head[None].astype(jnp.float32)
+        logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
+                                    axis=1, tiled=True)
+        return logits.reshape(B_l, T, -1), PagedKVPool(k=kp, v=vp)
+
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(w_specs, P("dp"), P("dp"), P("dp"), p_specs, P("dp")),
+        out_specs=(P("dp"), p_specs),
         check_vma=False,
     )
 
@@ -914,7 +1048,7 @@ def make_tick_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
                 q.reshape(B_l, Hk_l, qpk, D), k.reshape(B_l, Hk_l, D),
                 v.reshape(B_l, Hk_l, D), kp, vp, tables, i,
                 kv_pos, kv_len, kv_sink, positions, write_mask,
-                _layer_win(cfg, i),
+                _layer_win(cfg, i), _layer_alt(cfg, i),
                 kv_sinks=KV_SINKS, theta=cfg.rope_param,
                 rotary_dim=cfg.rotary_dim, window=L,
                 softcap=cfg.attn_softcap)
@@ -1023,9 +1157,11 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
             qf, kf = _qk_norm(qkv[:, :q_l], qkv[:, q_l:q_l + kv_l],
                               fw, i, cfg)
             q = apply_rope(qf.reshape(T, Hq_l, D), positions,
-                           cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(kf.reshape(T, Hk_l, D),
-                           positions, cfg.rope_param, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim,
+                           _layer_alt(cfg, i))
+            k = apply_rope(kf.reshape(T, Hk_l, D), positions,
+                           cfg.rope_param, cfg.rotary_dim,
+                           _layer_alt(cfg, i))
             v = qkv[:, q_l + kv_l:].reshape(T, Hk_l, D)
 
             old_k = jax.lax.dynamic_slice(kp, (page, i, row0, 0, 0),

@@ -173,14 +173,30 @@ def test_paged_lookup_pool_pressure_preempts_and_resumes(tmp_path):
     assert tight.alloc.n_free == 3
 
 
-def test_paged_spec_rejects_mesh(tmp_path):
+def test_paged_lookup_on_mesh_matches_single_device(tmp_path):
+    """The FULL composition (speculation x paged pool x dp x tp mesh): the
+    sharded paged verify sweep (make_verify_chunk_paged_fast_tp) scatters
+    each dp group's chunk rows through its group-local page tables and
+    must reproduce the plain single-device lookup scheduler's streams."""
     import jax
     from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
     cfg, weights = _weights(tmp_path, seed=86)
+
+    single = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                       spec_lookup=True, spec_k=3)
+    want = _run(single, _reqs(10))
+
     mesh = make_mesh(MeshConfig(dp=2, tp=2), devices=jax.devices()[:4])
-    with pytest.raises(ValueError):
-        Scheduler(cfg, weights, batch=8, spec_lookup=True, mesh=mesh,
-                  paged_pages=16, page_size=PAGE)
+    nblk = cfg.max_seq_len // PAGE
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      spec_lookup=True, spec_k=3, mesh=mesh,
+                      paged_pages=2 * (1 + 4 * nblk), page_size=PAGE)
+    assert sched.paged and sched.spec_lookup and sched.mesh is not None
+    got = _run(sched, _reqs(10))
+    assert got == want
+    assert sched.spec_stats["rounds"] >= 1
+    assert sched.spec_stats["accepted"] >= 1, sched.spec_stats
+    assert sched.alloc.n_free == 2 * 4 * nblk
 
 
 # ------------------------------------------------------------- spec x mesh

@@ -200,10 +200,11 @@ class Scheduler:
         n-gram match this round join the plain tick and stay eligible —
         worst case degrades to plain continuous batching plus a dict
         lookup. Greedy-only and dense like spec_draft (mutually exclusive
-        with it), but COMPOSES further: with the paged pool, and with the
+        with it), but COMPOSES fully: with the paged pool, with the
         dp x tp mesh (proposals are host-side, so only the verify sweep
-        shards — parallel/fast_tp.make_verify_chunk_fast_tp). mesh x paged
-        x spec is the one unsupported triple."""
+        shards — parallel/fast_tp.make_verify_chunk_fast_tp), and with
+        BOTH at once (make_verify_chunk_paged_fast_tp: the sweep scatters
+        through each dp group's page tables)."""
         self.cfg = cfg
         self.mesh = mesh
         self.paged = paged_pages > 0
@@ -223,8 +224,6 @@ class Scheduler:
                     "spec x mesh supports prompt-lookup proposals only (a "
                     "draft model would need its own sharding); use "
                     "spec_lookup=True")
-            if self.paged:
-                raise ValueError("spec x mesh x paged not supported yet")
             if mesh.shape.get("ep", 1) != 1:
                 raise ValueError("spec x mesh needs ep=1 (dense)")
         if self.paged:
@@ -479,7 +478,19 @@ class Scheduler:
             # break the non-spec closures above
             from .models.fast import verify_chunk_fast_batched
 
-            if mesh is not None:
+            if mesh is not None and self.paged:
+                # the full triple: speculation x paged pool x mesh — one
+                # sharded target sweep scattering through each dp group's
+                # page tables
+                from .parallel.fast_tp import make_verify_chunk_paged_fast_tp
+                ws = getattr(weights, "scales", None) is not None
+                _vcp_tp = make_verify_chunk_paged_fast_tp(
+                    cfg, mesh, page_size, with_scales=ws)
+
+                @partial(jax.jit, donate_argnums=(4,))
+                def _verify(w, tokens, pos0, enable, pool, tables):
+                    return _vcp_tp(w, tokens, pos0, enable, pool, tables)
+            elif mesh is not None:
                 # speculation COMPOSED with the mesh: one sharded target
                 # sweep (lanes on dp, heads/hidden on tp) verifies every
                 # lane's lookup proposals

@@ -288,6 +288,89 @@ def main() -> int:
         assert len(toks) == 8
     check("odd-T exact-fit prefill [fp8]", run_odd_prefill)
 
+    # --- Gemma2 features on real Mosaic: tanh score cap + age-mod sliding
+    # mask + sandwich norms (unfused wo/FFN) + capped logits --------------
+    def run_gemma2_logits():
+        cfg = tiny_config(**base, weight_dtype="bf16", act_type="gelu",
+                          embed_scale=16.0, has_post_norms=True,
+                          attn_softcap=50.0, final_softcap=30.0,
+                          sliding_window=32, layer_sliding=(1, 0))
+        p = f"{tmp}/g2.yalm"
+        synth_checkpoint(p, cfg, seed=21)
+        fast = Engine.from_checkpoint(p, fast=True)
+        orac = Engine.from_checkpoint(p, fast=False, kv_dtype=jnp.bfloat16,
+                                      compute_dtype=jnp.bfloat16)
+        assert fast.fast
+        rng = np.random.default_rng(0)
+        toks = [1, 7] + list(rng.integers(3, cfg.vocab_size,
+                                          cfg.max_seq_len + 6))
+        fast.prefill_tokens(toks[:2])
+        orac.prefill_tokens(toks[:2])
+        for i in range(2, len(toks)):  # crosses sliding edge AND ring edge
+            lf, fast.cache = fast._step_logits(
+                fast.weights, jnp.int32(toks[i]), jnp.int32(fast.pos),
+                fast.cache)
+            lo, orac.cache = orac._step_logits(
+                orac.weights, jnp.int32(toks[i]), jnp.int32(orac.pos),
+                orac.cache)
+            fast.pos += 1
+            orac.pos += 1
+            a, b = np.asarray(lf), np.asarray(lo)
+            assert np.max(np.abs(a - b)) < 0.06, (fast.pos,
+                                                  np.max(np.abs(a - b)))
+    check("gemma2 decode (softcaps+sliding+sandwich) == oracle",
+          run_gemma2_logits)
+
+    def run_gemma3_logits():
+        # dual per-layer rope: the traced alt selector steering the
+        # in-kernel rotation between two static freq tables
+        cfg = tiny_config(**base, weight_dtype="bf16", act_type="gelu",
+                          embed_scale=16.0, has_post_norms=True,
+                          has_qk_norm=True, sliding_window=32,
+                          layer_sliding=(1, 0), rope_theta=1e6,
+                          rope_scale=("gemma3", 2.0, 1e4))
+        p = f"{tmp}/g3.yalm"
+        synth_checkpoint(p, cfg, seed=22)
+        fast = Engine.from_checkpoint(p, fast=True)
+        orac = Engine.from_checkpoint(p, fast=False, kv_dtype=jnp.bfloat16,
+                                      compute_dtype=jnp.bfloat16)
+        assert fast.fast
+        rng = np.random.default_rng(1)
+        toks = [1, 7] + list(rng.integers(3, cfg.vocab_size,
+                                          cfg.max_seq_len + 6))
+        fast.prefill_tokens(toks[:2])
+        orac.prefill_tokens(toks[:2])
+        for i in range(2, len(toks)):
+            lf, fast.cache = fast._step_logits(
+                fast.weights, jnp.int32(toks[i]), jnp.int32(fast.pos),
+                fast.cache)
+            lo, orac.cache = orac._step_logits(
+                orac.weights, jnp.int32(toks[i]), jnp.int32(orac.pos),
+                orac.cache)
+            fast.pos += 1
+            orac.pos += 1
+            a, b = np.asarray(lf), np.asarray(lo)
+            assert np.max(np.abs(a - b)) < 0.06, (fast.pos,
+                                                  np.max(np.abs(a - b)))
+    check("gemma3 decode (dual rope + sliding + qk-norm) == oracle",
+          run_gemma3_logits)
+
+    def run_gemma2_sched():
+        cfg = tiny_config(**base, weight_dtype="bf16", act_type="gelu",
+                          embed_scale=16.0, has_post_norms=True,
+                          attn_softcap=50.0, final_softcap=30.0,
+                          sliding_window=32, layer_sliding=(1, 0))
+        p = f"{tmp}/g2s.yalm"
+        synth_checkpoint(p, cfg, seed=23)
+        w = load_weights(read_yalm(p), cfg)
+        s = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16)
+        assert s.fast
+        reqs = [s.submit(Request(prompt_tokens=[1, 4 + i], max_new_tokens=4,
+                                 temperature=0.0)) for i in range(3)]
+        s.run()
+        assert all(len(r.generated) == 4 for r in reqs)
+    check("gemma2 scheduler batched tick [B=8]", run_gemma2_sched)
+
     # --- shard_map fast-TP at tp=1 on the single chip --------------------
     def run_tp():
         from yalm_tpu.parallel.mesh import MeshConfig, make_mesh

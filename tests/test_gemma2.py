@@ -190,11 +190,15 @@ def test_verify_chunk_matches_prefill(ckpt):
 
 
 @pytest.mark.parametrize("kv_pos,kv_len,kv_sink,pos",
-                         [(5, 6, 0, 5), (3, 32, 2, 40), (17, 32, 2, 33)])
+                         [(5, 6, 0, 5), (3, 32, 2, 40), (17, 32, 2, 33),
+                          # linear regime, kv_len >> window: the kernel's
+                          # fetch loop STARTS mid-buffer (block skipping)
+                          (31, 32, 0, 31)])
 def test_attend_step_l_softcap_sliding_interpret(kv_pos, kv_len, kv_sink, pos):
     """REAL kernel (Pallas interpreter) vs emulation with softcap + a
     sliding window NARROWER than live history — covers the in-kernel
-    age-mod mask in linear and ring regimes."""
+    age-mod mask in linear and ring regimes, and the linear-regime block
+    skipping (small block_s so the first live block is > 0)."""
     L, S, Hk, D, qpk = 2, 32, 2, 128, 2
     rng = np.random.default_rng(21)
 
@@ -208,7 +212,7 @@ def test_attend_step_l_softcap_sliding_interpret(kv_pos, kv_len, kv_sink, pos):
             jnp.int32(kv_sink), jnp.int32(pos), jnp.int32(12))
     kw = dict(kv_sinks=2, theta=1e4, rotary_dim=D, softcap=30.0)
     oe, ke, ve = attend_step_l(*args, **kw)
-    oi, ki, vi = attend_step_l(*args, **kw, interpret=True)
+    oi, ki, vi = attend_step_l(*args, **kw, interpret=True, block_s=8)
     np.testing.assert_allclose(np.asarray(oi), np.asarray(oe),
                                rtol=5e-2, atol=5e-2)
     np.testing.assert_array_equal(np.asarray(ki, np.float32),
@@ -220,6 +224,54 @@ def test_attend_step_l_softcap_sliding_interpret(kv_pos, kv_len, kv_sink, pos):
         # the window must MATTER: widening it changes the output
         wide = attend_step_l(*args[:-1], jnp.int32(S), **kw)[0]
         assert float(jnp.abs(wide - oe).max()) > 1e-4
+
+
+def test_attend_batched_paged_sliding_interpret():
+    """Batched + paged kernels through the interpreter with sliding
+    windows: per-lane block skipping (linear lanes start mid-stream, ring
+    lanes stream everything) against the emulation."""
+    from yalm_tpu.ops.pallas.attention import (attend_step_batched_l,
+                                               attend_step_paged_l)
+    B, L, S, Hk, D, qpk = 2, 2, 32, 2, 128, 2
+    rng = np.random.default_rng(22)
+
+    def r(shape, s=1.0):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s)
+
+    # lane 0: linear, kv_len 32 >> win 12 (skips blocks); lane 1: ring
+    kv_pos = jnp.asarray([31, 3], jnp.int32)
+    kv_len = jnp.asarray([32, 32], jnp.int32)
+    kv_sink = jnp.asarray([0, 2], jnp.int32)
+    pos = jnp.asarray([31, 40], jnp.int32)
+    write = jnp.asarray([1, 1], jnp.int32)
+    win = jnp.int32(12)
+    kw = dict(kv_sinks=2, theta=1e4, rotary_dim=D, softcap=30.0)
+
+    k_all = r((B, L, S, Hk, D), 0.5).astype(jnp.bfloat16)
+    v_all = r((B, L, S, Hk, D), 0.5).astype(jnp.bfloat16)
+    args = (r((B, Hk, qpk, D)), r((B, Hk, D)), r((B, Hk, D)), k_all, v_all,
+            jnp.int32(1), kv_pos, kv_len, kv_sink, pos, write, win)
+    oe, ke, _ = attend_step_batched_l(*args, **kw)
+    oi, ki, _ = attend_step_batched_l(*args, **kw, interpret=True, block_s=8)
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(oe),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(np.asarray(ki, np.float32),
+                                  np.asarray(ke, np.float32))
+
+    bs, nblk = 8, 4
+    n_pages = 1 + B * nblk
+    kp = r((n_pages, L, bs, Hk, D), 0.5).astype(jnp.bfloat16)
+    vp = r((n_pages, L, bs, Hk, D), 0.5).astype(jnp.bfloat16)
+    tables = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 8]], jnp.int32)
+    pargs = (r((B, Hk, qpk, D)), r((B, Hk, D)), r((B, Hk, D)), kp, vp,
+             tables, jnp.int32(1), kv_pos, kv_len, kv_sink, pos, write, win)
+    pkw = dict(kv_sinks=2, theta=1e4, rotary_dim=D, window=S, softcap=30.0)
+    oe, ke, _ = attend_step_paged_l(*pargs, **pkw)
+    oi, ki, _ = attend_step_paged_l(*pargs, **pkw, interpret=True)
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(oe),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_array_equal(np.asarray(ki, np.float32),
+                                  np.asarray(ke, np.float32))
 
 
 def test_engine_generates_fast_auto(ckpt):

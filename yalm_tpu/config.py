@@ -281,10 +281,21 @@ class ModelConfig:
             per_block += lw(2 * self.dim * self.hidden_dim, self.dim)
             per_block += lw(self.dim * self.hidden_dim, self.hidden_dim)
         kv_len = min(self.max_seq_len, pos + 1)
-        per_block += 2 * kv_len * self.kv_dim * kv_bytes   # K and V cache reads
+        kv_read = 2 * kv_len * self.kv_dim * kv_bytes      # K and V cache reads
 
         total = self.dim * ws                              # one embedding row
         total += self.n_layers * per_block
+        # sliding layers only STREAM the window's live blocks in the linear
+        # regime (the fused kernels start their fetch loop at the window's
+        # first block); in the ring regime the live window wraps around the
+        # buffer, so the stream covers every block and only the mask narrows
+        n_sliding = sum(self.layer_sliding)
+        if pos + 1 <= self.max_seq_len:
+            sl_len = min(kv_len, self.sliding_window or kv_len)
+        else:
+            sl_len = kv_len
+        kv_read_sl = 2 * sl_len * self.kv_dim * kv_bytes
+        total += (self.n_layers - n_sliding) * kv_read + n_sliding * kv_read_sl
         total += self.dim * 4                              # final norm
         total += self.vocab_size * self.dim * ws           # LM head
         return total

@@ -292,16 +292,25 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
             hbm.at[(*idx, pl.ds(blk * block_s, block_s))],
             buf.at[slot], sem.at[slot])
 
-    kv_dma(0, 0, kbuf, ko_hbm).start()
-    kv_dma(0, 0, vbuf, vo_hbm).start()
+    # only stream blocks that hold live history: slots >= kv_len are masked
+    # out anyway, so their DMA would be pure waste. Sliding layers in the
+    # LINEAR regime additionally SKIP the blocks below the window (the
+    # sliding win's whole point: stream win rows, not kv_len); in the ring
+    # regime (sinks active) the live window wraps, so stream everything
+    # and let the age mask narrow it.
+    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
+    if win is not None:
+        lo = jnp.where(kv_sink > 0, 0,
+                       jnp.maximum(kv_len - win, 0) // block_s)
+    else:
+        lo = 0
+
+    kv_dma(lo % 2 if win is not None else 0, lo, kbuf, ko_hbm).start()
+    kv_dma(lo % 2 if win is not None else 0, lo, vbuf, vo_hbm).start()
 
     m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
     acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    # only stream blocks that hold live history: slots >= kv_len are masked
-    # out anyway, so their DMA would be pure waste
-    n_act = jnp.minimum((kv_len + block_s - 1) // block_s, n_blocks)
 
     quant = kst is not None
 
@@ -352,7 +361,7 @@ def _fused_attn_body(idx, q_in, knew_in, vnew_in, ko_hbm, vo_hbm, o_out,
                      m_ref, l_ref, acc_ref, Hk, P, softcap)
         return 0
 
-    jax.lax.fori_loop(0, n_act, block_step, 0)
+    jax.lax.fori_loop(lo, n_act, block_step, 0)
     o_out[...] = acc_ref[...] / l_ref[:, 0:1]
 
     # drain the async row writes before the kernel (or this lane) ends
@@ -413,11 +422,21 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             hbm.at[b, layer, pl.ds(blk * block_s, block_s)],
             buf.at[slot], sem.at[slot])
 
-    # prime the pipeline: lane 0, block 0 into slot 0
-    kv_dma(0, 0, 0, kbuf, ko_hbm).start()
-    kv_dma(0, 0, 0, vbuf, vo_hbm).start()
-
     alt = scal_ref[1 + 5 * B + 1] if alt_rope else None
+
+    def lo_of(b):
+        # sliding layers skip the blocks below the window in the linear
+        # regime (ring regime: the live window wraps — stream everything)
+        if not sliding:
+            return 0
+        bc = jnp.minimum(b, B - 1)
+        return jnp.where(
+            lane_scal(2, bc) > 0, 0,
+            jnp.maximum(lane_scal(1, bc) - scal_ref[1 + 5 * B], 0) // block_s)
+
+    # prime the pipeline: lane 0's first live block into slot 0
+    kv_dma(0, 0, lo_of(0), kbuf, ko_hbm).start()
+    kv_dma(0, 0, lo_of(0), vbuf, vo_hbm).start()
 
     def lane_body(b, slot0):
         kv_pos = lane_scal(0, b)
@@ -454,7 +473,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             nslot = (slot + 1) % 2
             last = j + 1 >= na
             nb = jnp.where(last, b + 1, b)
-            nj = jnp.where(last, 0, j + 1)
+            nj = jnp.where(last, lo_of(b + 1), j + 1)
 
             @pl.when(nb < B)
             def _():
@@ -497,7 +516,7 @@ def _attn_step_batched_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                          m_ref, l_ref, acc_ref, Hk, P, softcap)
             return nslot
 
-        slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
+        slot_end = jax.lax.fori_loop(lo_of(b), na, block_step, slot0)
         o_ref[b] = acc_ref[...] / l_ref[:, 0:1]
 
         # drain this lane's async row writes before its buffers are reused
@@ -944,10 +963,19 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
         return pltpu.make_async_copy(pool.at[page_of(b, blk), layer],
                                      buf.at[slot], sem.at[slot])
 
-    kv_dma(0, 0, 0, kbuf, kp_hbm).start()
-    kv_dma(0, 0, 0, vbuf, vp_hbm).start()
-
     alt = scal_ref[1 + 5 * B + B * nblk + 1] if alt_rope else None
+
+    def lo_of(b):
+        if not sliding:
+            return 0
+        bc = jnp.minimum(b, B - 1)
+        return jnp.where(
+            lane_scal(2, bc) > 0, 0,
+            jnp.maximum(lane_scal(1, bc) - scal_ref[1 + 5 * B + B * nblk],
+                        0) // block_s)
+
+    kv_dma(0, 0, lo_of(0), kbuf, kp_hbm).start()
+    kv_dma(0, 0, lo_of(0), vbuf, vp_hbm).start()
 
     def lane_body(b, slot0):
         kv_pos = lane_scal(0, b)
@@ -986,7 +1014,7 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
             nslot = (slot + 1) % 2
             last = j + 1 >= na
             nb = jnp.where(last, b + 1, b)
-            nj = jnp.where(last, 0, j + 1)
+            nj = jnp.where(last, lo_of(b + 1), j + 1)
 
             @pl.when(nb < B)
             def _():
@@ -1028,7 +1056,7 @@ def _attn_step_paged_kernel(scal_ref, q_ref, knew_ref, vnew_ref,
                          m_ref, l_ref, acc_ref, Hk, P, softcap)
             return nslot
 
-        slot_end = jax.lax.fori_loop(0, na, block_step, slot0)
+        slot_end = jax.lax.fori_loop(lo_of(b), na, block_step, slot0)
         o_ref[b] = acc_ref[...] / l_ref[:, 0:1]
 
         @pl.when(wr)

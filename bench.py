@@ -11,7 +11,8 @@ vs_baseline is measured tok/s divided by the reference's published 63.8
 tok/s (yalm on RTX 4090, FP16, ~120-token generation — BASELINE.md).
 
 Env knobs: YALM_BENCH_DTYPE=fp8|bf16|int8 (default fp8), YALM_BENCH_STEPS,
-YALM_BENCH_PRESET=mistral7b|small, YALM_BENCH_BATCH=N (continuous-batching
+YALM_BENCH_PRESET=mistral7b|gemma2-9b|gemma3-12b|small|fasttiny,
+YALM_BENCH_CTX=N (context override), YALM_BENCH_BATCH=N (continuous-batching
 aggregate at batch N; N%8==0), YALM_BENCH_PAGED_BATCH=N (paged-KV batching
 aggregate), YALM_BENCH_PREFILL=1 (chunked prefill tok/s).
 """
@@ -87,6 +88,36 @@ def build_cfg(preset: str, dtype: str):
             n_kv_heads=8, vocab_size=32000, max_seq_len=4096, bos_token_id=1,
             eos_token_id=2, rope_theta=1e6, rotary_dim=128, norm_eps=1e-5,
             act_type="silu", weight_dtype=dtype,
+        )
+    if preset == "gemma2-9b":
+        # Gemma2-9B shapes: sandwich norms + softcaps + 1:1 alternating
+        # sliding windows (4096 window == the clamp, so the sliding masks
+        # are live only under YALM_BENCH_CTX > 4096; the softcap/post-norm
+        # kernel cost shows at any context). fp8 weights ~9.9 GB on v5e.
+        return ModelConfig(
+            dim=3584, hidden_dim=14336, head_dim=256, n_layers=42,
+            n_heads=16, n_kv_heads=8, vocab_size=256128, max_seq_len=4096,
+            bos_token_id=2, eos_token_id=1, rope_theta=10000.0,
+            rotary_dim=256, norm_eps=1e-6, act_type="gelu",
+            weight_dtype=dtype, embed_scale=3584.0 ** 0.5,
+            has_post_norms=True, attn_softcap=50.0, final_softcap=30.0,
+            sliding_window=4096,
+            layer_sliding=tuple(1 if i % 2 == 0 else 0 for i in range(42)),
+        )
+    if preset == "gemma3-12b":
+        # Gemma3-12B text shapes: 5:1 sliding pattern with a 1024 window —
+        # sliding layers stream 1/4 of the KV at the full 4096 context
+        # (the block-skipping fetch), dual per-layer rope, qk-norm.
+        return ModelConfig(
+            dim=3840, hidden_dim=15360, head_dim=256, n_layers=48,
+            n_heads=16, n_kv_heads=8, vocab_size=262144, max_seq_len=4096,
+            bos_token_id=2, eos_token_id=1, rope_theta=1e6,
+            rotary_dim=256, norm_eps=1e-6, act_type="gelu",
+            weight_dtype=dtype, embed_scale=3840.0 ** 0.5,
+            has_post_norms=True, has_qk_norm=True, sliding_window=1024,
+            layer_sliding=tuple(0 if (i + 1) % 6 == 0 else 1
+                                for i in range(48)),
+            rope_scale=("gemma3", 8.0, 10000.0),
         )
     if preset == "fasttiny":
         # smallest fast-path-capable shapes (head_dim 128): smoke-tests any
@@ -205,6 +236,14 @@ def _synth_fast_weights(cfg, seed=0):
         final_norm=jnp.ones((cfg.dim,), jnp.float32),
         lm_head=mk(10, cfg.vocab_size, cfg.dim),
         scales=scales,
+        pa=(jnp.ones((nl, cfg.dim), jnp.float32)
+            if cfg.has_post_norms else None),
+        pf=(jnp.ones((nl, cfg.dim), jnp.float32)
+            if cfg.has_post_norms else None),
+        qnorm=(jnp.ones((nl, cfg.head_dim), jnp.float32)
+               if cfg.has_qk_norm else None),
+        knorm=(jnp.ones((nl, cfg.head_dim), jnp.float32)
+               if cfg.has_qk_norm else None),
     )
 
 
@@ -290,6 +329,12 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} | preset={preset} dtype={dtype} kv={kv} steps={steps}")
     cfg = build_cfg(preset, dtype)
+    ctx = int(os.environ.get("YALM_BENCH_CTX", "0"))
+    if ctx:
+        # context override (e.g. 8192 makes gemma2-9b's 4096 sliding
+        # windows live); window must stay kernel-tileable (% 8)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, max_seq_len=ctx)
     kv_dtype = {"bf16": jnp.bfloat16, "fp8": jnp.float8_e5m2}[kv]
     kv_bytes = jnp.dtype(kv_dtype).itemsize
 

@@ -34,13 +34,25 @@ def _setup(tmp_path, seed, pp, B, n_layers=4, **over):
     return cfg, fw, mesh
 
 
-@pytest.mark.parametrize("pp,B,embed_scale", [
-    (2, 16, 1.0), (4, 32, 1.0),
-    (2, 16, 8.0),  # Gemma-style embedding normalizer in the pipeline tick
+GEMMA2 = dict(embed_scale=16.0, has_post_norms=True, attn_softcap=50.0,
+              final_softcap=30.0, sliding_window=16,
+              layer_sliding=(1, 0, 1, 0), act_type="gelu")
+GEMMA3 = dict(embed_scale=16.0, has_post_norms=True, has_qk_norm=True,
+              sliding_window=16, layer_sliding=(1, 0, 1, 0),
+              act_type="gelu", rope_theta=1e6,
+              rope_scale=("gemma3", 2.0, 1e4))
+
+
+@pytest.mark.parametrize("pp,B,over", [
+    (2, 16, {}), (4, 32, {}),
+    (2, 16, dict(embed_scale=8.0)),  # Gemma embedding normalizer
+    # Gemma2/3 through the pipeline stages: per-layer windows / dual rope
+    # index the static tuples by GLOBAL layer id (stage offset + local i)
+    (2, 16, GEMMA2),
+    (2, 16, GEMMA3),
 ])
-def test_pp_tick_matches_single_device(tmp_path, pp, B, embed_scale):
-    cfg, fw, mesh = _setup(tmp_path, seed=101 + pp, pp=pp, B=B,
-                           embed_scale=embed_scale)
+def test_pp_tick_matches_single_device(tmp_path, pp, B, over):
+    cfg, fw, mesh = _setup(tmp_path, seed=101 + pp, pp=pp, B=B, **over)
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, B), jnp.int32)
     positions = jnp.asarray(rng.integers(0, 20, B), jnp.int32)

@@ -36,13 +36,25 @@ def _setup(tmp_path, seed=91, **over):
     return cfg, weights
 
 
-@pytest.mark.parametrize("sp,tp,embed_scale", [
-    (4, 1, 1.0), (2, 2, 1.0), (8, 1, 1.0), (4, 2, 1.0),
-    (2, 2, 8.0),  # Gemma-style embedding normalizer through the ring path
+GEMMA2 = dict(embed_scale=16.0, has_post_norms=True, attn_softcap=50.0,
+              final_softcap=30.0, sliding_window=16, layer_sliding=(1, 0),
+              act_type="gelu")
+GEMMA3 = dict(embed_scale=16.0, has_post_norms=True, has_qk_norm=True,
+              sliding_window=16, layer_sliding=(1, 0), act_type="gelu",
+              rope_theta=1e6, rope_scale=("gemma3", 2.0, 1e4))
+
+
+@pytest.mark.parametrize("sp,tp,over", [
+    (4, 1, {}), (2, 2, {}), (8, 1, {}), (4, 2, {}),
+    (2, 2, dict(embed_scale=8.0)),  # Gemma embedding normalizer
+    # full Gemma2/3 stacks through the ring body: sliding masks + softcap
+    # + sandwich norms + (g3) dual per-layer rope — T=32 > window=16 so
+    # the sliding mask genuinely drops history inside the ring hops
+    (2, 2, GEMMA2),
+    (2, 2, GEMMA3),
 ])
-def test_ring_prefill_matches_oracle(tmp_path, sp, tp, embed_scale):
-    cfg, weights = _setup(tmp_path, seed=91 + sp * 10 + tp,
-                          embed_scale=embed_scale)
+def test_ring_prefill_matches_oracle(tmp_path, sp, tp, over):
+    cfg, weights = _setup(tmp_path, seed=91 + sp * 10 + tp, **over)
     assert ring_supported(cfg, sp, tp)
     mesh = _mesh(sp, tp)
     T = 32

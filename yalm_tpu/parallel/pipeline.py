@@ -31,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastScales, FastWeights, _qk_norm
+from ..models.fast import (FastScales, FastWeights, _cap_logits,
+                           _post_norm, _qk_norm)
 from ..models.weights import Weights
 from ..ops.core import rmsnorm
 from ..ops.pallas.attention import attend_step_batched_l
@@ -40,12 +41,8 @@ from ..ops.pallas.gemv import gemm, gemm_l
 
 
 def pp_supported(cfg: ModelConfig, pp: int, batch: int) -> bool:
-    # int4 packed weights and Gemma2 features (sandwich norms, softcaps,
-    # sliding layers) not threaded into the pipeline stages yet
+    # int4 packed weights not threaded into the pipeline stages yet
     return (not cfg.is_moe and cfg.weight_dtype != "int4" and pp >= 1
-            and not cfg.has_post_norms and not cfg.attn_softcap
-            and not cfg.final_softcap
-            and not any(cfg.layer_sliding)
             and cfg.n_layers % pp == 0 and batch % pp == 0)
 
 
@@ -75,6 +72,8 @@ def pp_weight_pspecs(cfg: ModelConfig,
         bqkv=P("pp", None) if cfg.has_qkv_bias else None,
         qnorm=P("pp", None) if cfg.has_qk_norm else None,
         knorm=P("pp", None) if cfg.has_qk_norm else None,
+        pa=P("pp", None) if cfg.has_post_norms else None,
+        pf=P("pp", None) if cfg.has_post_norms else None,
     )
 
 
@@ -130,9 +129,13 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
         kv_len_all = jnp.minimum(positions + 1, L)
 
         def stage(x, kc, vc, pos_mb, kv_pos, kv_len, kv_sink, wm):
-            """This device's nl_l layers on one (Bm, dim) microbatch."""
+            """This device's nl_l layers on one (Bm, dim) microbatch.
+            Per-layer sliding windows / dual rope index the STATIC config
+            tuples by the GLOBAL layer id (stage offset + local i); the
+            sharded weight stacks index by the LOCAL i."""
             def layer_body(i, carry):
                 x, kc, vc = carry
+                gi = p * nl_l + i       # global layer index
                 xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_att, i, keepdims=False), cfg.norm_eps)
                 qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
@@ -144,16 +147,31 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                 k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
                 v = qkv[:, cfg.q_dim + cfg.kv_dim:]
                 q, k = _qk_norm(q, k, fw, i, cfg)
+                from ..models.fast import _layer_alt, _layer_win
                 mixed, kc, vc = attend_step_batched_l(
                     q.reshape(Bm, Hk, qpk, D), k.reshape(Bm, Hk, D),
                     v.reshape(Bm, Hk, D), kc, vc, i, kv_pos, kv_len,
-                    kv_sink, pos_mb, wm, kv_sinks=KV_SINKS,
-                    theta=cfg.rope_param, rotary_dim=cfg.rotary_dim)
-                x = x + gemm_l(mixed.reshape(Bm, cfg.q_dim), fw.wo, i,
-                               sc.wo if sc else None)
-                x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                          sc.w13 if sc else None, sc.w2 if sc else None,
-                          norm_eps=cfg.norm_eps, act=cfg.act_type)
+                    kv_sink, pos_mb, wm, _layer_win(cfg, gi),
+                    _layer_alt(cfg, gi), kv_sinks=KV_SINKS,
+                    theta=cfg.rope_param, rotary_dim=cfg.rotary_dim,
+                    softcap=cfg.attn_softcap)
+                x = x + _post_norm(
+                    gemm_l(mixed.reshape(Bm, cfg.q_dim), fw.wo, i,
+                           sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
+                if fw.pf is None:
+                    x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                              sc.w13 if sc else None, sc.w2 if sc else None,
+                              norm_eps=cfg.norm_eps, act=cfg.act_type)
+                else:
+                    from ..ops.core import act_fn
+                    xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
+                        fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
+                    h13 = gemm_l(xb2, fw.w13, i, sc.w13 if sc else None)
+                    h = act_fn(cfg.act_type)(h13[:, : cfg.hidden_dim]) \
+                        * h13[:, cfg.hidden_dim:]
+                    x = x + _post_norm(
+                        gemm_l(h, fw.w2, i, sc.w2 if sc else None),
+                        fw.pf, i, cfg.norm_eps)
                 return (x, kc, vc)
 
             return jax.lax.fori_loop(0, nl_l, layer_body, (x, kc, vc))
@@ -209,7 +227,7 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
         # replicates them, then every device unembeds once
         xdrain = jax.lax.psum(xdrain, "pp")
         xn = rmsnorm(xdrain, fw.final_norm, cfg.norm_eps)
-        out = gemm(xn, fw.lm_head, sc.lm_head if sc else None)
+        out = _cap_logits(cfg, gemm(xn, fw.lm_head, sc.lm_head if sc else None))
         return out, KVCache(k=kc, v=vc)
 
     return shard_map(

@@ -34,7 +34,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import ModelConfig
 from ..models.cache import KVCache
-from ..models.fast import FastWeights, _qk_norm
+from ..models.fast import (FastWeights, _cap_logits, _layer_alt,
+                           _post_norm, _qk_norm, _softcap_scores)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.gemv import gemm_l, gemv
@@ -43,12 +44,9 @@ from .fast_tp import (_clipper, _embed_psum, fast_tp_supported,
 
 
 def ring_supported(cfg: ModelConfig, sp: int, tp: int = 1) -> bool:
-    # int4 packed weights and Gemma2 features (sandwich norms, softcaps,
-    # sliding layers) not threaded into the ring body yet
+    # int4 packed weights not threaded into the ring body yet (it uses the
+    # plain gemm_l/ffn path)
     return (not cfg.is_moe and cfg.weight_dtype != "int4"
-            and not cfg.has_post_norms and not cfg.attn_softcap
-            and not cfg.final_softcap
-            and not any(cfg.layer_sliding)
             and fast_tp_supported(cfg, tp) and cfg.n_kv_heads % tp == 0)
 
 
@@ -74,9 +72,10 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
     w_specs = fast_weight_pspecs(cfg, with_scales)
     nl = cfg.n_layers
 
-    def ring_attn(q, k, v, offset, T_l):
+    def ring_attn(q, k, v, offset, T_l, sliding):
         """Blockwise causal ring attention: q (T_l, Hk_l, qpk, D) stays
-        put; (k, v) rotate sp hops; softmax accumulated online in f32."""
+        put; (k, v) rotate sp hops; softmax accumulated online in f32.
+        `sliding` (traced bool): also mask q - k >= window (Gemma2/3)."""
         my = jax.lax.axis_index("sp")
         qpos = offset + jnp.arange(T_l)                    # global q rows
         scale = 1.0 / math.sqrt(D)
@@ -86,9 +85,13 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
             src = (my - s) % sp          # whose block we hold this hop
             kpos = src * T_l + jnp.arange(T_l)
             mask = qpos[:, None] >= kpos[None, :]          # (T_l, T_l)
+            if any(cfg.layer_sliding):
+                mask &= ~sliding | (qpos[:, None] - kpos[None, :]
+                                    < cfg.sliding_window)
             sc = jnp.einsum("tgqd,lgd->gqtl", q.astype(jnp.bfloat16),
                             kc.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32) * scale
+            sc = _softcap_scores(cfg, sc)
             sc = jnp.where(mask[None, None], sc, -jnp.inf)
             m_new = jnp.maximum(m, sc.max(axis=-1))        # (g, q, t)
             # exp(-inf - -inf) guards: rows with nothing visible this hop
@@ -138,29 +141,34 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
             qkv = clip(qkv)
             qf, kf = _qk_norm(qkv[:, :q_l], qkv[:, q_l:q_l + kv_l],
                               fw, i, cfg)
+            alt_i = _layer_alt(cfg, i)
             q = apply_rope(qf.reshape(T_l, Hq_l, D), positions,
-                           cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(kf.reshape(T_l, Hk_l, D),
-                           positions, cfg.rope_param, cfg.rotary_dim)
+                           cfg.rope_param, cfg.rotary_dim, alt_i)
+            k = apply_rope(kf.reshape(T_l, Hk_l, D), positions,
+                           cfg.rope_param, cfg.rotary_dim, alt_i)
             v = qkv[:, q_l + kv_l:].reshape(T_l, Hk_l, D)
             k_out = jax.lax.dynamic_update_slice(
                 k_out, k.astype(jnp.bfloat16)[None], (i, 0, 0, 0))
             v_out = jax.lax.dynamic_update_slice(
                 v_out, v.astype(jnp.bfloat16)[None], (i, 0, 0, 0))
 
+            sliding_i = (jnp.asarray(cfg.layer_sliding, jnp.bool_)[i]
+                         if any(cfg.layer_sliding) else jnp.bool_(False))
             mixed = ring_attn(q.reshape(T_l, Hk_l, qpk, D), k, v,
-                              offset, T_l)
-            x = x + jax.lax.psum(
+                              offset, T_l, sliding_i)
+            x = x + _post_norm(jax.lax.psum(
                 gemm_l(mixed.reshape(T_l, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp")
+                       sc.wo if sc is not None else None), "tp"),
+                fw.pa, i, cfg.norm_eps)
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
             h13 = gemm_l(xb2, fw.w13, i,
                          sc.w13 if sc is not None else None)
             h = act(h13[:, :h_l]) * h13[:, h_l:]
-            x = x + jax.lax.psum(
-                gemm_l(h, fw.w2, i,
-                       sc.w2 if sc is not None else None), "tp")
+            x = x + _post_norm(
+                jax.lax.psum(gemm_l(h, fw.w2, i,
+                                    sc.w2 if sc is not None else None),
+                             "tp"), fw.pf, i, cfg.norm_eps)
             return (x, k_out, v_out)
 
         x, k_out, v_out = jax.lax.fori_loop(
@@ -168,8 +176,8 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
         # last-token logits live on the last sequence shard; tp shards
         # all-gather their vocab slices, sp broadcasts via masked psum
         x_last = rmsnorm(x[-1], fw.final_norm, cfg.norm_eps)
-        local = gemv(x_last, fw.lm_head,
-                     sc.lm_head if sc is not None else None)   # (V_l,)
+        local = _cap_logits(cfg, gemv(x_last, fw.lm_head,
+                                      sc.lm_head if sc is not None else None))
         logits = jax.lax.all_gather(local, "tp").reshape(-1)
         logits = jnp.where(my == sp - 1, logits, 0.0)
         logits = jax.lax.psum(logits, "sp")

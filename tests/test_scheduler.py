@@ -279,3 +279,91 @@ def test_logprobs_match_oracle(tmp_path):
         m = row.max()
         want = row[tok] - m - np.log(np.exp(row - m).sum())
         assert abs(lp - want) < 0.08, (i, lp, want)
+
+
+# ------------------------------------------------- batched admission (TTFT)
+def test_prefill_chunk_batched_matches_single(tmp_path):
+    """The batched admission sweep's per-lane cache rows and last-valid
+    logits track per-lane prefill_fast (bf16 tolerance): one weight sweep
+    hydrates every lane."""
+    import jax
+    from test_fast_path import fast_config
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import (FastWeights, prefill_fast,
+                                      prefill_chunk_fast_batched)
+
+    cfg = fast_config(max_seq_len=128)
+    path = str(tmp_path / "ba.yalm")
+    synth_checkpoint(path, cfg, seed=61)
+    fw = FastWeights.from_weights(load_weights(read_yalm(path), cfg), cfg)
+    B, T = 4, 16
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(3, cfg.vocab_size, (B, T)).astype(np.int32)
+    pos0 = np.array([0, 8, 16, 0], np.int32)
+    vlen = np.array([16, 11, 5, 16], np.int32)
+    enable = np.array([1, 1, 1, 0], np.int32)
+
+    cache = KVCache.init(cfg, jnp.bfloat16, batch=B)
+    out, cache2 = prefill_chunk_fast_batched(
+        cfg, fw, jnp.asarray(tokens), jnp.asarray(pos0), jnp.asarray(vlen),
+        jnp.asarray(enable), cache, attend_len=32, logits_mode="lastv")
+    out = np.asarray(out)
+
+    for b in range(B):
+        if not enable[b]:
+            # disabled lane: cache untouched
+            np.testing.assert_array_equal(
+                np.asarray(cache2.k[b], np.float32), 0.0)
+            continue
+        lane = KVCache.init(cfg, jnp.bfloat16)
+        want, lane = prefill_fast(
+            cfg, fw, jnp.asarray(tokens[b]), jnp.int32(pos0[b]),
+            jnp.int32(vlen[b]), lane, logits_mode="last", attend_len=32)
+        want = np.asarray(want)
+        scale = max(1.0, float(np.abs(want).max()))
+        assert float(np.abs(out[b] - want).max()) / scale < 0.04, b
+        # written rows match; rows beyond valid_len untouched
+        lo, hi = int(pos0[b]), int(pos0[b] + vlen[b])
+        np.testing.assert_allclose(
+            np.asarray(cache2.k[b][:, lo:hi], np.float32),
+            np.asarray(lane.k[:, lo:hi], np.float32), rtol=3e-2, atol=3e-2)
+        np.testing.assert_array_equal(
+            np.asarray(cache2.k[b][:, hi:], np.float32), 0.0)
+
+
+def test_batched_admission_scheduler(tmp_path):
+    """With batched_admission=True, concurrent long-prompt admissions share
+    ONE weight sweep per tick (admit_sweeps ~ chunks, not lanes x chunks),
+    streams are deterministic, and every request completes."""
+    from test_fast_path import fast_config
+    cfg = fast_config(max_seq_len=128)
+    path = str(tmp_path / "bas.yalm")
+    synth_checkpoint(path, cfg, seed=62)
+    weights = load_weights(read_yalm(path), cfg)
+    long_prompts = [[1] + [3 + i] * 37 for i in range(5)]  # 3 chunks each
+
+    def run_once():
+        sched = Scheduler(cfg, weights, batch=8, batched_admission=True)
+        reqs = [sched.submit(Request(prompt_tokens=p, max_new_tokens=5,
+                                     temperature=0.0, seed=i))
+                for i, p in enumerate(long_prompts)]
+        sched.run()
+        return sched, [r.generated for r in reqs]
+
+    s1, got1 = run_once()
+    assert all(len(g) == 5 for g in got1)
+    # 5 lanes admitted together: sweeps track CHUNKS (3-ish), not 5 x 3
+    assert 1 <= s1.admit_sweeps <= 4, s1.admit_sweeps
+    s2, got2 = run_once()
+    assert got1 == got2  # deterministic under identical traffic
+
+    # default path unchanged and still produces the same greedy streams
+    # (synthetic tiny model: the bf16 bucket-padding drift does not flip
+    # argmax here; the guarantee difference is documented, not asserted)
+    sd = Scheduler(cfg, weights, batch=8)
+    rd = [sd.submit(Request(prompt_tokens=p, max_new_tokens=5,
+                            temperature=0.0, seed=i))
+          for i, p in enumerate(long_prompts)]
+    sd.run()
+    assert sd.admit_sweeps == 0
+    assert [r.generated for r in rd] == got1

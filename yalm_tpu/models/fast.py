@@ -1072,6 +1072,38 @@ def verify_chunk_fast_batched(
     Attention is per-lane causal over cache history + the chunk itself.
     PRECONDITION: enabled lanes have pos0 + T <= window (no ring wrap
     inside a chunk — the scheduler's speculation edge rule)."""
+    return _chunk_forward_fast_batched(cfg, fw, tokens, pos0, None, enable,
+                                       cache, logits_mode="all")
+
+
+@partial(jax.jit, static_argnames=("cfg", "attend_len", "logits_mode"))
+def prefill_chunk_fast_batched(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (B, T) int32 padded chunks
+    pos0: jax.Array,       # (B,) int32 per-lane chunk start
+    valid_len: jax.Array,  # (B,) int32 real rows per lane (rest padding)
+    enable: jax.Array,     # (B,) int32
+    cache: KVCache,
+    *,
+    attend_len: int = 0,
+    logits_mode: str = "lastv",
+) -> tuple[Optional[jax.Array], KVCache]:
+    """BATCHED chunked admission: every admitting lane's next prompt chunk
+    hydrates in ONE weight sweep (previously one sweep per lane per tick
+    — with A concurrent admissions this cuts time-to-first-token ~A x at
+    the same roofline). logits_mode "lastv" returns each lane's logits at
+    its LAST VALID row, (B, vocab) — what a finishing admission samples
+    from. attend_len (static, 0 = full window) bounds the attention score
+    width like prefill_fast's prefix-bounded bucket."""
+    return _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len,
+                                       enable, cache, attend_len=attend_len,
+                                       logits_mode=logits_mode)
+
+
+def _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len, enable,
+                                cache, attend_len: int = 0,
+                                logits_mode: str = "all"):
     B, T = tokens.shape
     L = cfg.max_seq_len
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -1080,14 +1112,16 @@ def verify_chunk_fast_batched(
     sc = fw.scales
     assert not cfg.is_moe, "spec verify chunk supports dense models"
 
+    S_att = attend_len or L
+    assert S_att % 8 == 0 and S_att <= L, (attend_len, L)
     # disabled lanes must not clamp their dus start past the window
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
-    att_mask = jnp.arange(L)[None, None, :] <= positions[:, :, None]
+    att_mask = jnp.arange(S_att)[None, None, :] <= positions[:, :, None]
     if any(cfg.layer_sliding):
         sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
         slide_mask = att_mask & (
-            positions[:, :, None] - jnp.arange(L)[None, None, :]
+            positions[:, :, None] - jnp.arange(S_att)[None, None, :]
             < cfg.sliding_window)
     else:
         sl_flags = None
@@ -1137,13 +1171,16 @@ def verify_chunk_fast_batched(
         v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, T, Hk, D)
 
         # per-lane masked region writes (XLA dus under vmap; enable=0 lanes
-        # rewrite their old rows — a no-op)
+        # and padded rows rewrite their old values — a no-op)
         def dus_lane(cl, rows, s0, en):
             old = jax.lax.dynamic_slice(cl, (s0, 0, 0), (T, Hk, D))
             new = jnp.where(en, rows.astype(cl.dtype), old)
             return jax.lax.dynamic_update_slice(cl, new, (s0, 0, 0))
 
         en = (enable != 0)[:, None, None, None]                 # (B,1,1,1)
+        if valid_len is not None:
+            en = en & (jnp.arange(T)[None, :] < valid_len[:, None]
+                       )[:, :, None, None]
         kc_i = jax.lax.dynamic_index_in_dim(k_all, i, axis=1,
                                             keepdims=False)     # (B, S, Hk, D)
         vc_i = jax.lax.dynamic_index_in_dim(v_all, i, axis=1,
@@ -1157,7 +1194,8 @@ def verify_chunk_fast_batched(
 
         mask_l = att_mask if sl_flags is None else jnp.where(
             sl_flags[i] != 0, slide_mask, att_mask)
-        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i, vc_i, mask_l)
+        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i[:, :S_att],
+                       vc_i[:, :S_att], mask_l)
         x = x + _post_norm(
             _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
@@ -1166,10 +1204,23 @@ def verify_chunk_fast_batched(
 
     x, k_new, v_new = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
+    if logits_mode == "none":
+        return None, new_cache
+    if logits_mode == "lastv":
+        # one row per lane: its LAST VALID chunk position
+        xg = x.reshape(B, T, cfg.dim)
+        idx = (jnp.maximum(valid_len, 1) - 1 if valid_len is not None
+               else jnp.full((B,), T - 1, jnp.int32))
+        x_last = jnp.take_along_axis(
+            xg, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        xn = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
+        return _cap_logits(cfg, gemm(xn, fw.lm_head,
+                                     sc.lm_head if sc else None)), new_cache
     xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
     logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
                                    sc.lm_head if sc else None))
-    return logits.reshape(B, T, -1), KVCache(k=k_new, v=v_new)
+    return logits.reshape(B, T, -1), new_cache
 
 
 # ---------------------------------------------------------------------------

@@ -161,6 +161,7 @@ class Scheduler:
         spec_k: int = 4,
         spec_lookup: bool = False,
         spec_ngram: int = 3,
+        batched_admission: bool = False,
     ):
         """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
         shard over `dp`, heads/hidden/cache-kv-heads over `tp`, MoE experts
@@ -438,6 +439,32 @@ class Scheduler:
             packed = _sample_pack(logits, seeds, positions, temps,
                                   topks, topps)
             return packed, cache
+
+        if batched_admission and self.fast and mesh is None \
+                and not self.paged:
+            # OPT-IN: all admitting lanes' chunks hydrate in ONE weight
+            # sweep — with A concurrent admissions, time-to-first-token
+            # improves ~A x under load. The trade: a lane's chunk pads to
+            # the GROUP's bucket, so its prefill numerics depend (at the
+            # bf16-rounding level) on co-admitted traffic — the default
+            # per-slot path keeps streams bit-identical to a solo run.
+            # The server turns this on (serving optimizes TTFT).
+            from .models.fast import prefill_chunk_fast_batched
+
+            @partial(jax.jit, static_argnames=("attend_len",),
+                     donate_argnums=(5,))
+            def _admit_batch(w, tokens, pos0, valid_len, enable, cache,
+                             attend_len):
+                """ONE weight sweep hydrates every admitting lane's chunk
+                (batched admission — A concurrent admissions cost ~one)."""
+                return prefill_chunk_fast_batched(
+                    cfg, w, tokens, pos0, valid_len, enable, cache,
+                    attend_len=attend_len, logits_mode="lastv")
+
+            self._admit_batch = _admit_batch
+        else:
+            self._admit_batch = None
+        self.admit_sweeps = 0  # batched-admission weight sweeps (stats)
 
         @partial(jax.jit, static_argnames=("logits_mode", "attend_len"),
                  donate_argnums=(5,))
@@ -762,7 +789,11 @@ class Scheduler:
         the window (+ceil(extra / RING_HYDRATE_PER_TICK) beyond it), while
         decode lanes keep producing a token every tick."""
         window = self.cfg.max_seq_len
+        handled = (self._advance_admission_batched(window)
+                   if self._admit_batch is not None else set())
         for b, slot in enumerate(self.slots):
+            if b in handled:
+                continue
             if not slot.admitting:
                 continue
             req = slot.request
@@ -842,6 +873,60 @@ class Scheduler:
                         self._finish_resume(slot)
                     else:
                         self._finish_admission(slot, out)
+
+    def _advance_admission_batched(self, window: int) -> set[int]:
+        """Advance every groupable admitting slot by one chunk in ONE
+        batched weight sweep (models/fast.prefill_chunk_fast_batched).
+        Returns the slot ids handled this tick; lanes whose shared padded
+        bucket would cross the window edge stay on the per-slot path."""
+        from .engine import attend_bucket
+        work: list[tuple[int, _Slot, int]] = []
+        bucket = 0
+        for b, slot in enumerate(self.slots):
+            if slot.request is None or not slot.admitting:
+                continue
+            toks = slot.admit_tokens
+            if slot.pos >= window or slot.admit_i >= len(toks):
+                continue
+            room = window - slot.pos
+            take = min(len(toks) - slot.admit_i, PREFILL_BUCKETS[-1], room)
+            work.append((b, slot, take))
+            bucket = max(bucket, _bucket_for(take))
+        # window-edge lanes can't pad to the shared bucket
+        work = [(b, s, t) for b, s, t in work
+                if s.pos + bucket <= window]
+        if not work:
+            return set()
+        if len(work) == 1:
+            return set()  # a single admission: the per-slot path's
+            # prefix-bounded single-lane program is cheaper
+        B = self.B
+        tokens = np.zeros((B, bucket), np.int32)
+        pos0 = np.zeros(B, np.int32)
+        vlen = np.zeros(B, np.int32)
+        enable = np.zeros(B, np.int32)
+        attend = 0
+        for b, slot, take in work:
+            toks = slot.admit_tokens
+            tokens[b, :take] = toks[slot.admit_i: slot.admit_i + take]
+            pos0[b] = slot.pos
+            vlen[b] = take
+            enable[b] = 1
+            attend = max(attend, attend_bucket(slot.pos + bucket, window))
+        self.admit_sweeps += 1
+        out, self.cache = self._admit_batch(
+            self.weights, jnp.asarray(tokens), jnp.asarray(pos0),
+            jnp.asarray(vlen), jnp.asarray(enable), self.cache,
+            attend_len=attend)
+        for b, slot, take in work:
+            slot.pos += take
+            slot.admit_i += take
+            if slot.admit_i >= len(slot.admit_tokens):
+                if slot.resuming:
+                    self._finish_resume(slot)
+                else:
+                    self._finish_admission(slot, out[b])
+        return {b for b, _, _ in work}
 
     def _maybe_finish(self, slot: _Slot, tok: int) -> None:
         req = slot.request

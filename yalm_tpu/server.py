@@ -56,7 +56,10 @@ class ServingEngine:
                                paged_pages=paged_pages, page_size=page_size,
                                mesh=mesh, spec_draft=spec_draft,
                                spec_k=spec_k, spec_lookup=spec_lookup,
-                               spec_ngram=spec_ngram)
+                               spec_ngram=spec_ngram,
+                               # serving optimizes TTFT under load: all
+                               # admitting lanes hydrate in one weight sweep
+                               batched_admission=True)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         # serving counters for /metrics (observability beyond the

@@ -519,10 +519,23 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     from yalm_tpu.engine import Engine
 
     rtt = measure_rtt()
-    lookup = os.environ.get("YALM_BENCH_SPEC", "") == "lookup"
+    mode = os.environ.get("YALM_BENCH_SPEC", "")
+    lookup = mode == "lookup"
+    medusa = mode == "medusa"
     target = Engine(cfg, weights, kv_dtype=kv_dtype or jnp.bfloat16,
                     compute_dtype=jnp.bfloat16, fast=True)
-    if lookup:
+    if medusa:
+        # self-drafting: synthesize identity heads on the fly (random
+        # benches measure sweep mechanics; acceptance needs real heads)
+        from yalm_tpu.medusa import MedusaWeights
+        H, d, v = 4, cfg.dim, cfg.vocab_size
+        target.medusa = MedusaWeights(
+            w1=jnp.zeros((H, d, d), jnp.bfloat16),
+            b1=jnp.zeros((H, d), jnp.float32),
+            head=jnp.broadcast_to(
+                weights.lm_head.astype(jnp.bfloat16)[None], (H, v, d)))
+        draft = None
+    elif lookup:
         # draft-model-free prompt lookup: proposals come from the token
         # history, so the bench prompt repeats a span (the input-grounded
         # regime — summarization/code-edit outputs that reuse prompt text)
@@ -538,15 +551,19 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     K = int(os.environ.get("YALM_BENCH_SPEC_K", "4"))
     prompt = ([1, 7, 9] + [5, 11, 23, 42] * 8) if lookup else [1, 7, 9]
 
+    def run(n):
+        if medusa:
+            return list(target.generate_medusa(prompt, max_steps=n))
+        return list(target.generate_speculative(prompt, draft=draft,
+                                                n_draft=K, max_steps=n))
+
     # warmup compiles every program in the loop
-    _ = list(target.generate_speculative(prompt, draft=draft, n_draft=K,
-                                         max_steps=8))
+    _ = run(8)
     target.reset()
     if draft is not None:
         draft.reset()
     t0 = time.perf_counter()
-    toks = list(target.generate_speculative(prompt, draft=draft, n_draft=K,
-                                            max_steps=N))
+    toks = run(N)
     dt = time.perf_counter() - t0
     st = target._spec_stats
     rounds = max(st["rounds"], 1)
@@ -555,7 +572,9 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     tpr = len(toks) / (rounds + st.get("plain", 0))
     # host round trips per round ride the tunnel (draft fetch + verify
     # fetch; lookup proposals are host-side, one fetch); subtract them
-    trips = rounds + st.get("plain", 0) if lookup else 2 * rounds
+    trips = (rounds + st.get("plain", 0) if lookup
+             else 2 * rounds + st.get("plain", 0) if medusa
+             else 2 * rounds)
     dt_corr = max(dt - trips * rtt, 1e-6)
 
     # plain-decode reference from the same engine/cache setup
@@ -572,7 +591,7 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
     _ = np.asarray(out)
     plain = 64 / (time.perf_counter() - t0)
 
-    kind = "lookup" if lookup else "draft"
+    kind = "medusa" if medusa else "lookup" if lookup else "draft"
     log(f"spec[{kind}]: {len(toks)} toks in {dt:.2f}s wall "
         f"({len(toks)/dt:.1f} tok/s; rtt-corrected {len(toks)/dt_corr:.1f}), "
         f"acceptance {acc:.2f}, {tpr:.2f} tok/target-sweep; "
@@ -586,7 +605,7 @@ def bench_spec(cfg, weights, kv_dtype=None) -> None:
         "tokens_per_target_sweep": round(tpr, 2),
         "wall_tok_s": round(len(toks) / dt, 2),
         "plain_decode_tok_s": round(plain, 2),
-        "draft_layers": None if lookup else 4,
+        "draft_layers": 4 if kind == "draft" else None,
         "n_draft": K,
         "plain_steps": st.get("plain"),
     }))

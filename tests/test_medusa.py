@@ -1,0 +1,98 @@
+"""Medusa self-drafting speculation (yalm_tpu/medusa.py + engine
+generate_medusa): proposals are argmax point masses, so the emitted
+stream must EXACTLY match plain decoding regardless of head quality —
+heads only change the acceptance rate."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yalm_tpu.codec.format import read_yalm
+from yalm_tpu.config import ModelConfig
+from yalm_tpu.engine import Engine
+from yalm_tpu.utils.testing import synth_checkpoint
+
+from test_fast_path import fast_config
+
+
+def _mk(tmp_path, name, heads, seed=70, **over):
+    # seed 70's greedy stream repeats tokens consecutively, so identity
+    # heads (propose "same again") get accepted proposals
+    over.setdefault("max_seq_len", 128)
+    cfg = fast_config(**over)
+    path = str(tmp_path / f"{name}.yalm")
+    synth_checkpoint(path, cfg, seed=seed, medusa_heads=heads)
+    return path
+
+
+def test_medusa_metadata_and_loading(tmp_path):
+    path = _mk(tmp_path, "m", heads=3)
+    yf = read_yalm(path)
+    assert yf.metadata["medusa_heads"] == "3"
+    eng = Engine.from_checkpoint(path)
+    assert eng.medusa is not None and eng.medusa.w1.shape[0] == 3
+
+    from yalm_tpu.medusa import medusa_propose
+    props = medusa_propose(eng.medusa, jnp.ones((eng.cfg.dim,), jnp.float32))
+    assert props.shape == (3,)
+
+
+def test_medusa_greedy_head_independence(tmp_path):
+    """THE correctness invariant: proposals are verified point masses, so
+    the emitted stream is BIT-IDENTICAL no matter what the heads propose
+    (random garbage heads vs identity heads) — heads only change the
+    acceptance rate. (Vs the plain per-token engine the stream agrees up
+    to the chunk-vs-step program's bf16 rounding at near-ties — the same
+    property every chunked verify round has.)"""
+    p_rand = _mk(tmp_path, "rand", 4)
+    p_ident = _mk(tmp_path, "ident", -4)
+    e_rand = Engine.from_checkpoint(p_rand)
+    e_ident = Engine.from_checkpoint(p_ident)
+    rand = list(e_rand.generate_medusa([1, 7, 42], max_steps=24,
+                                       temperature=0.0))
+    ident = list(e_ident.generate_medusa([1, 7, 42], max_steps=24,
+                                         temperature=0.0))
+    assert rand == ident
+    assert e_rand._spec_stats["rounds"] >= 1
+    # identity heads repeat the model's own argmax: synthetic greedy
+    # streams settle into repetition, so SOME proposals land
+    assert e_ident._spec_stats["accepted"] >= 1, e_ident._spec_stats
+    # sanity vs the plain engine: same stream until a bf16 near-tie
+    plain = list(Engine.from_checkpoint(p_rand).generate(
+        [1, 7, 42], max_steps=24, temperature=0.0))
+    assert rand[:8] == plain[:8]
+
+
+def test_medusa_window_edge_fallback(tmp_path):
+    """Speculation stops at the window edge (ring regime can't roll back);
+    the head-independent stream continues across the boundary."""
+    pa = _mk(tmp_path, "edge_a", heads=3, max_seq_len=64)
+    pb = _mk(tmp_path, "edge_b", heads=-3, max_seq_len=64)
+    prompt = [1] + list(np.random.default_rng(0).integers(3, 500, 40))
+    a = list(Engine.from_checkpoint(pa).generate_medusa(
+        prompt, max_steps=40, temperature=0.0))
+    b = list(Engine.from_checkpoint(pb).generate_medusa(
+        prompt, max_steps=40, temperature=0.0))
+    assert a == b and len(a) == 40
+
+
+def test_medusa_sampled_stream_valid(tmp_path):
+    """T>0 point-mass rejection: deterministic per seed, valid tokens
+    (the exact-distribution statistics are pinned for the shared
+    pointmass_rejection_verify in test_prompt_lookup)."""
+    path = _mk(tmp_path, "samp", heads=-4)
+    eng = Engine.from_checkpoint(path)
+    got1 = list(eng.generate_medusa([1, 7], max_steps=12, temperature=0.8,
+                                    seed=5))
+    eng2 = Engine.from_checkpoint(path)
+    got2 = list(eng2.generate_medusa([1, 7], max_steps=12, temperature=0.8,
+                                     seed=5))
+    assert got1 == got2 and len(got1) == 12
+    assert all(0 <= t < eng.cfg.vocab_size for t in got1)
+
+
+def test_medusa_requires_heads(tmp_path):
+    path = _mk(tmp_path, "none", heads=0)
+    eng = Engine.from_checkpoint(path)
+    with pytest.raises(ValueError, match="medusa"):
+        list(eng.generate_medusa([1, 7], max_steps=4))

@@ -21,6 +21,7 @@ Usage: python -m yalm_tpu.cli <checkpoint.yalm> [options]
                  proposes, this model verifies; greedy at -t 0, exact
                  rejection-sampled target distribution at -t > 0)
   -K <int>       speculative draft/lookup length (default 4)
+  -u             Medusa self-drafting speculation (checkpoint needs heads)
   -L             prompt-LOOKUP speculative completion (no draft model:
                  proposals continue the most recent earlier occurrence of
                  the trailing n-gram; wins on outputs that reuse prompt
@@ -65,6 +66,7 @@ def _parse_args(argv: list[str]) -> dict:
         "top_p": 1.0,
         "draft": None,
         "lookup": False,
+        "medusa": False,
         "n_draft": 4,
         "kv": "f16",
         "mesh": None,
@@ -121,6 +123,9 @@ def _parse_args(argv: list[str]) -> dict:
             opts["draft"] = need(i)
         elif c == "L":
             opts["lookup"] = True
+            i -= 1  # flag takes no value
+        elif c == "u":
+            opts["medusa"] = True
             i -= 1  # flag takes no value
         elif c == "K":
             opts["n_draft"] = int(need(i))
@@ -217,6 +222,11 @@ def run_completion(opts) -> None:
             [], draft=None, n_draft=opts["n_draft"], max_steps=num_steps,
             stop_tokens=stop, temperature=opts["temperature"],
             seed=opts["seed"], hist_tokens=encoding)
+    elif opts["medusa"]:
+        # self-drafting: the checkpoint's Medusa heads propose (medusa.py)
+        stream = eng.generate_medusa(
+            [], max_steps=num_steps, stop_tokens=stop,
+            temperature=opts["temperature"], seed=opts["seed"])
     else:
         stream = eng.generate([], max_steps=num_steps,
                               temperature=opts["temperature"],
@@ -240,7 +250,8 @@ def run_completion(opts) -> None:
           f"  hydrate: {hydrate_s:.5}s\n"
           f"  bandwidth: {read_bytes/1e9/elapsed:.5}GB/s\n"
           f"  total: {elapsed:.5}s\n")
-    if (opts["draft"] or opts["lookup"]) and getattr(eng, "_spec_stats", None):
+    if (opts["draft"] or opts["lookup"] or opts["medusa"]) \
+            and getattr(eng, "_spec_stats", None):
         st = eng._spec_stats
         if st["rounds"]:
             print(f"Speculative stats: {st['rounds']} verify rounds, "

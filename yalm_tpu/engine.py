@@ -140,6 +140,7 @@ class Engine:
         self.tokenizer = tokenizer
         self.kv_dtype = kv_dtype
         self.compute_dtype = compute_dtype
+        self.medusa = None   # MedusaWeights when the checkpoint has heads
         self.mesh = mesh
         if fast == "auto":
             # the Pallas decode path is the default wherever it applies —
@@ -340,6 +341,11 @@ class Engine:
                 weights = load_weights(yf, cfg, device_put=put)
             tok = Tokenizer.from_yalm(yf)
             eng = cls(cfg, weights, tok, mesh=mesh, fast=fast, **kw)
+            if "medusa_heads" in yf.metadata:
+                # self-drafting heads ride the checkpoint (medusa.py);
+                # tiny next to the model — load unconditionally
+                from .medusa import load_medusa_weights
+                eng.medusa = load_medusa_weights(yf, cfg, device_put=put)
             if device is not None and mesh is None:
                 eng.cache = jax.device_put(eng.cache, device)
         finally:
@@ -780,6 +786,112 @@ class Engine:
             self.pos = pos0 + a + 1
             self._last_logits = all_logits[a]
             hist.extend(emitted)
+            for tok in emitted:
+                yield int(tok)
+                steps += 1
+                if tok in stop or (max_steps != -1 and steps >= max_steps):
+                    return
+            cur = emitted[-1]
+
+    def generate_medusa(
+        self,
+        prompt_tokens: Sequence[int],
+        *,
+        max_steps: int = 256,
+        stop_tokens: Sequence[int] = (),
+        temperature: float = 0.0,
+        seed: int | None = None,
+    ) -> Iterator[int]:
+        """Medusa self-drafting speculation (medusa.py): the checkpoint's
+        H heads read the post-final-norm hidden state of the LAST ACCEPTED
+        position (returned by the same verify forward — steady state is
+        ONE full-model sweep per round, no draft model at all) and propose
+        the next H tokens; the chunked target forward verifies them.
+        Proposals are argmax point masses, so the emitted stream is the
+        target's EXACT greedy stream at T=0 and the exact target
+        temperature distribution at T>0 (spec.pointmass_rejection_verify)
+        regardless of head quality — heads only buy speed."""
+        from .spec import pointmass_rejection_verify
+        from .medusa import medusa_propose
+        mw = self.medusa
+        if mw is None:
+            raise ValueError("checkpoint has no medusa heads "
+                             "(metadata medusa_heads)")
+        cfg = self.cfg
+        stats = {"rounds": 0, "accepted": 0, "proposed": 0, "plain": 0}
+        self._spec_stats = stats
+        self.prefill_tokens(prompt_tokens, want_logits=True)
+        stop = set(int(s) for s in stop_tokens)
+        T = float(temperature)
+        rng = np.random.default_rng(seed if seed is not None else 0)
+        key = jax.random.PRNGKey(seed if seed is not None else 0)
+        temp_arr = jnp.float32(T)
+
+        assert self._last_logits is not None
+        if T == 0.0:
+            cur = int(jnp.argmax(self._last_logits))
+        else:
+            p0 = _softmax_T(np.asarray(self._last_logits), T)
+            cur = int(rng.choice(len(p0), p=p0))
+        steps = 0
+        yield cur
+        steps += 1
+        if cur in stop:
+            return
+
+        H = int(mw.w1.shape[0])
+        K = min(H, PREFILL_BUCKETS[-1] - 1)
+        bucket = _bucket_for(K + 1)
+        hidden = None   # the first round runs a 1-token chunk to fetch it
+        while max_steps == -1 or steps < max_steps:
+            if self.pos + bucket >= cfg.max_seq_len:
+                # window edge: the ring regime can't roll back a rejection
+                while max_steps == -1 or steps < max_steps:
+                    key, sub = jax.random.split(key)
+                    tok_arr, logits, self.cache = self._step_sample(
+                        self.weights, jnp.int32(cur), jnp.int32(self.pos),
+                        self.cache, sub, temp_arr, jnp.int32(0),
+                        jnp.float32(1.0))
+                    self._last_logits = logits
+                    self.pos += 1
+                    cur = int(tok_arr)
+                    yield cur
+                    steps += 1
+                    if cur in stop:
+                        return
+                return
+
+            if hidden is None:
+                d = []          # hidden not known yet: 1-token chunk
+                stats["plain"] += 1
+            else:
+                d = [int(t) for t in np.asarray(medusa_propose(mw, hidden))[:K]]
+            kd = len(d)
+            chunk = np.zeros(bucket, np.int32)
+            chunk[: kd + 1] = [cur] + d
+            pos0 = self.pos
+            (all_logits, all_h), self.cache = self._prefill(
+                self.weights, jnp.asarray(chunk), jnp.int32(pos0),
+                jnp.int32(kd + 1), self.cache, logits_mode="all_h",
+                attend_len=self._attn_len(pos0 + bucket))
+            t_lg = np.asarray(all_logits[: kd + 1])
+
+            if T == 0.0:
+                t = t_lg.argmax(axis=-1)
+                a = 0
+                while a < kd and d[a] == int(t[a]):
+                    a += 1
+                emitted = [int(x) for x in d[:a]] + [int(t[a])]
+            else:
+                emitted, a = pointmass_rejection_verify(rng, T, t_lg, d)
+            if kd:
+                stats["rounds"] += 1
+                stats["proposed"] += kd
+                stats["accepted"] += a
+
+            self.pos = pos0 + a + 1
+            self._last_logits = all_logits[a]
+            hidden = all_h[a]
             for tok in emitted:
                 yield int(tok)
                 steps += 1

@@ -1040,12 +1040,17 @@ def prefill_fast(
         x_last = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
         return _cap_logits(cfg, gemv(x_last, fw.lm_head,
                                      sc.lm_head if sc else None)), new_cache
-    if logits_mode == "all":
+    if logits_mode in ("all", "all_h"):
         xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
         out = proj(xn, fw.lm_head)
         if sc is not None:
             out = out * sc.lm_head[None].astype(jnp.float32)
-        return _cap_logits(cfg, out), new_cache
+        out = _cap_logits(cfg, out)
+        if logits_mode == "all_h":
+            # ... plus the post-final-norm hidden rows (Medusa heads read
+            # the hidden state that produced each position's logits)
+            return (out, xn), new_cache
+        return out, new_cache
     raise ValueError(f"bad logits_mode {logits_mode!r}")
 
 

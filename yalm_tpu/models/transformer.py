@@ -347,6 +347,9 @@ def prefill(
     if logits_mode == "last":
         x_last = jnp.take(x, valid_len - 1, axis=0)
         return head(rmsnorm(x_last, weights.final_norm, cfg.norm_eps)), new_cache
-    if logits_mode == "all":
-        return head(rmsnorm(x, weights.final_norm, cfg.norm_eps)), new_cache
+    if logits_mode in ("all", "all_h"):
+        xn = rmsnorm(x, weights.final_norm, cfg.norm_eps)
+        if logits_mode == "all_h":
+            return (head(xn), xn), new_cache
+        return head(xn), new_cache
     raise ValueError(f"bad logits_mode {logits_mode!r}")

@@ -53,8 +53,13 @@ def synth_vocab(vocab_size: int) -> list[bytes]:
 
 
 def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
-                     vocab: list[bytes] | None = None) -> None:
-    """Write a random-but-deterministic `.yalm` checkpoint for `cfg`."""
+                     vocab: list[bytes] | None = None,
+                     medusa_heads: int = 0) -> None:
+    """Write a random-but-deterministic `.yalm` checkpoint for `cfg`.
+    medusa_heads > 0 additionally writes Medusa self-drafting heads
+    (yalm_tpu/medusa.py format) — pass -1 for IDENTITY heads (w1=0, head
+    = the LM head), whose proposals repeat the model's own next-token
+    argmax; useful for acceptance-path tests on repetitive streams."""
     rng = np.random.default_rng(seed)
     int8 = cfg.weight_dtype == "int8"
     int4 = cfg.weight_dtype == "int4"
@@ -126,11 +131,42 @@ def synth_checkpoint(path: str, cfg: ModelConfig, seed: int = 0,
     if not cfg.tie_word_embeddings:
         put(tensors, "model.output.weight", w(cfg.vocab_size, cfg.dim, scale=0.02, head=True))
 
+    if medusa_heads:
+        H = abs(medusa_heads)
+        lm = tensors.get("model.output.weight", tensors["model.embed.weight"])
+        lm32 = np.asarray(lm, np.float32)
+        if "model.output.weight.scale" in tensors:
+            lm32 = lm32 * np.asarray(
+                tensors["model.output.weight.scale"
+                        if "model.output.weight" in tensors
+                        else "model.embed.weight.scale"],
+                np.float32)[:, None]
+        elif "model.embed.weight.scale" in tensors \
+                and "model.output.weight" not in tensors:
+            lm32 = lm32 * np.asarray(tensors["model.embed.weight.scale"],
+                                     np.float32)[:, None]
+        for h in range(H):
+            if medusa_heads < 0:  # identity heads
+                tensors[f"medusa.{h}.w1.weight"] = np.zeros(
+                    (cfg.dim, cfg.dim), np.float32)
+                tensors[f"medusa.{h}.head.weight"] = lm32.copy()
+            else:
+                tensors[f"medusa.{h}.w1.weight"] = \
+                    rng.standard_normal((cfg.dim, cfg.dim)).astype(
+                        np.float32) * 0.02
+                tensors[f"medusa.{h}.head.weight"] = \
+                    rng.standard_normal((cfg.vocab_size, cfg.dim)).astype(
+                        np.float32) * 0.02
+            tensors[f"medusa.{h}.w1.bias"] = np.zeros(cfg.dim, np.float32)
+
     vocab = vocab if vocab is not None else synth_vocab(cfg.vocab_size)
     blob = b"".join(t.replace(b"\0", b"\7") + b"\0" for t in vocab)
     tensors["tokenizer.tokens"] = np.frombuffer(blob, dtype=np.uint8).copy()
 
-    write_yalm(path, tensors, cfg.to_metadata())
+    md = cfg.to_metadata()
+    if medusa_heads:
+        md["medusa_heads"] = str(abs(medusa_heads))
+    write_yalm(path, tensors, md)
 
 
 def synth_hf_dir(path: str, cfg: ModelConfig, seed: int = 0) -> None:

@@ -52,7 +52,8 @@ def _mk_hf(tmp_path, arch, **extra):
                               LlamaForCausalLM, MixtralConfig,
                               MixtralForCausalLM, Qwen2Config,
                               Qwen2ForCausalLM, Qwen3Config,
-                              Qwen3ForCausalLM)
+                              Qwen3ForCausalLM, Qwen3MoeConfig,
+                              Qwen3MoeForCausalLM)
     builders = {
         "llama": (LlamaConfig, LlamaForCausalLM),
         "qwen2": (Qwen2Config, Qwen2ForCausalLM),
@@ -61,6 +62,7 @@ def _mk_hf(tmp_path, arch, **extra):
         "gemma": (GemmaConfig, GemmaForCausalLM),
         "gemma2": (Gemma2Config, Gemma2ForCausalLM),
         "gemma3": (Gemma3TextConfig, Gemma3ForCausalLM),
+        "qwen3moe": (Qwen3MoeConfig, Qwen3MoeForCausalLM),
     }
     cfg_cls, model_cls = builders[arch]
     hf_cfg = cfg_cls(**DIMS, **extra)
@@ -81,6 +83,11 @@ def _mk_hf(tmp_path, arch, **extra):
     ("qwen2", {}),
     ("qwen3", {"head_dim": 16}),
     ("mixtral", {"num_local_experts": 4, "num_experts_per_tok": 2}),
+    # Qwen3-MoE: qk-norm COMPOSED with MoE routing, experts at
+    # moe_intermediate_size, top-k-normalized gates
+    ("qwen3moe", {"head_dim": 16, "moe_intermediate_size": 96,
+                  "num_experts": 4, "num_experts_per_tok": 2,
+                  "decoder_sparse_step": 1, "norm_topk_prob": True}),
     # sqrt(dim) embedding normalizer + (1+w) norm offset + tanh-gelu + tied
     # head; head_dim decoupled from dim/n_heads like the real Gemma (256)
     ("gemma", {"head_dim": 16, "hidden_activation": "gelu_pytorch_tanh"}),
@@ -200,3 +207,25 @@ def test_fast_path_matches_transformers(tmp_path, arch, extra):
     got = np.asarray(got)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
     assert (got.argmax(-1) == want.argmax(-1)).all()
+
+
+def test_qwen3moe_fast_engine_matches_oracle(tmp_path):
+    """qk-norm COMPOSED with MoE routing on the FAST path (routed-expert
+    kernels + per-head q/k norms): greedy stream tracks the oracle.
+    Kernel-tileable synthetic shapes (the tiny HF build above pins the
+    converter + oracle; head_dim must be 128 for the real kernels)."""
+    from test_fast_path import fast_config
+    from yalm_tpu.engine import Engine
+    from yalm_tpu.utils.testing import synth_checkpoint
+
+    cfg = fast_config(n_experts=4, n_experts_active=2, has_qk_norm=True)
+    out = str(tmp_path / "q3moe.yalm")
+    synth_checkpoint(out, cfg, seed=77)
+    fast = Engine.from_checkpoint(out, fast=True)
+    orac = Engine.from_checkpoint(out, fast=False, kv_dtype=jnp.bfloat16,
+                                  compute_dtype=jnp.bfloat16)
+    assert fast.fast and fast.cfg.is_moe and fast.cfg.has_qk_norm
+    t_f = list(fast.generate([1, 7, 42], max_steps=10, temperature=0.0))
+    t_o = list(orac.generate([1, 7, 42], max_steps=10, temperature=0.0))
+    agree = sum(a == b for a, b in zip(t_f, t_o))
+    assert agree >= len(t_o) - 1, (t_f, t_o)

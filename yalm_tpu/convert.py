@@ -41,6 +41,7 @@ SUPPORTED_ARCHITECTURES = [
     "MixtralForCausalLM",
     "Qwen2ForCausalLM",
     "Qwen3ForCausalLM",
+    "Qwen3MoeForCausalLM",
     "GemmaForCausalLM",
     "Gemma2ForCausalLM",
     "Gemma3ForCausalLM",
@@ -150,6 +151,19 @@ def normalize_config(config: dict, dtype: str) -> dict[str, str]:
         md["rope_factor"] = str(float(g3rs.get("factor", 1.0)))
     if arch == "MixtralForCausalLM":
         md["n_experts"] = str(config["num_local_experts"])
+        md["n_experts_active"] = str(config["num_experts_per_tok"])
+    if arch == "Qwen3MoeForCausalLM":
+        # experts are moe_intermediate_size wide (intermediate_size is the
+        # dense-MLP width, unused when every layer is sparse)
+        if config.get("mlp_only_layers") or \
+                int(config.get("decoder_sparse_step", 1)) != 1:
+            raise ValueError("Qwen3-MoE: mixed dense/MoE layer patterns "
+                             "not supported (every layer must be sparse)")
+        if not config.get("norm_topk_prob", False):
+            raise ValueError("Qwen3-MoE without norm_topk_prob: the runtime "
+                             "normalizes gates over the selected experts")
+        md["hidden_dim"] = str(config["moe_intermediate_size"])
+        md["n_experts"] = str(config["num_experts"])
         md["n_experts_active"] = str(config["num_experts_per_tok"])
     rs = config.get("rope_scaling") or {}
     if arch == "Gemma3ForCausalLM":
@@ -499,13 +513,21 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
             tensors[f"{p}.mlp.norm.weight"] = norm(weights[f"{p}.post_attention_layernorm.weight"])
 
         if is_moe:
+            # Mixtral names experts block_sparse_moe.experts.{e}.w1/w2/w3;
+            # Qwen3-MoE uses mlp.experts.{e}.gate/down/up_proj — same roles
+            qwen_moe = md["arch"] == "Qwen3MoeForCausalLM"
+            gate = (f"{p}.mlp.gate.weight" if qwen_moe
+                    else f"{p}.block_sparse_moe.gate.weight")
+            names = ({"w1": "gate_proj", "w2": "down_proj", "w3": "up_proj"}
+                     if qwen_moe else {"w1": "w1", "w2": "w2", "w3": "w3"})
+            base = f"{p}.mlp.experts" if qwen_moe \
+                else f"{p}.block_sparse_moe.experts"
             # router stays per-channel int8 in int4 mode (tiny, and its
             # argmax ordering is accuracy-critical)
-            put_head(f"{p}.moegate.weight",
-                     weights[f"{p}.block_sparse_moe.gate.weight"])
+            put_head(f"{p}.moegate.weight", weights[gate])
             for wi in ("w1", "w2", "w3"):
                 stacked = np.stack([
-                    np.asarray(weights[f"{p}.block_sparse_moe.experts.{e}.{wi}.weight"]
+                    np.asarray(weights[f"{base}.{e}.{names[wi]}.weight"]
                                ).astype(np.float32)
                     for e in range(int(md["n_experts"]))
                 ])

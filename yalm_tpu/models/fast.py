@@ -954,6 +954,8 @@ def prefill_fast(
             rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate, *extra = layer
             if cfg.has_qkv_bias:
                 bias, extra = extra[0], extra[1:]
+            if cfg.has_qk_norm:
+                (qn, kn), extra = extra[:2], extra[2:]
             if sc is not None:
                 s_qkv, s_wo, s_w13, s_w2, s_moe = extra
             xb = rmsnorm(x, rms_a, cfg.norm_eps)
@@ -971,6 +973,13 @@ def prefill_fast(
             q = qkv[:, : cfg.q_dim]
             k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
             v = qkv[:, cfg.q_dim + cfg.kv_dim:]
+            if cfg.has_qk_norm:
+                # Qwen3-MoE: per-head q/k RMSNorm between projection and
+                # rope, same as the dense paths (_qk_norm)
+                q = rmsnorm(q.reshape(T, Hq, D), qn,
+                            cfg.norm_eps).reshape(T, cfg.q_dim)
+                k = rmsnorm(k.reshape(T, Hk, D), kn,
+                            cfg.norm_eps).reshape(T, cfg.kv_dim)
 
             q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_param, cfg.rotary_dim)
             k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_param, cfg.rotary_dim)
@@ -1025,12 +1034,14 @@ def prefill_fast(
             return x, (kc, vc)
 
         bias_extra = (fw.bqkv,) if cfg.has_qkv_bias else ()
+        qn_extra = (fw.qnorm, fw.knorm) if cfg.has_qk_norm else ()
         scale_extra = ((sc.wqkv, sc.wo, sc.w13, sc.w2, sc.moegate)
                        if sc is not None else ())
         x, (k_new, v_new) = jax.lax.scan(
             layer_fn, x,
             (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
-             cache.k, cache.v, fw.moegate) + bias_extra + scale_extra)
+             cache.k, cache.v, fw.moegate) + bias_extra + qn_extra
+            + scale_extra)
         new_cache = KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":

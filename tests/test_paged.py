@@ -253,3 +253,87 @@ def test_server_paged(tmp_path):
     finally:
         httpd.shutdown()
         engine.close()
+
+
+# ---------------------------------------------------- automatic prefix cache
+def _pf_sched(cfg, weights, pages, B=8):
+    return Scheduler(cfg, weights, batch=B, kv_dtype=jnp.bfloat16,
+                     paged_pages=pages, page_size=PAGE)
+
+
+def test_prefix_cache_reuses_pages_bitexact(tmp_path):
+    """A second identical prompt maps the first's pages read-only: its
+    prefill skips the cached full pages, and the stream is BIT-IDENTICAL
+    (the pages hold exactly the rows the lane would have written)."""
+    cfg, weights = _weights(tmp_path, seed=121, max_seq_len=64)
+    nblk = cfg.max_seq_len // PAGE
+    prompt = ([1] + [5, 9, 11] * 13)[: 2 * PAGE + 8]  # 2 full pages + tail
+    sched = _pf_sched(cfg, weights, 1 + 8 * nblk)
+
+    r1 = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=6,
+                              temperature=0.0, seed=3))
+    sched.run()
+    st = sched.alloc.prefix_stats
+    assert st["registered"] >= 2 and st["hits"] == 0
+
+    r2 = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=6,
+                              temperature=0.0, seed=3))
+    sched.run()
+    assert r2.generated == r1.generated
+    st = sched.alloc.prefix_stats
+    assert st["hits"] == 1 and st["hit_tokens"] >= 2 * PAGE
+
+    # shared-prefix, different tails: the common pages serve both
+    tail_a = prompt + [7, 7, 7]
+    tail_b = prompt + [9, 2]
+    ra = sched.submit(Request(prompt_tokens=tail_a, max_new_tokens=4,
+                              temperature=0.0, seed=0))
+    rb = sched.submit(Request(prompt_tokens=tail_b, max_new_tokens=4,
+                              temperature=0.0, seed=0))
+    sched.run()
+    assert sched.alloc.prefix_stats["hits"] == 3
+    # baseline without any cache: fresh scheduler
+    base = _pf_sched(cfg, weights, 1 + 8 * nblk)
+    ba = base.submit(Request(prompt_tokens=tail_a, max_new_tokens=4,
+                             temperature=0.0, seed=0))
+    bb = base.submit(Request(prompt_tokens=tail_b, max_new_tokens=4,
+                             temperature=0.0, seed=0))
+    base.run()
+    assert ra.generated == ba.generated
+    assert rb.generated == bb.generated
+
+
+def test_prefix_cache_eviction_under_pressure(tmp_path):
+    """Unreferenced cached pages are evicted (LRU) before preempting or
+    stalling anyone; pool accounting stays exact."""
+    cfg, weights = _weights(tmp_path, seed=122, max_seq_len=64)
+    total = 1 + 4                      # 4 usable pages; lanes need 2 each
+    sched = _pf_sched(cfg, weights, total, B=8)
+    rng = np.random.default_rng(0)
+    for i in range(4):                 # distinct prompts > 1 page each
+        p = [1] + list(rng.integers(3, cfg.vocab_size, PAGE + 3))
+        sched.submit(Request(prompt_tokens=p, max_new_tokens=4,
+                             temperature=0.0, seed=i))
+        sched.run()
+    st = sched.alloc.prefix_stats
+    assert st["evicted"] >= 1, st
+    # nothing leaks: all pages back in free + cache, refs all zero
+    assert sched.alloc.n_free == total - 1
+    assert all(r == 0 for r in sched.alloc.ref.values())
+
+
+def test_prefix_cache_ring_regime_opt_out(tmp_path):
+    """Requests that can enter the ring regime (which rewrites early pages)
+    neither map nor publish shared pages — and still stream correctly."""
+    cfg, weights = _weights(tmp_path, seed=123, max_seq_len=64)
+    nblk = cfg.max_seq_len // PAGE
+    sched = _pf_sched(cfg, weights, 1 + 8 * nblk)
+    prompt = [1] + [5, 9] * PAGE       # 2+ pages
+    # max_new pushes past the window -> ring regime possible
+    big = cfg.max_seq_len
+    r = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=big,
+                             temperature=0.0, seed=1))
+    sched.run()
+    assert len(r.generated) == big
+    assert sched.alloc.prefix_stats["registered"] == 0
+    assert sched.alloc.prefix_stats["hits"] == 0

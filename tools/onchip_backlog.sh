@@ -17,7 +17,7 @@ print(jax.devices())
 x = jnp.ones((256,256), jnp.bfloat16)
 print('matmul-ok', float(np.asarray(jnp.sum(x@x))))" || exit 1
 
-  echo "=== 1. tpu_smoke (19 checks) ==="
+  echo "=== 1. tpu_smoke (22 checks incl gemma2/3 kernels) ==="
   timeout 3600 python tools/tpu_smoke.py
 
   echo "=== 2. int8 KV probe ==="
@@ -31,9 +31,10 @@ print('matmul-ok', float(np.asarray(jnp.sum(x@x))))" || exit 1
   echo "=== 4b. bench: int4 weights + fp8 KV ==="
   YALM_BENCH_DTYPE=int4 YALM_BENCH_KV=fp8 timeout 1800 python bench.py
 
-  echo "=== 5. bench: speculative (engine draft + lookup) ==="
+  echo "=== 5. bench: speculative (engine draft + lookup + medusa) ==="
   YALM_BENCH_SPEC=1 timeout 1800 python bench.py
   YALM_BENCH_SPEC=lookup timeout 1800 python bench.py
+  YALM_BENCH_SPEC=medusa timeout 1800 python bench.py
 
   echo "=== 6. bench: scheduler-level spec ==="
   YALM_BENCH_SPEC=sched timeout 2400 python bench.py
@@ -43,5 +44,9 @@ print('matmul-ok', float(np.asarray(jnp.sum(x@x))))" || exit 1
   YALM_BENCH_BATCH=16 timeout 1800 python bench.py
   YALM_BENCH_PAGED_BATCH=24 timeout 1800 python bench.py
   YALM_BENCH_PREFILL=1 timeout 1800 python bench.py
+
+  echo "=== 8. bench: gemma presets (softcaps; gemma3 sliding streams 1/4 KV) ==="
+  YALM_BENCH_PRESET=gemma2-9b timeout 2400 python bench.py
+  YALM_BENCH_PRESET=gemma3-12b timeout 2400 python bench.py
   date
 } 2>&1 | tee -a "$LOG"

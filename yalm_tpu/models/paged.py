@@ -66,37 +66,123 @@ class PageAllocator:
         self.free: list[int] = list(range(n_pages - 1, 0, -1))  # 0 reserved
         # -1 = unmapped; table[b, blk] = page id
         self.tables = np.zeros((batch, self.blocks_per_lane), np.int32)
+        # ---- automatic prefix caching (vLLM-style) ----------------------
+        # Full pages of COMPLETED prompt prefixes register under a chained
+        # per-block content key; later identical prompts map the same pages
+        # read-only (admission skips their prefill entirely). Pages whose
+        # lane references drop to zero stay cached and are evicted LRU only
+        # under free-list pressure. shared[b, blk] marks blocks a lane must
+        # UNREF (not free) on release.
+        self.shared = np.zeros((batch, self.blocks_per_lane), bool)
+        self.cached: dict[tuple, int] = {}     # chained key -> page id
+        self.page_key: dict[int, tuple] = {}
+        self.ref: dict[int, int] = {}          # page -> lane references
+        self.lru: dict[int, int] = {}          # ref-0 cached page -> clock
+        self._clock = 0
+        self.prefix_stats = {"hits": 0, "hit_tokens": 0, "registered": 0,
+                             "evicted": 0}
 
     @property
     def n_free(self) -> int:
-        return len(self.free)
+        """Pages obtainable for new mappings (free list + evictable
+        ref-0 cached pages)."""
+        return len(self.free) + len(self.lru)
 
     def pages_for(self, kv_len: int) -> int:
         return -(-max(kv_len, 0) // self.page_size)
 
     def can_grow(self, lane: int, target_len: int) -> bool:
         have = self._mapped(lane)
-        return self.pages_for(target_len) - have <= len(self.free)
+        return (self.pages_for(target_len) - have
+                <= len(self.free) + len(self.lru))
 
     def _mapped(self, lane: int) -> int:
         return int((self.tables[lane] != 0).sum())
 
     def grow(self, lane: int, target_len: int) -> None:
         """Map pages so the lane can hold target_len tokens. Raises if the
-        pool is exhausted — callers must check can_grow first."""
+        pool is exhausted — callers must check can_grow first. Unreferenced
+        prefix-cached pages are evicted (LRU) before giving up."""
         need = self.pages_for(target_len)
         have = self._mapped(lane)
         for blk in range(have, need):
+            if not self.free and self.lru:
+                self._evict_one()
             if not self.free:
                 raise RuntimeError("page pool exhausted")
             self.tables[lane, blk] = self.free.pop()
+
+    def _evict_one(self) -> None:
+        page = min(self.lru, key=self.lru.get)
+        del self.lru[page]
+        key = self.page_key.pop(page)
+        del self.cached[key]
+        self.ref.pop(page, None)
+        self.free.append(page)
+        self.prefix_stats["evicted"] += 1
+
+    def match_prefix(self, lane: int, tokens) -> int:
+        """Map the longest cached full-page prefix of `tokens` into the
+        lane's table (read-only shared pages) and return the matched token
+        count. Always leaves >= 1 token for prefill (the finishing chunk
+        must produce first-token logits)."""
+        ps = self.page_size
+        key: tuple = ()
+        matched = 0
+        for blk in range(self.blocks_per_lane):
+            if (blk + 1) * ps >= len(tokens):  # strict: keep >= 1 token
+                break
+            key = (key, tuple(int(t) for t in tokens[blk * ps:(blk + 1) * ps]))
+            page = self.cached.get(key)
+            if page is None:
+                break
+            self.tables[lane, blk] = page
+            self.shared[lane, blk] = True
+            if self.ref.get(page, 0) == 0:
+                self.lru.pop(page, None)
+            self.ref[page] = self.ref.get(page, 0) + 1
+            matched += ps
+        if matched:
+            self.prefix_stats["hits"] += 1
+            self.prefix_stats["hit_tokens"] += matched
+        return matched
+
+    def register_prefix(self, lane: int, tokens) -> None:
+        """Publish the lane's full-page prompt prefix into the cache (the
+        pages are fully written once admission completes; the caller gates
+        out lanes that could enter the ring regime and rewrite them)."""
+        ps = self.page_size
+        key: tuple = ()
+        for blk in range(min(len(tokens) // ps, self.blocks_per_lane)):
+            key = (key, tuple(int(t) for t in tokens[blk * ps:(blk + 1) * ps]))
+            page = int(self.tables[lane, blk])
+            if page == 0:
+                break
+            if self.shared[lane, blk]:
+                continue    # already a cached page (matched at admission)
+            if key in self.cached:
+                continue    # registered concurrently: keep this copy private
+            self.cached[key] = page
+            self.page_key[page] = key
+            self.ref[page] = self.ref.get(page, 0) + 1
+            self.shared[lane, blk] = True
+            self.prefix_stats["registered"] += 1
 
     def release(self, lane: int) -> None:
         for blk in range(self.blocks_per_lane):
             pid = int(self.tables[lane, blk])
             if pid != 0:
-                self.free.append(pid)
+                if self.shared[lane, blk]:
+                    # cached page: drop the lane's reference; the page stays
+                    # in the prefix cache until evicted under pressure
+                    self.ref[pid] -= 1
+                    if self.ref[pid] == 0:
+                        self._clock += 1
+                        self.lru[pid] = self._clock
+                else:
+                    self.free.append(pid)
                 self.tables[lane, blk] = 0
+                self.shared[lane, blk] = False
 
     def table_array(self) -> np.ndarray:
         """(batch, blocks_per_lane) int32 — unmapped blocks point at the
@@ -161,6 +247,22 @@ class GroupedPageAllocator:
     def release(self, lane: int) -> None:
         g, ll = self._route(lane)
         g.release(ll)
+
+    def match_prefix(self, lane: int, tokens) -> int:
+        g, ll = self._route(lane)
+        return g.match_prefix(ll, tokens)
+
+    def register_prefix(self, lane: int, tokens) -> None:
+        g, ll = self._route(lane)
+        g.register_prefix(ll, tokens)
+
+    @property
+    def prefix_stats(self):
+        out = {"hits": 0, "hit_tokens": 0, "registered": 0, "evicted": 0}
+        for g in self.groups:
+            for k in out:
+                out[k] += g.prefix_stats[k]
+        return out
 
     def same_pool(self, a: int, b: int) -> bool:
         """Preemption only helps when the victim's pages come from the SAME

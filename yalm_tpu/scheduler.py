@@ -644,9 +644,11 @@ class Scheduler:
                 # never preempt to ADMIT (that could livelock admission);
                 # new requests simply wait for released pages. Other slots
                 # may draw from a different dp group's pool — keep scanning.
+                # (The actual grow happens below, AFTER the prefix-cache
+                # match: matched blocks map shared pages without drawing
+                # from the free list, so one free page always suffices.)
                 if not self.alloc.can_grow(b, first):
                     continue
-                self.alloc.grow(b, first)
             self.queue.pop(0)
             slot.request = req
             slot.admitting = True
@@ -661,6 +663,28 @@ class Scheduler:
             else:
                 slot.admit_tokens = req.prompt_tokens
                 slot.resuming = False
+            if self.paged:
+                matched = 0
+                if not slot.resuming and self._prefix_cacheable(slot):
+                    # automatic prefix caching: a cached full-page prefix
+                    # of the prompt maps read-only shared pages and skips
+                    # their prefill entirely (always leaving >= 1 token so
+                    # the final chunk produces first-token logits)
+                    matched = self.alloc.match_prefix(b, slot.admit_tokens)
+                    if matched:
+                        slot.pos = matched
+                        slot.admit_i = matched
+                # map the page the first prefill chunk writes into
+                self.alloc.grow(b, min(self.cfg.max_seq_len, matched + 1))
+
+    def _prefix_cacheable(self, slot: _Slot) -> bool:
+        """Prefix pages are shared READ-ONLY, so only lanes that can never
+        enter the ring regime (which rewrites early pages in place) may map
+        or publish them."""
+        req = slot.request
+        return (req is not None
+                and len(slot.admit_tokens) + req.max_new_tokens + 1
+                <= self.cfg.max_seq_len)
 
     # -- paged lazy growth / preemption --------------------------------
     def _preempt(self, b: int) -> None:
@@ -718,6 +742,11 @@ class Scheduler:
                                 lp: float | None = None) -> None:
         slot.admitting = False
         slot.last_token = first
+        if self.paged and not slot.resuming and self._prefix_cacheable(slot):
+            # the prompt's full pages are completely written now: publish
+            # them for future identical prefixes
+            self.alloc.register_prefix(self.slots.index(slot),
+                                       slot.admit_tokens)
         if self.spec:
             self._spec_hydrate(slot)
         if self._emit_checked(slot, first, lp):

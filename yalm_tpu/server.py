@@ -253,6 +253,10 @@ def make_handler(engine: ServingEngine):
                     al = engine.sched.alloc
                     lines.append("# TYPE yalm_pages_free gauge")
                     lines.append(f"yalm_pages_free {al.n_free}")
+                    for k, v in al.prefix_stats.items():
+                        lines.append(
+                            f"# TYPE yalm_prefix_cache_{k}_total counter")
+                        lines.append(f"yalm_prefix_cache_{k}_total {v}")
                 body = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type",

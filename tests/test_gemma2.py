@@ -51,10 +51,9 @@ def test_fast_supported_and_gates(ckpt):
     from yalm_tpu.parallel.pipeline import pp_supported
     from yalm_tpu.parallel.ring import ring_supported
     assert fast_tp_supported(cfg, 2)
-    # ring/pp bodies don't implement the Gemma2 features yet: must refuse
-    # rather than silently compute the wrong math
-    assert not ring_supported(cfg, 2)
-    assert not pp_supported(cfg, 2, 16)
+    # every parallel axis carries the Gemma2 features now
+    assert ring_supported(cfg, 2)
+    assert pp_supported(cfg, 2, 16)
 
 
 def test_fast_tp_matches_oracle(ckpt):

@@ -312,3 +312,15 @@ def test_paged_tick_matches_dense_batched(ckpt):
                                      jnp.ones((B,), jnp.int32))
     np.testing.assert_allclose(np.asarray(lp), np.asarray(ld),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_oracle_mesh_shards_gemma_weights(ckpt):
+    """The oracle Megatron pspecs carry the sandwich-norm (and qk-norm)
+    fields, so Weights-level mesh sharding works for Gemma2/3."""
+    from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+    from yalm_tpu.parallel.sharding import shard_weights
+    cfg, path = ckpt
+    w = load_weights(read_yalm(path), cfg)
+    mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
+    sw = shard_weights(w, cfg, mesh)
+    assert sw.layers.pa is not None and sw.layers.pf is not None

@@ -96,3 +96,14 @@ def test_medusa_requires_heads(tmp_path):
     eng = Engine.from_checkpoint(path)
     with pytest.raises(ValueError, match="medusa"):
         list(eng.generate_medusa([1, 7], max_steps=4))
+
+
+def test_medusa_rejects_mesh(tmp_path):
+    import jax
+    from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
+    path = _mk(tmp_path, "mesh", heads=3)
+    mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
+    eng = Engine.from_checkpoint(path, mesh=mesh, kv_dtype=jnp.bfloat16)
+    assert eng.medusa is not None
+    with pytest.raises(ValueError, match="mesh"):
+        list(eng.generate_medusa([1, 7], max_steps=4))

@@ -337,3 +337,38 @@ def test_prefix_cache_ring_regime_opt_out(tmp_path):
     assert len(r.generated) == big
     assert sched.alloc.prefix_stats["registered"] == 0
     assert sched.alloc.prefix_stats["hits"] == 0
+
+
+def test_prefix_cache_admission_rollback_when_match_consumes_evictables(
+        tmp_path):
+    """can_grow's precheck may count evictable cached pages that the prefix
+    match itself re-references; admission must then UN-ADMIT cleanly (back
+    to the queue) instead of raising mid-admission — and the request must
+    still complete once pages free up."""
+    cfg, weights = _weights(tmp_path, seed=124, max_seq_len=64)
+    sched = _pf_sched(cfg, weights, 1 + 3, B=8)      # 3 usable pages
+    p1 = [1] + [5, 9] * 9                            # 19 toks: 2 pages
+    r1 = sched.submit(Request(prompt_tokens=p1, max_new_tokens=3,
+                              temperature=0.0, seed=0))
+    sched.run()
+    # state: 1 full page cached (ref 0, evictable), rest free
+    assert len(sched.alloc.lru) == 1 and len(sched.alloc.free) == 2
+
+    p3 = [1] + [7, 11] * 9                           # different prefix
+    r3 = sched.submit(Request(prompt_tokens=p3, max_new_tokens=20,
+                              temperature=0.0, seed=1))  # 3 pages worst case
+    for _ in range(10):                              # admit p3 (2 pages)
+        sched.step()
+        if sched.n_active == 1 and not any(s.admitting for s in sched.slots):
+            break
+    assert not sched.queue and sched.n_active == 1
+    assert len(sched.alloc.free) == 0                # both free pages taken
+
+    r1b = sched.submit(Request(prompt_tokens=p1, max_new_tokens=3,
+                               temperature=0.0, seed=0))
+    sched.step()   # match maps the lru page, grow can't get a tail page ->
+    sched.step()   # clean rollback to the queue, NOT a RuntimeError
+    assert not r1b.done and not r1b.error
+    sched.run()    # p3 finishes, pages free, r1b completes
+    assert r1b.generated == r1.generated
+    assert all(r == 0 for r in sched.alloc.ref.values())

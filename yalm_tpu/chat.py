@@ -88,6 +88,10 @@ def render_gemma(messages: Sequence[dict]) -> str:
             sys_txt = ""
         name = "model" if role == "assistant" else "user"
         parts.append(f"<start_of_turn>{name}\n{content}<end_of_turn>\n")
+    if sys_txt:
+        # system content with no user turn after it still conditions the
+        # model (as its own user turn; Gemma has no system role)
+        parts.append(f"<start_of_turn>user\n{sys_txt}<end_of_turn>\n")
     parts.append("<start_of_turn>model\n")
     return "".join(parts)
 

@@ -539,7 +539,13 @@ def load_weights(model_files: list[str], dtype_str: str, md: dict[str, str],
 
     tensors["model.norm.weight"] = norm(weights["model.norm.weight"])
     # Tied checkpoints may omit the flag entirely (HF's base default is
-    # True — Gemma relies on it), so key on the tensor's presence too.
+    # True — Gemma relies on it): tensor absence then means tied. But a
+    # config that EXPLICITLY says untied with no lm_head tensor is a broken
+    # checkpoint (e.g. a truncated shard) — silently reusing the embedding
+    # would produce wrong logits for every token.
+    if tie_word_embeddings is False and "lm_head.weight" not in weights:
+        raise ValueError("config says tie_word_embeddings=false but "
+                         "lm_head.weight is missing from the shards")
     if not tie_word_embeddings and "lm_head.weight" in weights:
         put_head("model.output.weight", weights["lm_head.weight"])
     # (tied embeddings: the loader falls back to model.embed.weight, like
@@ -565,7 +571,8 @@ def convert(hf_dir: str, output: str, dtype: str = "fp16") -> None:
     md = normalize_config(config, dtype)
     tokens = load_tokens(tokenizer_path, int(md["vocab_size"]))
     merges, added, pretok = load_merges(tokenizer_path, tokens)
-    tensors = load_weights(model_files, dtype, md, bool(config.get("tie_word_embeddings", False)))
+    tensors = load_weights(model_files, dtype, md,
+                           config.get("tie_word_embeddings"))
     # Tokenizer tensors go last to keep model tensors aligned at the front.
     tensors["tokenizer.tokens"] = pack_tokens(tokens)
     if merges is not None:

@@ -817,6 +817,10 @@ class Engine:
         if mw is None:
             raise ValueError("checkpoint has no medusa heads "
                              "(metadata medusa_heads)")
+        if self.mesh is not None:
+            raise ValueError("medusa speculation on a mesh engine is not "
+                             "supported yet (the sharded prefill has no "
+                             "all_h mode)")
         cfg = self.cfg
         stats = {"rounds": 0, "accepted": 0, "proposed": 0, "plain": 0}
         self._spec_stats = stats

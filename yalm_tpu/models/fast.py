@@ -384,9 +384,24 @@ def _layer_alt(cfg: ModelConfig, i):
     """Gemma3 dual-rope selector: the sliding flag doubles as the local-
     theta flag (HF Gemma3: sliding layers use rope_local_base_freq). None
     unless the packed rope kind is "gemma3" (ops/core.rope_pair_freqs)."""
-    if not (cfg.rope_scale and cfg.rope_scale[0] == "gemma3"):
+    if not (cfg.rope_scale and cfg.rope_scale[0] == "gemma3") \
+            or not any(cfg.layer_sliding):
+        # no sliding layers -> no layer ever uses the local theta
         return None
     return jnp.asarray(cfg.layer_sliding, jnp.int32)[i]
+
+
+def _sliding_mask_fn(cfg: ModelConfig, positions, att_mask, S: int):
+    """Per-layer attention-mask selector for the jnp chunk paths: returns
+    mask_of(i) -> the layer's mask — att_mask on global layers, att_mask
+    further bounded by the sliding window on sliding layers. positions may
+    be (T,) or (B, T); att_mask broadcasts accordingly."""
+    if not any(cfg.layer_sliding):
+        return lambda i: att_mask
+    sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+    slide = att_mask & (positions[..., None] - jnp.arange(S)
+                        < cfg.sliding_window)
+    return lambda i: jnp.where(sl_flags[i] != 0, slide, att_mask)
 
 
 def _post_norm(delta, w_all, i, eps):
@@ -855,12 +870,7 @@ def prefill_fast(
     valid = jnp.arange(T) < valid_len
     att_mask = jnp.arange(S)[None, :] <= positions[:, None]
     # sliding layers: no ring during prefill, slot index IS the position
-    if any(cfg.layer_sliding):
-        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-        slide_mask = att_mask & (positions[:, None] - jnp.arange(S)[None, :]
-                                 < cfg.sliding_window)
-    else:
-        sl_flags = None
+    mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
 
     def proj(x, w):
         return jax.lax.dot_general(
@@ -924,10 +934,8 @@ def prefill_fast(
             # visible history for this chunk (attend_len contract)
             kc = jax.lax.dynamic_slice(k_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
             vc = jax.lax.dynamic_slice(v_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
-            mask_l = att_mask if sl_flags is None else jnp.where(
-                sl_flags[i] != 0, slide_mask, att_mask)
             mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc,
-                                      mask_l)
+                                      mask_of(i))
             x = x + _post_norm(
                 _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
                         sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
@@ -1134,13 +1142,7 @@ def _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len, enable,
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
     att_mask = jnp.arange(S_att)[None, None, :] <= positions[:, :, None]
-    if any(cfg.layer_sliding):
-        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-        slide_mask = att_mask & (
-            positions[:, :, None] - jnp.arange(S_att)[None, None, :]
-            < cfg.sliding_window)
-    else:
-        sl_flags = None
+    mask_of = _sliding_mask_fn(cfg, positions, att_mask, S_att)
 
     x = fw.embed[tokens].astype(jnp.float32)                    # (B, T, dim)
     if cfg.embed_scale != 1.0:
@@ -1208,10 +1210,8 @@ def _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len, enable,
         v_all = jax.lax.dynamic_update_slice(
             v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
 
-        mask_l = att_mask if sl_flags is None else jnp.where(
-            sl_flags[i] != 0, slide_mask, att_mask)
         mixed = attend(q.reshape(B, T, Hk, qpk, D), kc_i[:, :S_att],
-                       vc_i[:, :S_att], mask_l)
+                       vc_i[:, :S_att], mask_of(i))
         x = x + _post_norm(
             _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
@@ -1350,12 +1350,7 @@ def prefill_fast_paged(
     positions = pos0 + jnp.arange(T)
     valid = jnp.arange(T) < valid_len
     att_mask = jnp.arange(S)[None, :] <= positions[:, None]
-    if any(cfg.layer_sliding):
-        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-        slide_mask = att_mask & (positions[:, None] - jnp.arange(S)[None, :]
-                                 < cfg.sliding_window)
-    else:
-        sl_flags = None
+    mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
 
     def clip(a):
         if math.isinf(cfg.qkv_clip):
@@ -1411,9 +1406,8 @@ def prefill_fast_paged(
         # lane view for this layer: gather mapped pages -> (S, Hk, D)
         kc = kp[table_b, i].reshape(S, Hk, D)
         vc = vp[table_b, i].reshape(S, Hk, D)
-        mask_l = att_mask if sl_flags is None else jnp.where(
-            sl_flags[i] != 0, slide_mask, att_mask)
-        mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc, mask_l)
+        mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc,
+                                  mask_of(i))
         x = x + _post_norm(
             _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
@@ -1467,13 +1461,7 @@ def verify_chunk_fast_batched_paged(
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
     att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
-    if any(cfg.layer_sliding):
-        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-        slide_mask = att_mask & (
-            positions[:, :, None] - jnp.arange(S)[None, None, :]
-            < cfg.sliding_window)
-    else:
-        sl_flags = None
+    mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
     blk = positions // page_size
     row = positions % page_size
     pages = jnp.take_along_axis(tables, blk, axis=1)            # (B, T)
@@ -1532,9 +1520,7 @@ def verify_chunk_fast_batched_paged(
 
         kc = kp[tables, i].reshape(B, S, Hk, D)
         vc = vp[tables, i].reshape(B, S, Hk, D)
-        mask_l = att_mask if sl_flags is None else jnp.where(
-            sl_flags[i] != 0, slide_mask, att_mask)
-        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc, vc, mask_l)
+        mixed = attend(q.reshape(B, T, Hk, qpk, D), kc, vc, mask_of(i))
         x = x + _post_norm(
             _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)

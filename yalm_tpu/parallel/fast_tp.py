@@ -44,7 +44,7 @@ from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
 from ..models.fast import (FastScales, FastWeights, _cap_logits, _layer_alt,
                            _layer_win, _post_norm, _proj1_l, _proj_l,
-                           _softcap_scores,
+                           _sliding_mask_fn, _softcap_scores,
                            _qk_norm, is_int4)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
@@ -438,13 +438,7 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]
-        if any(cfg.layer_sliding):
-            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-            slide_mask = att_mask & (
-                positions[:, None] - jnp.arange(S)[None, :]
-                < cfg.sliding_window)
-        else:
-            sl_flags = None
+        mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
 
         def attend_chunk_bf16(q4, kc, vc, mask):
             scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
@@ -488,10 +482,8 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 (i, pos0, 0, 0))
             kc = jax.lax.dynamic_index_in_dim(k_all, i, keepdims=False)
             vc = jax.lax.dynamic_index_in_dim(v_all, i, keepdims=False)
-            mask_l = att_mask if sl_flags is None else jnp.where(
-                sl_flags[i] != 0, slide_mask, att_mask)
             mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc,
-                                      mask_l)
+                                      mask_of(i))
             x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp"),
@@ -738,13 +730,7 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
         p0 = jnp.where(enable != 0, pos0, 0)
         positions = p0[:, None] + jnp.arange(T)[None, :]        # (B_l, T)
         att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
-        if any(cfg.layer_sliding):
-            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-            slide_mask = att_mask & (
-                positions[:, :, None] - jnp.arange(S)[None, None, :]
-                < cfg.sliding_window)
-        else:
-            sl_flags = None
+        mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
 
         x = _embed_psum(fw.embed, tokens.reshape(-1), V_l,
                         sc.embed if sc is not None else None)   # (B_l*T, dim)
@@ -800,10 +786,8 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
             v_all = jax.lax.dynamic_update_slice(
                 v_all, vc_i[:, None].astype(v_all.dtype), (0, i, 0, 0, 0))
 
-            mask_l = att_mask if sl_flags is None else jnp.where(
-                sl_flags[i] != 0, slide_mask, att_mask)
             mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc_i, vc_i,
-                           mask_l)
+                           mask_of(i))
             x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp"),
@@ -873,13 +857,7 @@ def make_verify_chunk_paged_fast_tp(cfg: ModelConfig, mesh: Mesh,
         p0 = jnp.where(enable != 0, pos0, 0)
         positions = p0[:, None] + jnp.arange(T)[None, :]        # (B_l, T)
         att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
-        if any(cfg.layer_sliding):
-            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-            slide_mask = att_mask & (
-                positions[:, :, None] - jnp.arange(S)[None, None, :]
-                < cfg.sliding_window)
-        else:
-            sl_flags = None
+        mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
         blk = positions // page_size
         row = positions % page_size
         pages = jnp.take_along_axis(tables, blk, axis=1)        # (B_l, T)
@@ -930,9 +908,8 @@ def make_verify_chunk_paged_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 v.reshape(B_l * T, Hk_l, D).astype(vp.dtype))
             kc = kp[tables, i].reshape(B_l, S, Hk_l, D)
             vc = vp[tables, i].reshape(B_l, S, Hk_l, D)
-            mask_l = att_mask if sl_flags is None else jnp.where(
-                sl_flags[i] != 0, slide_mask, att_mask)
-            mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc, vc, mask_l)
+            mixed = attend(q.reshape(B_l, T, Hk_l, qpk, D), kc, vc,
+                           mask_of(i))
             x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(B_l * T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp"),
@@ -1125,13 +1102,7 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
         positions = pos0 + jnp.arange(T)
         valid = jnp.arange(T) < valid_len
         att_mask = jnp.arange(S)[None, :] <= positions[:, None]
-        if any(cfg.layer_sliding):
-            sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
-            slide_mask = att_mask & (
-                positions[:, None] - jnp.arange(S)[None, :]
-                < cfg.sliding_window)
-        else:
-            sl_flags = None
+        mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
 
         def attend_chunk_bf16(q4, kc, vc, mask):
             scores = jnp.einsum("tgqd,lgd->gqtl", q4.astype(jnp.bfloat16),
@@ -1180,10 +1151,8 @@ def make_prefill_paged_fast_tp(cfg: ModelConfig, mesh: Mesh, page_size: int,
 
             kc = kp[table_b, i].reshape(S, Hk_l, D)
             vc = vp[table_b, i].reshape(S, Hk_l, D)
-            mask_l = att_mask if sl_flags is None else jnp.where(
-                sl_flags[i] != 0, slide_mask, att_mask)
             mixed = attend_chunk_bf16(q.reshape(T, Hk_l, qpk, D), kc, vc,
-                                      mask_l)
+                                      mask_of(i))
             x = x + _post_norm(jax.lax.psum(
                 _proj_l(mixed.reshape(T, q_l), fw.wo, i,
                        sc.wo if sc is not None else None), "tp"),

@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
 from ..models.fast import (FastScales, FastWeights, _cap_logits,
-                           _post_norm, _qk_norm)
+                           _layer_alt, _layer_win, _post_norm, _qk_norm)
+from ..ops.core import act_fn
 from ..models.weights import Weights
 from ..ops.core import rmsnorm
 from ..ops.pallas.attention import attend_step_batched_l
@@ -147,7 +148,6 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                 k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
                 v = qkv[:, cfg.q_dim + cfg.kv_dim:]
                 q, k = _qk_norm(q, k, fw, i, cfg)
-                from ..models.fast import _layer_alt, _layer_win
                 mixed, kc, vc = attend_step_batched_l(
                     q.reshape(Bm, Hk, qpk, D), k.reshape(Bm, Hk, D),
                     v.reshape(Bm, Hk, D), kc, vc, i, kv_pos, kv_len,
@@ -163,7 +163,6 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                               sc.w13 if sc else None, sc.w2 if sc else None,
                               norm_eps=cfg.norm_eps, act=cfg.act_type)
                 else:
-                    from ..ops.core import act_fn
                     xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                         fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
                     h13 = gemm_l(xb2, fw.w13, i, sc.w13 if sc else None)

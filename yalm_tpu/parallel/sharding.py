@@ -43,6 +43,12 @@ def weight_pspecs(cfg: ModelConfig) -> Weights:
         bq=P(None, "tp") if cfg.has_qkv_bias else None,
         bk=P(None, "tp") if cfg.has_qkv_bias else None,
         bv=P(None, "tp") if cfg.has_qkv_bias else None,
+        # per-head-dim q/k norms replicate (shared by all heads)
+        qn=P(None, None) if cfg.has_qk_norm else None,
+        kn=P(None, None) if cfg.has_qk_norm else None,
+        # sandwich norms act on the full-width delta -> replicate
+        pa=P(None, None) if cfg.has_post_norms else None,
+        pf=P(None, None) if cfg.has_post_norms else None,
     )
     return Weights(
         embed=P("tp", None),

@@ -674,7 +674,17 @@ class Scheduler:
                     if matched:
                         slot.pos = matched
                         slot.admit_i = matched
-                # map the page the first prefill chunk writes into
+                # map the page the first prefill chunk writes into. The
+                # earlier can_grow check may have counted evictable cached
+                # pages that the match itself just re-referenced — re-check
+                # and UN-ADMIT cleanly instead of raising mid-admission.
+                if not self.alloc.can_grow(
+                        b, min(self.cfg.max_seq_len, matched + 1)):
+                    self.alloc.release(b)   # drops the matched refs
+                    slot.request = None
+                    slot.admitting = False
+                    self.queue.insert(0, req)
+                    continue
                 self.alloc.grow(b, min(self.cfg.max_seq_len, matched + 1))
 
     def _prefix_cacheable(self, slot: _Slot) -> bool:
@@ -952,6 +962,8 @@ class Scheduler:
             slot.admit_i += take
             if slot.admit_i >= len(slot.admit_tokens):
                 if slot.resuming:
+                    # defensive: resume points only exist in paged mode,
+                    # where batched admission is currently disabled
                     self._finish_resume(slot)
                 else:
                     self._finish_admission(slot, out[b])

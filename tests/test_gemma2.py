@@ -324,3 +324,25 @@ def test_oracle_mesh_shards_gemma_weights(ckpt):
     mesh = make_mesh(MeshConfig(tp=2), devices=jax.devices()[:2])
     sw = shard_weights(w, cfg, mesh)
     assert sw.layers.pa is not None and sw.layers.pf is not None
+
+
+def test_scheduler_lookup_spec_gemma2(ckpt):
+    """Scheduler-level prompt-lookup speculation on a Gemma2 config: the
+    verify sweep carries softcaps/sliding/sandwich norms, so spec streams
+    must equal the plain scheduler's."""
+    from yalm_tpu.scheduler import Request, Scheduler
+    cfg, path = ckpt
+    weights = load_weights(read_yalm(path), cfg)
+
+    def run(**kw):
+        s = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16, **kw)
+        reqs = [s.submit(Request(prompt_tokens=[1, 5 + i, 9, 5 + i, 9],
+                                 max_new_tokens=8, temperature=0.0, seed=i))
+                for i in range(6)]
+        s.run()
+        return s, [r.generated for r in reqs]
+
+    _, want = run()
+    s2, got = run(spec_lookup=True, spec_k=3)
+    assert got == want
+    assert s2.spec_stats["rounds"] >= 1

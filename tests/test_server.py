@@ -343,3 +343,34 @@ def test_server_main_mesh_flag(tmp_path, monkeypatch):
     eng = built["engine"]
     assert eng.sched.mesh is not None
     assert dict(eng.sched.mesh.shape) == {"dp": 4, "ep": 1, "tp": 2}
+
+
+def test_rejected_submission_returns_error(tmp_path):
+    """A request invalid for the scheduler config (sampling on a
+    spec-lookup scheduler) must return an error response, not an empty
+    200 'stop' completion — and must count in the failure metrics."""
+    import urllib.error
+    path = str(tmp_path / "spec.yalm")
+    from test_fast_path import fast_config
+    synth_checkpoint(path, fast_config(max_seq_len=128), seed=9)
+    engine = ServingEngine.from_checkpoint(path, batch=8,
+                                           spec_lookup=True)
+    httpd = serve(engine, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/completions",
+                  {"prompt": "x", "max_tokens": 4, "temperature": 0.9})
+        assert ei.value.code == 400
+        assert "greedy" in json.loads(ei.value.read())["error"]
+        # greedy requests still work on the same server
+        _, body = _post(base + "/v1/completions",
+                        {"prompt": "x", "max_tokens": 4, "temperature": 0.0})
+        assert json.loads(body)["choices"][0]["text"] is not None
+        assert engine.metrics["requests_failed_total"] == 1
+    finally:
+        httpd.shutdown()
+        engine.close()

@@ -119,6 +119,8 @@ class ServingEngine:
                         # in speculative mode): fail only this request
                         req.error = str(e)
                         req.done = True
+                        self.metrics["requests_total"] += 1
+                        self.metrics["requests_failed_total"] += 1
                         out_q.put(_SENTINEL)
                     moved = True
             except queue.Empty:
@@ -358,6 +360,13 @@ def make_handler(engine: ServingEngine):
                                     req.cancelled = True
                         prev = int(item)
                     out = b"".join(text).decode("utf-8", errors="replace")
+                    if req.error:
+                        # failed request (rejected submission, poisoned
+                        # callback, device error): an honest error beats an
+                        # empty 200 "stop" completion
+                        self._json(400 if not req.generated else 500,
+                                   {"error": req.error})
+                        return
                     for ss in stop_strings:  # trim stop markers
                         cut = out.find(ss)
                         if cut >= 0:
@@ -509,6 +518,9 @@ def make_handler(engine: ServingEngine):
                 flush(hold)
             if not stopped:
                 flush(0)
+            if req.error:
+                chunk(b"data: " + json.dumps({"error": req.error}).encode()
+                      + b"\n\n")
             chunk(b"data: [DONE]\n\n")
             chunk(b"")  # terminal chunk
 

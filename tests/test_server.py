@@ -374,3 +374,30 @@ def test_rejected_submission_returns_error(tmp_path):
     finally:
         httpd.shutdown()
         engine.close()
+
+
+def test_top_logprobs(server):
+    """OpenAI top-N: completions `logprobs: 3` returns per-token dicts of
+    the 3 best alternatives; chat `top_logprobs: 2` the chat shape. The
+    sampled token's own logprob appears among (or above) its tops."""
+    base, _ = server
+    _, body = _post(base + "/v1/completions",
+                    {"prompt": "hello", "max_tokens": 4,
+                     "temperature": 0.0, "logprobs": 3})
+    lp = json.loads(body)["choices"][0]["logprobs"]
+    assert len(lp["top_logprobs"]) == 4
+    for i, d in enumerate(lp["top_logprobs"]):
+        assert 1 <= len(d) <= 3      # token-string collisions may merge
+        best = max(d.values())
+        # greedy: the emitted token IS the best alternative
+        assert lp["token_logprobs"][i] == pytest.approx(best, abs=1e-4)
+
+    _, body = _post(base + "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "hi"}],
+                     "max_tokens": 3, "temperature": 0.0,
+                     "logprobs": True, "top_logprobs": 2})
+    content = json.loads(body)["choices"][0]["logprobs"]["content"]
+    for e in content:
+        assert len(e["top_logprobs"]) == 2
+        assert e["logprob"] == pytest.approx(
+            max(t["logprob"] for t in e["top_logprobs"]), abs=1e-4)

@@ -40,36 +40,55 @@ from .sampler import sample_ext
 from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
-def _sample_pack(logits, seeds, positions, temps, topks, topps):
-    """Batched sample + OpenAI logprob, packed into ONE (2, B) f32 array so
-    the host fetches a single tiny buffer per tick (each host fetch costs a
-    full tunnel RTT; token ids are exact in f32 — vocab < 2^24). Row 0:
-    sampled ids; row 1: log-prob of the sampled token under the FULL
-    (temperature-independent) distribution."""
+def _sample_pack(logits, seeds, positions, temps, topks, topps,
+                 topn: int = 0):
+    """Batched sample + OpenAI logprob, packed into ONE (2 [+ 2*topn], B)
+    f32 array so the host fetches a single tiny buffer per tick (each host
+    fetch costs a full tunnel RTT; token ids are exact in f32 — vocab <
+    2^24). Row 0: sampled ids; row 1: log-prob of the sampled token under
+    the FULL (temperature-independent) distribution; rows 2..2+topn: the
+    top-topn alternative ids, then their log-probs (OpenAI top_logprobs)."""
     keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
         seeds, positions)
     nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
     lg = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)
     lp = jnp.take_along_axis(
-        lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] \
-        - jax.scipy.special.logsumexp(lg, axis=-1)
-    return jnp.stack([nxt.astype(jnp.float32), lp])
+        lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
+    rows = [nxt.astype(jnp.float32), lp]
+    if topn:
+        tv, ti = jax.lax.top_k(lg, topn)                 # (B, topn)
+        rows += list(ti.astype(jnp.float32).T) + list((tv - lse[:, None]).T)
+    return jnp.stack(rows)
 
 
-def _unpack_sample(packed) -> tuple[np.ndarray, np.ndarray]:
+def _unpack_sample(packed, topn: int = 0):
     arr = np.asarray(packed)  # the one host fetch of the tick
-    return arr[0].astype(np.int32), arr[1]
+    nxt, lps = arr[0].astype(np.int32), arr[1]
+    if not topn:
+        return nxt, lps, None
+    tops = [list(zip(arr[2 + k].astype(np.int32), arr[2 + topn + k]))
+            for k in range(topn)]
+    # per-lane list of (id, lp) pairs: tops[k][b] -> lane b's k-th best
+    per_lane = [[(int(tops[k][b][0]), float(tops[k][b][1]))
+                 for k in range(topn)] for b in range(arr.shape[1])]
+    return nxt, lps, per_lane
 
 
-@jax.jit
-def _sample1_pack(logits, seed, pos, temp, topk, topp):
+@partial(jax.jit, static_argnames=("topn",))
+def _sample1_pack(logits, seed, pos, temp, topk, topp, topn: int = 0):
     """Single-lane variant of _sample_pack (admission's first token):
-    sample + logprob in one jitted dispatch, one (2,) f32 fetch."""
+    sample + logprob(s) in one jitted dispatch, one small f32 fetch."""
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
     nxt = sample_ext(logits, key, temp, topk, topp)
     lg = logits.astype(jnp.float32)
-    lp = lg[nxt] - jax.scipy.special.logsumexp(lg)
-    return jnp.stack([nxt.astype(jnp.float32), lp])
+    lse = jax.scipy.special.logsumexp(lg)
+    rows = [nxt.astype(jnp.float32), lg[nxt] - lse]
+    if topn:
+        tv, ti = jax.lax.top_k(lg, topn)
+        rows += [ti.astype(jnp.float32), tv - lse]
+    return jnp.stack(rows) if not topn else (
+        jnp.concatenate([jnp.stack(rows[:2]), rows[2], rows[3]]))
 
 
 @jax.jit
@@ -107,6 +126,9 @@ class Request:
     # natural log-prob of each generated token under the model's FULL
     # (temperature-independent) distribution — OpenAI `logprobs` semantics
     logprobs: list[float] = dataclasses.field(default_factory=list)
+    # per-token top-N alternatives [(token_id, logprob), ...] when the
+    # scheduler was built with top_logprobs=N (OpenAI top_logprobs)
+    top_logprobs: list[list] = dataclasses.field(default_factory=list)
     done: bool = False
     error: Optional[str] = None   # set when the request failed (isolation)
     on_token: Optional[Callable[[int], None]] = None
@@ -115,9 +137,10 @@ class Request:
     # from last_token (scheduler._preempt / _advance_admission)
     _resume: Optional[tuple[list[int], int]] = None
 
-    def _emit(self, tok: int, lp: float | None = None) -> None:
+    def _emit(self, tok: int, lp: float | None = None, top=None) -> None:
         self.generated.append(tok)
         self.logprobs.append(float(lp) if lp is not None else float("nan"))
+        self.top_logprobs.append(top if top is not None else [])
         if self.on_token:
             self.on_token(tok)
 
@@ -162,6 +185,7 @@ class Scheduler:
         spec_lookup: bool = False,
         spec_ngram: int = 3,
         batched_admission: bool = False,
+        top_logprobs: int = 0,
     ):
         """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
         shard over `dp`, heads/hidden/cache-kv-heads over `tp`, MoE experts
@@ -217,6 +241,11 @@ class Scheduler:
                              "exclusive proposal sources")
         self.spec = spec_draft is not None or self.spec_lookup
         self.spec_k = int(spec_k)
+        self.topn = int(top_logprobs)
+        if self.topn and self.spec:
+            raise ValueError("top_logprobs with speculative modes is not "
+                             "supported (verify rounds fetch compact "
+                             "accept/reject stats, not top-N tables)")
         if self.spec and cfg.is_moe:
             raise ValueError("speculative scheduler mode: dense models only")
         if self.spec and mesh is not None:
@@ -318,7 +347,7 @@ class Scheduler:
                 logits, pool = _ptick(w, tokens, positions, pool, tables,
                                       write_mask)
                 packed = _sample_pack(logits, seeds, positions, temps,
-                                      topks, topps)
+                                      topks, topps, self.topn)
                 return packed, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
@@ -342,7 +371,7 @@ class Scheduler:
                     cfg, w, tokens, positions, pool, tables, write_mask,
                     page_size=ps)
                 packed = _sample_pack(logits, seeds, positions, temps,
-                                      topks, topps)
+                                      topks, topps, self.topn)
                 # logits returned too: ring-regime admission samples the
                 # first token OUTSIDE the tick with the same key math as the
                 # dense path (_finish_admission folds at the post-increment
@@ -437,7 +466,7 @@ class Scheduler:
             logits, cache = _batched_logits(w, tokens, positions, cache,
                                             write_mask)
             packed = _sample_pack(logits, seeds, positions, temps,
-                                  topks, topps)
+                                  topks, topps, self.topn)
             return packed, cache
 
         if batched_admission and self.fast and mesh is None \
@@ -744,12 +773,17 @@ class Scheduler:
         packed = np.asarray(_sample1_pack(
             logits, jnp.int32(req.seed), jnp.int32(slot.pos),
             jnp.float32(req.temperature), jnp.int32(req.top_k),
-            jnp.float32(req.top_p)))
+            jnp.float32(req.top_p), topn=self.topn))
         first, lp = int(packed[0]), float(packed[1])
-        self._finish_admission_token(slot, first, lp)
+        top = None
+        if self.topn:
+            ids = packed[2:2 + self.topn].astype(np.int32).tolist()
+            lls = packed[2 + self.topn:].tolist()
+            top = [(int(i), float(l)) for i, l in zip(ids, lls)]
+        self._finish_admission_token(slot, first, lp, top)
 
     def _finish_admission_token(self, slot: _Slot, first: int,
-                                lp: float | None = None) -> None:
+                                lp: float | None = None, top=None) -> None:
         slot.admitting = False
         slot.last_token = first
         if self.paged and not slot.resuming and self._prefix_cacheable(slot):
@@ -759,7 +793,7 @@ class Scheduler:
                                        slot.admit_tokens)
         if self.spec:
             self._spec_hydrate(slot)
-        if self._emit_checked(slot, first, lp):
+        if self._emit_checked(slot, first, lp, top):
             self._maybe_finish(slot, first)
 
     def _spec_hydrate(self, slot: _Slot) -> None:
@@ -994,11 +1028,11 @@ class Scheduler:
             self.alloc.release(self.slots.index(slot))
 
     def _emit_checked(self, slot: _Slot, tok: int,
-                      lp: float | None = None) -> bool:
+                      lp: float | None = None, top=None) -> bool:
         """Emit a token to a request, failing only that request if its
         callback raises. Returns False when the slot was failed."""
         try:
-            slot.request._emit(tok, lp)
+            slot.request._emit(tok, lp, top)
             return True
         except Exception as e:  # noqa: BLE001 — isolate the poisoned request
             self._fail_slot(slot, e)
@@ -1088,14 +1122,15 @@ class Scheduler:
                 packed, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, seeds,
                     temps, write, topks, topps)
-            nxt, lps = _unpack_sample(packed)
+            nxt, lps, tops = _unpack_sample(packed, self.topn)
             for b, slot in enumerate(self.slots):
                 if not slot.decoding:
                     continue
                 tok = int(nxt[b])
                 slot.pos += 1
                 slot.last_token = tok
-                if self._emit_checked(slot, tok, float(lps[b])):
+                if self._emit_checked(slot, tok, float(lps[b]),
+                                      tops[b] if tops else None):
                     self._maybe_finish(slot, tok)
         return sum(not s.free for s in self.slots)
 
@@ -1206,7 +1241,7 @@ class Scheduler:
                 packed, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, zeros_i,
                     zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
-            nxt, lps = _unpack_sample(packed)
+            nxt, lps, _ = _unpack_sample(packed)
             for b in plain:
                 s = self.slots[b]
                 tok = int(nxt[b])

@@ -42,7 +42,8 @@ class ServingEngine:
                  chat_template: str = "chatml",
                  paged_pages: int = 0, page_size: int = 256,
                  mesh=None, spec_draft=None, spec_k: int = 4,
-                 spec_lookup: bool = False, spec_ngram: int = 3):
+                 spec_lookup: bool = False, spec_ngram: int = 3,
+                 top_logprobs: int = 5):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -59,7 +60,13 @@ class ServingEngine:
                                spec_ngram=spec_ngram,
                                # serving optimizes TTFT under load: all
                                # admitting lanes hydrate in one weight sweep
-                               batched_admission=True)
+                               batched_admission=True,
+                               # OpenAI top-N logprobs ride the tick's one
+                               # packed fetch (spec modes fetch compact
+                               # accept stats instead — no top-N there)
+                               top_logprobs=(0 if (spec_draft is not None
+                                                   or spec_lookup)
+                                             else top_logprobs))
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         # serving counters for /metrics (observability beyond the
@@ -320,7 +327,15 @@ def make_handler(engine: ServingEngine):
                 # scheduler lanes (they share every weight sweep, so n
                 # choices cost ~one at the batched-tick roofline).
                 n_choices = int(body.get("n", 1))
-                want_logprobs = bool(body.get("logprobs"))
+                lgp = body.get("logprobs")
+                want_logprobs = bool(lgp)
+                if chat:
+                    n_top = int(body.get("top_logprobs", 0) or 0)
+                else:
+                    # completions API: `logprobs` IS the top-N count
+                    n_top = (int(lgp) if isinstance(lgp, int)
+                             and not isinstance(lgp, bool) else 0)
+                n_top = max(0, min(n_top, engine.sched.topn))
                 if not 1 <= n_choices <= 8:
                     raise ValueError("n must be between 1 and 8")
                 if stream and n_choices != 1:
@@ -397,19 +412,40 @@ def make_handler(engine: ServingEngine):
                                 pv, tk).decode("utf-8", errors="replace"))
                             pv = tk
                         lps = [round(x, 6) for x in req.logprobs]
+
+                        def top_at(i, prev_tok):
+                            # decode each alternative with the SAME left
+                            # context as the emitted token
+                            return [
+                                (engine.tokenizer.decode_one(prev_tok, t)
+                                 .decode("utf-8", errors="replace"),
+                                 round(l, 6))
+                                for t, l in (req.top_logprobs[i][:n_top]
+                                             if i < len(req.top_logprobs)
+                                             else [])]
+
+                        prevs = [req.prompt_tokens[-1] if req.prompt_tokens
+                                 else engine.cfg.bos_token_id] \
+                            + list(req.generated[:-1])
                         if chat:
                             # chat API shape: {content: [{token, logprob,
                             # bytes, top_logprobs}]}
                             choice["logprobs"] = {"content": [
                                 {"token": s, "logprob": l,
                                  "bytes": list(s.encode("utf-8")),
-                                 "top_logprobs": []}
-                                for s, l in zip(pieces, lps)]}
+                                 "top_logprobs": [
+                                     {"token": ts, "logprob": tl,
+                                      "bytes": list(ts.encode("utf-8"))}
+                                     for ts, tl in top_at(i, prevs[i])]
+                                 if n_top else []}
+                                for i, (s, l) in enumerate(zip(pieces, lps))]}
                         else:
                             choice["logprobs"] = {
                                 "tokens": pieces,
                                 "token_logprobs": lps,
-                                "top_logprobs": None,
+                                "top_logprobs": ([dict(top_at(i, prevs[i]))
+                                                  for i in range(len(pieces))]
+                                                 if n_top else None),
                                 "text_offset": None,
                             }
                     choices.append(choice)

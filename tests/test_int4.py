@@ -243,3 +243,130 @@ def test_gemv4_single_row():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     got2 = gemv4(x, packed[1], scales[1])
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
+# ------------------------------------------------- int4 x parallelism matrix
+def _i4big(**over):
+    """Dims whose tp=2 LOCAL shards stay group-aligned (q/tp, h/tp % 512)."""
+    kw = dict(dim=256, hidden_dim=1024, head_dim=128, n_layers=2,
+              n_heads=8, n_kv_heads=4, vocab_size=512,
+              rotary_dim=128, weight_dtype="int4")
+    kw.update(over)
+    return _i4cfg(**kw)
+
+
+def test_int4_moe_tensor_parallel_matches_single(tmp_path):
+    """Routed int4 x TP (and x EP): packed expert rows interleave
+    shard-major per expert, group scales follow; streams match the
+    single-device packed path."""
+    import dataclasses
+    import jax
+    from yalm_tpu.engine import Engine
+    from yalm_tpu.parallel import MeshConfig, make_mesh
+    from yalm_tpu.parallel.fast_tp import fast_tp_supported
+    from yalm_tpu.utils.testing import synth_checkpoint
+    cfg = _i4big(n_experts=4, n_experts_active=2)
+    assert fast_tp_supported(cfg, 2, 1) and fast_tp_supported(cfg, 2, 2)
+    path = str(tmp_path / "moetp4.yalm")
+    synth_checkpoint(path, cfg, seed=37)
+
+    single = Engine.from_checkpoint(path, fast=True)
+    assert single.fast
+    prompt = [1, 9, 4, 7]
+    want = list(single.generate(prompt, max_steps=12, temperature=0.0))
+    for mc in (MeshConfig(tp=2), MeshConfig(tp=2, ep=2)):
+        mesh = make_mesh(mc, devices=jax.devices()[: mc.n_devices])
+        sharded = Engine.from_checkpoint(path, mesh=mesh)
+        assert sharded.fast
+        got = list(sharded.generate(prompt, max_steps=12, temperature=0.0))
+        agree = 0
+        for a, b in zip(got, want):
+            if a != b:
+                break
+            agree += 1
+        assert agree >= 8, (mc, agree, got, want)
+
+
+def test_int4_ring_prefill_matches_single(tmp_path):
+    """int4 x SP ring prefill: the packed group-scale GEMMs run inside the
+    ring body; last-token logits match the single-chip packed prefill."""
+    import jax
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import load_fast_weights, prefill_fast
+    from yalm_tpu.parallel.ring import (make_prefill_ring, ring_supported,
+                                        shard_ring_weights)
+    from yalm_tpu.utils.testing import synth_checkpoint
+    cfg = _i4big()
+    sp, tp = 2, 2
+    assert ring_supported(cfg, sp, tp)
+    path = str(tmp_path / "ring4.yalm")
+    synth_checkpoint(path, cfg, seed=41)
+
+    fw = load_fast_weights(read_yalm(path), cfg)
+    assert fw.wqkv.dtype == jnp.uint8 and fw.scales is not None
+    T = 32
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, T), jnp.int32)
+    lane = KVCache.init(cfg, jnp.bfloat16)
+    want, lane = prefill_fast(cfg, fw, tokens, jnp.int32(0), jnp.int32(T),
+                              lane, logits_mode="last")
+
+    mesh = jax.make_mesh((sp, tp), ("sp", "tp"),
+                         devices=jax.devices()[: sp * tp])
+    rw = shard_ring_weights(
+        load_fast_weights(read_yalm(path), cfg, tp=tp), cfg, mesh)
+    ring = jax.jit(make_prefill_ring(cfg, mesh, with_scales=True))
+    logits, ck, cv = ring(rw, tokens)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert int(jnp.argmax(logits)) == int(jnp.argmax(want))
+    np.testing.assert_allclose(
+        np.asarray(ck, np.float32).reshape(cfg.n_layers, T, -1),
+        np.asarray(lane.k[:, :T], np.float32).reshape(cfg.n_layers, T, -1),
+        rtol=3e-2, atol=3e-2)
+
+
+def test_int4_pp_tick_matches_single(tmp_path):
+    """int4 x PP: layer-axis sharding of the packed stacks + (L, G, N)
+    group scales; the pipelined tick equals the single-device batched
+    tick on the same packed weights."""
+    import jax
+    from yalm_tpu.codec.format import read_yalm
+    from yalm_tpu.models.cache import KVCache
+    from yalm_tpu.models.fast import (decode_step_fast_batched,
+                                      load_fast_weights)
+    from yalm_tpu.parallel.pipeline import (make_tick_pp, pp_supported,
+                                            shard_pp_cache, shard_pp_weights)
+    from yalm_tpu.utils.testing import synth_checkpoint
+    cfg = _i4big(n_layers=4)
+    pp, B = 2, 8
+    assert pp_supported(cfg, pp, B)
+    path = str(tmp_path / "pp4.yalm")
+    synth_checkpoint(path, cfg, seed=43)
+    fw = load_fast_weights(read_yalm(path), cfg)
+    assert fw.wqkv.dtype == jnp.uint8
+
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, B), jnp.int32)
+    positions = jnp.asarray(rng.integers(0, 16, B), jnp.int32)
+    write = jnp.ones((B,), jnp.int32)
+    cache = KVCache.init(cfg, jnp.bfloat16, batch=B)
+    h_tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, B), jnp.int32)
+    _, cache = decode_step_fast_batched(cfg, fw, h_tokens,
+                                        jnp.zeros((B,), jnp.int32), cache,
+                                        write)
+    want, want_cache = decode_step_fast_batched(cfg, fw, tokens, positions,
+                                                cache, write)
+
+    mesh = jax.make_mesh((pp,), ("pp",), devices=jax.devices()[:pp])
+    pw = shard_pp_weights(fw, cfg, mesh)
+    pcache = shard_pp_cache(cache, mesh)
+    tick = jax.jit(make_tick_pp(cfg, mesh, B, with_scales=True))
+    got, got_cache = tick(pw, tokens, positions, pcache, write)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert (np.asarray(got).argmax(-1) == np.asarray(want).argmax(-1)).all()
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(got_cache.k), np.float32),
+        np.asarray(want_cache.k, np.float32))

@@ -174,12 +174,10 @@ def load_fast_weights(yf, cfg: ModelConfig, device_put=jnp.asarray,
         # per-group scales (ops/pallas/gemv.pack_int4); embed/lm_head stay
         # int8 per-channel. The fast path dispatches these to the
         # group-scale kernels (gemm4_l) — half the weight HBM of int8/fp8.
-        if tp != 1 and cfg.is_moe:
-            raise ValueError("int4 MoE weights: tensor-parallel sharding "
-                             "not supported (use int8/fp8 for MoE TP)")
-        # dense int4 x TP works: packing is per-row along K, so the
-        # shard-major row interleave applies to packed rows and the (G, N)
-        # group scales' N axis identically
+        # int4 x TP works (dense AND MoE): packing is per-row along K, so
+        # the shard-major row interleave applies to packed rows and the
+        # ([E,] G, N) group scales' N axis identically; the int8 router
+        # replicates
         from ..ops.pallas.gemv import int4_group
         Gd, Gh = d // int4_group(d), h // int4_group(h)
         E = cfg.n_experts

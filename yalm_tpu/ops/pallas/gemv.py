@@ -631,8 +631,9 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         w = w_ref[0]                                     # (bn, Hp) uint8
-        lo = ((w & 0xF).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
-        hi = ((w >> 4).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+        # Mosaic has no uint8->bf16 cast; widen to i32 on the VPU first
+        lo = ((w & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+        hi = ((w >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
         xb = x_ref[...]                                  # (B, group) f32
         x_lo = xb[:, :Hp].astype(jnp.bfloat16)
         x_hi = xb[:, Hp:].astype(jnp.bfloat16)
@@ -642,7 +643,13 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         part += jax.lax.dot_general(
             x_hi, hi, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc_ref[...] += part * s_ref[0]                  # (1, bn) group scale
+        # group scale: s block is the FULL (G, bn) slab (a (1, 1, bn)
+        # block would put extent 1 on the second-minor dim — Mosaic
+        # rejects it); j-invariant index_map keeps it resident, one-hot
+        # reduce selects row j without a dynamic minor-dim slice
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == j)
+        s = jnp.sum(jnp.where(onehot, s_ref[0], 0.0), axis=0)   # (bn,)
+        acc_ref[...] += part * s[None, :]
 
         @pl.when(j == n_k - 1)
         def _():
@@ -654,7 +661,7 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         in_specs=[
             pl.BlockSpec((B, group), lambda i, j, l: (0, j)),
             pl.BlockSpec((1, block_n, Hp), lambda i, j, l: (l[0], i, j)),
-            pl.BlockSpec((1, 1, block_n), lambda i, j, l: (l[0], j, i)),
+            pl.BlockSpec((1, G, block_n), lambda i, j, l: (l[0], 0, i)),
         ],
         out_specs=pl.BlockSpec((B, block_n), lambda i, j, l: (0, i)),
         scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],
@@ -711,8 +718,9 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         w = w_ref[0, 0]                                  # (bn, Hp) uint8
-        lo = ((w & 0xF).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
-        hi = ((w >> 4).astype(jnp.bfloat16) - 8).astype(jnp.bfloat16)
+        # same i32-hop cast + full-(G, bn) scale slab as gemm4_l
+        lo = ((w & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+        hi = ((w >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
         xb = x_ref[...]
         x_lo = xb[:, :Hp].astype(jnp.bfloat16)
         x_hi = xb[:, Hp:].astype(jnp.bfloat16)
@@ -722,7 +730,9 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         part += jax.lax.dot_general(
             x_hi, hi, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc_ref[...] += part * s_ref[0, 0]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == j)
+        s = jnp.sum(jnp.where(onehot, s_ref[0, 0], 0.0), axis=0)
+        acc_ref[...] += part * s[None, :]
 
         @pl.when(j == n_k - 1)
         def _():
@@ -735,8 +745,8 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
             pl.BlockSpec((B, group), lambda i, j, sc: (0, j)),
             pl.BlockSpec((1, 1, block_n, Hp),
                          lambda i, j, sc: (sc[0], sc[1], i, j)),
-            pl.BlockSpec((1, 1, 1, block_n),
-                         lambda i, j, sc: (sc[0], sc[1], j, i)),
+            pl.BlockSpec((1, 1, G, block_n),
+                         lambda i, j, sc: (sc[0], sc[1], 0, i)),
         ],
         out_specs=pl.BlockSpec((B, block_n), lambda i, j, sc: (0, i)),
         scratch_shapes=[pltpu.VMEM((B, block_n), jnp.float32)],

@@ -51,10 +51,12 @@ def initialize(coordinator_address: str | None = None,
     except (ValueError, RuntimeError) as e:
         # Silently degrading a REAL multi-host job to single-process would
         # hang the other hosts in collective init or shard over a fraction
-        # of the mesh. Only swallow the failure when auto-detection found no
-        # cluster at all (dev boxes, tests) AND the caller didn't opt out.
-        no_cluster = coordinator_address is None and num_processes is None \
-            and "coordinator" not in str(e).lower()
+        # of the mesh. Only swallow the failure when the caller gave no
+        # explicit cluster (dev boxes, tests: auto-detection then fails
+        # with "coordinator_address should be defined" in a fresh process,
+        # or "backends are initialized" once jax is up) AND the caller
+        # didn't opt out via YALM_REQUIRE_DISTRIBUTED.
+        no_cluster = coordinator_address is None and num_processes is None
         if not no_cluster or os.environ.get("YALM_REQUIRE_DISTRIBUTED"):
             raise RuntimeError(f"jax.distributed.initialize failed: {e}") from e
 

@@ -43,16 +43,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
 from ..models.fast import (FastScales, FastWeights, _cap_logits, _layer_alt,
-                           _layer_win, _post_norm, _proj1_l, _proj_l,
-                           _sliding_mask_fn, _softcap_scores,
-                           _qk_norm, is_int4)
+                           _layer_win, _post_norm, _proj1_l, _proj1_le,
+                           _proj_l, _proj_le, _sliding_mask_fn,
+                           _softcap_scores, _qk_norm, is_int4)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, moe_gate, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
                                     attention_supported)
 from ..ops.pallas.block import attn_block_dims_supported, attn_block_l
 from ..ops.pallas.ffn import ffn_l
-from ..ops.pallas.gemv import (gemm, gemm_l, gemm_le, gemv, gemv_l, gemv_le,
+from ..ops.pallas.gemv import (gemm, gemm_l, gemv, gemv_l,
                                gemv_supported, pick_blocks)
 from .sharding import cache_pspecs
 
@@ -99,21 +99,22 @@ def fast_weight_pspecs(cfg: ModelConfig,
     e = ("ep",) if cfg.is_moe else ()
     scales = None
     if with_scales and cfg.weight_dtype == "int4":
-        # int4 GROUP scales are (L, G, N). Column-parallel weights (wqkv,
-        # w13) shard the N axis with their output rows; row-parallel
+        # int4 GROUP scales are (L, [E,] G, N). Column-parallel weights
+        # (wqkv, w13) shard the N axis with their output rows; row-parallel
         # weights (wo, w2) shard their INPUT dim, i.e. the GROUP axis —
         # the packed column slices stay group-aligned because the local
         # input dims are multiples of the 512-col group (enforced by
         # fast_tp_supported's int4 pair checks). embed/head stay
-        # per-channel int8.
+        # per-channel int8; MoE experts shard on 'ep' ahead of (G, N) and
+        # the int8 router scale (L, E) replicates with its weights.
         scales = FastScales(
             embed=P("tp"),
             wqkv=P(None, None, "tp"),
             wo=P(None, "tp", None),
-            w13=P(None, None, "tp"),
-            w2=P(None, "tp", None),
+            w13=P(None, *e, None, "tp"),
+            w2=P(None, *e, "tp", None),
             lm_head=P("tp"),
-            moegate=None,
+            moegate=P(None, None) if cfg.is_moe else None,
         )
     elif with_scales:
         # int8 dequant scales shard like their weights' OUTPUT rows
@@ -187,12 +188,12 @@ def fast_tp_supported(cfg: ModelConfig, tp: int, ep: int = 1) -> bool:
         pairs.append((cfg.n_experts, cfg.dim))
     if cfg.weight_dtype == "int4":
         from ..ops.pallas.gemv import int4_group, int4_supported
-        if cfg.is_moe:
-            return False  # routed int4 x TP not threaded yet
         # packed kernels on LOCAL shards: wqkv/w13 keep full K and shard
-        # rows; wo/w2 shard their packed INPUT columns, so the local input
-        # dim must keep the GLOBAL group size (512-col groups must not
-        # straddle shard boundaries or shrink locally)
+        # rows (per-expert for MoE — pairs[2:4] are already the expert-
+        # internal dims); wo/w2 shard their packed INPUT columns, so the
+        # local input dim must keep the GLOBAL group size (512-col groups
+        # must not straddle shard boundaries or shrink locally). The MoE
+        # router stays per-channel int8 and is covered by gemv_supported.
         if not all(int4_supported(n, k) for n, k in pairs[:4]):
             return False
         for k_global in (cfg.q_dim, cfg.hidden_dim):
@@ -351,11 +352,11 @@ def make_decode_step_fast_tp(cfg: ModelConfig, mesh: Mesh,
                     routed = jnp.any(idx == ge)
 
                     def run(xb2=xb2, le=le):
-                        h13 = gemv_le(xb2, fw.w13, i, jnp.int32(le),
-                                      sc.w13 if sc is not None else None)
+                        h13 = _proj1_le(xb2, fw.w13, i, jnp.int32(le),
+                                        sc.w13 if sc is not None else None)
                         h = act(h13[:h_l]) * h13[h_l:]
-                        return gemv_le(h, fw.w2, i, jnp.int32(le),
-                                       sc.w2 if sc is not None else None)
+                        return _proj1_le(h, fw.w2, i, jnp.int32(le),
+                                         sc.w2 if sc is not None else None)
 
                     delta = delta + gate * jax.lax.cond(
                         routed, run, lambda: jnp.zeros((cfg.dim,), jnp.float32))
@@ -503,10 +504,10 @@ def make_prefill_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 for le in range(E_l):
                     ge = e0 + le
                     gate_e = jnp.sum(jnp.where(idx == ge, gates, 0.0), axis=-1)
-                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le),
-                                  sc.w13 if sc is not None else None)
+                    h13 = _proj_le(xb2, fw.w13, i, jnp.int32(le),
+                                   sc.w13 if sc is not None else None)
                     h = act(h13[:, :h_l]) * h13[:, h_l:]
-                    delta = delta + gate_e[:, None] * gemm_le(
+                    delta = delta + gate_e[:, None] * _proj_le(
                         h, fw.w2, i, jnp.int32(le),
                         sc.w2 if sc is not None else None)
                 x = x + jax.lax.psum(delta, ("ep", "tp"))
@@ -652,10 +653,10 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
                 for le in range(E_l):
                     ge = e0 + le
                     gate_e = jnp.sum(jnp.where(idx == ge, gates, 0.0), axis=-1)
-                    h13 = gemm_le(xb2, fw.w13, i, jnp.int32(le),
-                                  sc.w13 if sc is not None else None)
+                    h13 = _proj_le(xb2, fw.w13, i, jnp.int32(le),
+                                   sc.w13 if sc is not None else None)
                     h = act(h13[:, :h_l]) * h13[:, h_l:]
-                    delta = delta + gate_e[:, None] * gemm_le(
+                    delta = delta + gate_e[:, None] * _proj_le(
                         h, fw.w2, i, jnp.int32(le),
                         sc.w2 if sc is not None else None)
                 x = x + jax.lax.psum(delta, ("ep", "tp"))

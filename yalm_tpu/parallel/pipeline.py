@@ -32,18 +32,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import KV_SINKS, ModelConfig
 from ..models.cache import KVCache
 from ..models.fast import (FastScales, FastWeights, _cap_logits,
-                           _layer_alt, _layer_win, _post_norm, _qk_norm)
+                           _layer_alt, _layer_win, _post_norm, _proj_l,
+                           _qk_norm, is_int4)
 from ..ops.core import act_fn
 from ..models.weights import Weights
 from ..ops.core import rmsnorm
 from ..ops.pallas.attention import attend_step_batched_l
 from ..ops.pallas.ffn import ffn_l
-from ..ops.pallas.gemv import gemm, gemm_l
+from ..ops.pallas.gemv import gemm
 
 
 def pp_supported(cfg: ModelConfig, pp: int, batch: int) -> bool:
-    # int4 packed weights not threaded into the pipeline stages yet
-    return (not cfg.is_moe and cfg.weight_dtype != "int4" and pp >= 1
+    # layer-axis sharding leaves every (N, K) intact, so any dtype the
+    # single-chip fast path handles (incl. packed int4 via _proj_l) works
+    return (not cfg.is_moe and pp >= 1
             and cfg.n_layers % pp == 0 and batch % pp == 0)
 
 
@@ -52,7 +54,15 @@ def pp_weight_pspecs(cfg: ModelConfig,
     """Layer-stacked tensors shard their LAYER axis on 'pp'; embed/head/
     final-norm replicate (stage 0 embeds, the last stage unembeds)."""
     scales = None
-    if with_scales:
+    if with_scales and cfg.weight_dtype == "int4":
+        # int4 GROUP scales are (L, G, N): still layer-major, so the same
+        # 'pp' layer-axis shard applies (one extra trailing dim)
+        scales = FastScales(
+            embed=P(None), wqkv=P("pp", None, None), wo=P("pp", None, None),
+            w13=P("pp", None, None), w2=P("pp", None, None),
+            lm_head=P(None), moegate=None,
+        )
+    elif with_scales:
         scales = FastScales(
             embed=P(None), wqkv=P("pp", None), wo=P("pp", None),
             w13=P("pp", None), w2=P("pp", None), lm_head=P(None),
@@ -139,7 +149,7 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                 gi = p * nl_l + i       # global layer index
                 xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                     fw.rms_att, i, keepdims=False), cfg.norm_eps)
-                qkv = gemm_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+                qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
                 if fw.bqkv is not None:
                     qkv = qkv + jax.lax.dynamic_index_in_dim(
                         fw.bqkv, i, keepdims=False)
@@ -156,20 +166,20 @@ def make_tick_pp(cfg: ModelConfig, mesh: Mesh, batch: int,
                     theta=cfg.rope_param, rotary_dim=cfg.rotary_dim,
                     softcap=cfg.attn_softcap)
                 x = x + _post_norm(
-                    gemm_l(mixed.reshape(Bm, cfg.q_dim), fw.wo, i,
-                           sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
-                if fw.pf is None:
+                    _proj_l(mixed.reshape(Bm, cfg.q_dim), fw.wo, i,
+                            sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
+                if fw.pf is None and not is_int4(fw.wqkv):
                     x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
                               sc.w13 if sc else None, sc.w2 if sc else None,
                               norm_eps=cfg.norm_eps, act=cfg.act_type)
                 else:
                     xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                         fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-                    h13 = gemm_l(xb2, fw.w13, i, sc.w13 if sc else None)
+                    h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
                     h = act_fn(cfg.act_type)(h13[:, : cfg.hidden_dim]) \
                         * h13[:, cfg.hidden_dim:]
                     x = x + _post_norm(
-                        gemm_l(h, fw.w2, i, sc.w2 if sc else None),
+                        _proj_l(h, fw.w2, i, sc.w2 if sc else None),
                         fw.pf, i, cfg.norm_eps)
                 return (x, kc, vc)
 

@@ -35,18 +35,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import ModelConfig
 from ..models.cache import KVCache
 from ..models.fast import (FastWeights, _cap_logits, _layer_alt,
-                           _post_norm, _qk_norm, _softcap_scores)
+                           _post_norm, _proj_l, _qk_norm, _softcap_scores)
 from ..models.weights import Weights
 from ..ops.core import apply_rope, gelu, silu, rmsnorm
-from ..ops.pallas.gemv import gemm_l, gemv
+from ..ops.pallas.gemv import gemv
 from .fast_tp import (_clipper, _embed_psum, fast_tp_supported,
                       fast_tp_weights, fast_weight_pspecs)
 
 
 def ring_supported(cfg: ModelConfig, sp: int, tp: int = 1) -> bool:
-    # int4 packed weights not threaded into the ring body yet (it uses the
-    # plain gemm_l/ffn path)
-    return (not cfg.is_moe and cfg.weight_dtype != "int4"
+    # all weight dtypes incl. packed int4 (the body dispatches via _proj_l;
+    # fast_tp_supported already checks the int4 local-shard tiling/groups)
+    return (not cfg.is_moe
             and fast_tp_supported(cfg, tp) and cfg.n_kv_heads % tp == 0)
 
 
@@ -133,8 +133,8 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
             x, k_out, v_out = carry
             xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_att, i, keepdims=False), cfg.norm_eps)
-            qkv = gemm_l(xb, fw.wqkv, i,
-                         sc.wqkv if sc is not None else None)
+            qkv = _proj_l(xb, fw.wqkv, i,
+                          sc.wqkv if sc is not None else None)
             if fw.bqkv is not None:
                 qkv = qkv + jax.lax.dynamic_index_in_dim(
                     fw.bqkv, i, keepdims=False)
@@ -157,17 +157,17 @@ def make_prefill_ring(cfg: ModelConfig, mesh: Mesh,
             mixed = ring_attn(q.reshape(T_l, Hk_l, qpk, D), k, v,
                               offset, T_l, sliding_i)
             x = x + _post_norm(jax.lax.psum(
-                gemm_l(mixed.reshape(T_l, q_l), fw.wo, i,
-                       sc.wo if sc is not None else None), "tp"),
+                _proj_l(mixed.reshape(T_l, q_l), fw.wo, i,
+                        sc.wo if sc is not None else None), "tp"),
                 fw.pa, i, cfg.norm_eps)
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
                 fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-            h13 = gemm_l(xb2, fw.w13, i,
-                         sc.w13 if sc is not None else None)
+            h13 = _proj_l(xb2, fw.w13, i,
+                          sc.w13 if sc is not None else None)
             h = act(h13[:, :h_l]) * h13[:, h_l:]
             x = x + _post_norm(
-                jax.lax.psum(gemm_l(h, fw.w2, i,
-                                    sc.w2 if sc is not None else None),
+                jax.lax.psum(_proj_l(h, fw.w2, i,
+                                     sc.w2 if sc is not None else None),
                              "tp"), fw.pf, i, cfg.norm_eps)
             return (x, k_out, v_out)
 

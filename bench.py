@@ -624,7 +624,9 @@ def bench_spec_sched(cfg, weights, kv_dtype=None) -> None:
     from yalm_tpu.scheduler import Request, Scheduler
 
     rtt = measure_rtt()
-    lookup = os.environ.get("YALM_BENCH_SPEC", "") == "sched-lookup"
+    mode = os.environ.get("YALM_BENCH_SPEC", "")
+    lookup = mode == "sched-lookup"
+    medusa = mode == "sched-medusa"
     B = int(os.environ.get("YALM_BENCH_SPEC_BATCH", "8"))
     N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
     K = int(os.environ.get("YALM_BENCH_SPEC_K", "4"))
@@ -634,6 +636,17 @@ def bench_spec_sched(cfg, weights, kv_dtype=None) -> None:
     if lookup:
         kwargs["spec_lookup"] = True
         prompt = [1, 7, 9] + [5, 11, 23, 42] * 8
+    elif medusa:
+        # identity heads (head = lm_head): measure the sweep + on-device
+        # head mechanics; acceptance needs trained heads
+        from yalm_tpu.medusa import MedusaWeights
+        H, d, v = K, cfg.dim, cfg.vocab_size
+        kwargs["spec_medusa"] = MedusaWeights(
+            w1=jnp.zeros((H, d, d), jnp.bfloat16),
+            b1=jnp.zeros((H, d), jnp.float32),
+            head=jnp.broadcast_to(
+                weights.lm_head.astype(jnp.bfloat16)[None], (H, v, d)))
+        prompt = [1, 7, 9]
     else:
         dl = min(4, cfg.n_layers)
         dcfg = dataclasses.replace(cfg, n_layers=dl)
@@ -676,7 +689,7 @@ def bench_spec_sched(cfg, weights, kv_dtype=None) -> None:
     pdt_corr = max(pdt - pticks * rtt, 1e-6)
 
     acc = st["accepted"] / max(st.get("proposed", 0), 1)
-    kind = "lookup" if lookup else "draft"
+    kind = "medusa" if medusa else "lookup" if lookup else "draft"
     log(f"spec-sched[{kind}] B={B}: {toks} toks {toks/dt:.1f} tok/s wall "
         f"({toks/dt_corr:.1f} rtt-corrected), acceptance {acc:.2f}, "
         f"{st['rounds']} verify rounds; plain {ptoks/pdt_corr:.1f} tok/s")

@@ -107,3 +107,138 @@ def test_medusa_rejects_mesh(tmp_path):
     assert eng.medusa is not None
     with pytest.raises(ValueError, match="mesh"):
         list(eng.generate_medusa([1, 7], max_steps=4))
+
+
+# ------------------------------------------- medusa as a SCHEDULER source
+def _mk_sched(path, **kw):
+    from yalm_tpu.medusa import load_medusa_weights
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.scheduler import Scheduler
+    yf = read_yalm(path)
+    from yalm_tpu.config import ModelConfig
+    cfg = ModelConfig.from_metadata(yf.metadata)
+    weights = load_weights(yf, cfg)
+    mw = load_medusa_weights(yf, cfg)
+    yf.close()
+    return cfg, weights, Scheduler(cfg, weights, batch=8,
+                                   kv_dtype=jnp.bfloat16, spec_medusa=mw,
+                                   **kw)
+
+
+def test_medusa_scheduler_head_independence(tmp_path):
+    """Scheduler-level Medusa: the emitted stream is IDENTICAL whatever
+    the heads propose (point-mass verify) — and agrees with the plain
+    scheduler until the first chunk-vs-tick bf16 near-tie."""
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.scheduler import Request, Scheduler
+    p_rand = _mk(tmp_path, "srand", 4)
+    p_ident = _mk(tmp_path, "sident", -4)
+    streams = {}
+    stats = {}
+    for name, p in (("rand", p_rand), ("ident", p_ident)):
+        cfg, w, sched = _mk_sched(p)
+        rs = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=24,
+                      temperature=0.0, seed=i) for i in range(3)]
+        for r in rs:
+            sched.submit(r)
+        sched.run()
+        streams[name] = [r.generated for r in rs]
+        stats[name] = dict(sched.spec_stats)
+    assert streams["rand"] == streams["ident"]
+    assert stats["rand"]["rounds"] >= 1
+    assert stats["ident"]["accepted"] >= 1, stats["ident"]
+
+    # vs plain scheduler: agreement until a verify-vs-tick near-tie
+    yf = read_yalm(p_rand)
+    from yalm_tpu.config import ModelConfig
+    cfg = ModelConfig.from_metadata(yf.metadata)
+    w = load_weights(yf, cfg)
+    yf.close()
+    plain = Scheduler(cfg, w, batch=8, kv_dtype=jnp.bfloat16)
+    pr = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=24,
+                  temperature=0.0, seed=i) for i in range(3)]
+    for r in pr:
+        plain.submit(r)
+    plain.run()
+    agree = total = 0
+    for got, want in zip(streams["rand"], [r.generated for r in pr]):
+        for x, y in zip(got, want):
+            total += 1
+            if x != y:
+                break
+            agree += 1
+    assert agree / total > 0.7, (agree, total, streams["rand"])
+
+
+def test_medusa_scheduler_paged_matches_dense(tmp_path):
+    """medusa x paged: the verify sweep scatters through page tables AND
+    returns the hidden rows; streams match the dense medusa scheduler."""
+    from yalm_tpu.scheduler import Request
+    p = _mk(tmp_path, "pgd", -4)
+
+    def run(**kw):
+        _, _, sched = _mk_sched(p, **kw)
+        rs = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=16,
+                      temperature=0.0, seed=i) for i in range(4)]
+        for r in rs:
+            sched.submit(r)
+        sched.run()
+        return [r.generated for r in rs], dict(sched.spec_stats)
+
+    dense, dst = run()
+    paged, pst = run(paged_pages=1 + 8 * 9, page_size=16)
+    assert dense == paged
+    assert pst["rounds"] >= 1 and pst["accepted"] >= 1
+
+
+def test_medusa_scheduler_sampled(tmp_path):
+    """T>0 medusa scheduling: exact rejection sampling over head
+    proposals — seed-reproducible, finite logprobs, full length."""
+    from yalm_tpu.scheduler import Request
+    p = _mk(tmp_path, "smp", -4)
+    outs = []
+    for rep in range(2):
+        _, _, sched = _mk_sched(p)
+        r = sched.submit(Request(prompt_tokens=[1, 7, 42], max_new_tokens=12,
+                                 temperature=0.9, seed=11))
+        sched.run()
+        outs.append(list(r.generated))
+        assert all(np.isfinite(r.logprobs))
+    assert outs[0] == outs[1] and len(outs[0]) == 12
+
+
+def test_medusa_scheduler_exclusive_and_mesh_rejected(tmp_path):
+    import jax
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.medusa import load_medusa_weights
+    from yalm_tpu.scheduler import Scheduler
+    p = _mk(tmp_path, "exc", 2)
+    yf = read_yalm(p)
+    cfg = ModelConfig.from_metadata(yf.metadata)
+    w = load_weights(yf, cfg)
+    mw = load_medusa_weights(yf, cfg)
+    yf.close()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Scheduler(cfg, w, batch=8, spec_medusa=mw, spec_lookup=True)
+    from yalm_tpu.parallel import MeshConfig, make_mesh
+    mesh = make_mesh(MeshConfig(tp=1), devices=jax.devices()[:1])
+    with pytest.raises(ValueError, match="prompt-lookup"):
+        Scheduler(cfg, w, batch=8, spec_medusa=mw, mesh=mesh,
+                  kv_dtype=jnp.bfloat16)
+
+
+def test_server_medusa(tmp_path):
+    """--medusa serving: heads load from the SAME checkpoint; greedy and
+    sampled completions stream."""
+    from yalm_tpu.server import ServingEngine
+    p = _mk(tmp_path, "srv", -4)
+    eng = ServingEngine.from_checkpoint(p, batch=8, medusa=True)
+    try:
+        assert eng.sched.spec and eng.sched.spec_medusa is not None
+        out = eng.complete("hello", max_tokens=8, temperature=0.0)
+        assert isinstance(out, str)
+        assert eng.sched.spec_stats["rounds"] >= 1
+        out2 = eng.complete("hello", max_tokens=6, temperature=0.8)
+        assert isinstance(out2, str)
+    finally:
+        eng.close()

@@ -346,7 +346,7 @@ def test_server_main_mesh_flag(tmp_path, monkeypatch):
 
 
 def test_rejected_submission_returns_error(tmp_path):
-    """A request invalid for the scheduler config (sampling on a
+    """A request invalid for the scheduler config (a top-k cut on a
     spec-lookup scheduler) must return an error response, not an empty
     200 'stop' completion — and must count in the failure metrics."""
     import urllib.error
@@ -363,9 +363,10 @@ def test_rejected_submission_returns_error(tmp_path):
         base = f"http://127.0.0.1:{port}"
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base + "/v1/completions",
-                  {"prompt": "x", "max_tokens": 4, "temperature": 0.9})
+                  {"prompt": "x", "max_tokens": 4, "temperature": 0.9,
+                   "top_k": 5})
         assert ei.value.code == 400
-        assert "greedy" in json.loads(ei.value.read())["error"]
+        assert "full-vocab" in json.loads(ei.value.read())["error"]
         # greedy requests still work on the same server
         _, body = _post(base + "/v1/completions",
                         {"prompt": "x", "max_tokens": 4, "temperature": 0.0})

@@ -193,16 +193,23 @@ def test_spec_scheduler_window_edge_fallback(tmp_path):
     assert spec_sched.spec_stats["rounds"] >= 1
 
 
-def test_spec_scheduler_rejects_sampling(tmp_path):
+def test_spec_scheduler_rejects_topk_topp_only(tmp_path):
+    """temperature>0 is served via exact rejection sampling; only
+    top_k/top_p cuts are outside the verify math and rejected."""
     from yalm_tpu.scheduler import Request
     _, _, sched = _mk_sched(tmp_path, seed=59)
-    with pytest.raises(ValueError):
-        sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7))
+    sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7,
+                         max_new_tokens=3))
+    with pytest.raises(ValueError, match="full-vocab"):
+        sched.submit(Request(prompt_tokens=[1, 2], top_k=4))
+    with pytest.raises(ValueError, match="full-vocab"):
+        sched.submit(Request(prompt_tokens=[1, 2], top_p=0.5))
+    sched.run()
 
 
 def test_server_over_spec_scheduler(tmp_path):
-    """HTTP serving with --draft speculation: greedy requests stream; a
-    sampling request fails alone with a clear error."""
+    """HTTP serving with --draft speculation: greedy AND sampled requests
+    stream (rejection-sampling verify); a top-k request fails alone."""
     from yalm_tpu.codec.format import read_yalm as ry
     from yalm_tpu.server import ServingEngine
     from yalm_tpu.tokenizer import Tokenizer
@@ -229,12 +236,168 @@ def test_server_over_spec_scheduler(tmp_path):
         out = eng.complete("hello", max_tokens=8, temperature=0.0)
         assert isinstance(out, str)
         assert eng.sched.spec_stats["rounds"] >= 1
-        # a sampling request fails alone; the scheduler keeps serving
-        req, q = eng.submit_prompt("hi", max_tokens=4, temperature=0.9)
+        # sampled requests are served (exact rejection-sampling verify)
+        out_s = eng.complete("hi", max_tokens=4, temperature=0.9)
+        assert isinstance(out_s, str)
+        # a top-k request fails alone; the scheduler keeps serving
+        req, q = eng.submit_prompt("hi", max_tokens=4, temperature=0.9,
+                                   top_k=5)
         while q.get() is not None and not req.done:
             pass
-        assert req.error and "greedy" in req.error
+        assert req.error and "full-vocab" in req.error
         out2 = eng.complete("again", max_tokens=4, temperature=0.0)
         assert isinstance(out2, str)
     finally:
         eng.close()
+
+
+# --------------------------------------------- temperature>0 verify rounds
+def test_verify_pack_exact_distribution():
+    """Scheduler-level rejection sampling (scheduler._verify_pack + the
+    accept walk) emits first tokens distributed EXACTLY as target
+    temperature sampling — the batched, on-device counterpart of
+    engine.rejection_sample_verify's 40k-trial TV gate. Proposals are
+    point masses drawn from a DIFFERENT q (and, separately, a fixed
+    adversarial token: the guarantee is per-proposal, not on-average)."""
+    import jax
+    from yalm_tpu.scheduler import _verify_pack
+    from yalm_tpu.engine import _softmax_T
+
+    rng = np.random.default_rng(0)
+    V, K, T = 8, 3, 0.9
+    t_lg = rng.standard_normal((K + 1, V)).astype(np.float32) * 2.0
+    q0 = _softmax_T(rng.standard_normal(V) * 2.0, T)
+    p0 = _softmax_T(t_lg[0], T)
+
+    n, BB = 40000, 4000
+    counts = np.zeros(V)
+    trial = 0
+    for rep in range(n // BB):
+        props = rng.choice(V, size=(BB, K), p=q0).astype(np.int32)
+        chunk = np.concatenate(
+            [np.full((BB, 1), 2, np.int32), props], axis=1)
+        logits = jnp.asarray(np.broadcast_to(t_lg, (BB, K + 1, V)))
+        seeds = jnp.asarray(trial + np.arange(BB), jnp.int32)
+        trial += BB
+        vp = np.asarray(_verify_pack(
+            logits, jnp.asarray(chunk), seeds,
+            jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32)))
+        acc0 = vp[:, 0, 0] > 0.5
+        first = np.where(acc0, chunk[:, 1], vp[:, 0, 2].astype(np.int32))
+        np.add.at(counts, first, 1)
+    emp = counts / n
+    tv = 0.5 * np.abs(emp - p0).sum()
+    assert tv < 0.02, (tv, emp, p0)
+    assert 0.5 * np.abs(p0 - q0).sum() > 0.1  # q genuinely differs
+
+    # fixed adversarial proposal: always propose p0's LEAST likely token
+    worst = int(p0.argmin())
+    counts2 = np.zeros(V)
+    chunk = np.full((BB, K + 1), 2, np.int32)
+    chunk[:, 1] = worst
+    logits = jnp.asarray(np.broadcast_to(t_lg, (BB, K + 1, V)))
+    for rep in range(n // BB):
+        seeds = jnp.asarray(trial + np.arange(BB), jnp.int32)
+        trial += BB
+        vp = np.asarray(_verify_pack(
+            logits, jnp.asarray(chunk), seeds,
+            jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32)))
+        acc0 = vp[:, 0, 0] > 0.5
+        first = np.where(acc0, worst, vp[:, 0, 2].astype(np.int32))
+        np.add.at(counts2, first, 1)
+    tv2 = 0.5 * np.abs(counts2 / n - p0).sum()
+    assert tv2 < 0.02, (tv2, counts2 / n, p0)
+
+
+def test_verify_pack_greedy_lanes_bitwise():
+    """temperature-0 lanes in a mixed batch keep the exact argmax
+    semantics: accept iff proposal == argmax, correction == argmax."""
+    from yalm_tpu.scheduler import _verify_pack
+    rng = np.random.default_rng(1)
+    B, K, V = 4, 3, 16
+    logits = jnp.asarray(rng.standard_normal((B, K + 1, V)), jnp.float32)
+    t = np.asarray(jnp.argmax(logits, axis=-1))
+    chunk = np.zeros((B, K + 1), np.int32)
+    chunk[0, 1:] = t[0, :K]          # greedy lane, all proposals agree
+    chunk[1, 1:] = (t[1, :K] + 1) % V  # greedy lane, none agree
+    chunk[2, 1:] = t[2, :K]          # sampled lane
+    chunk[3, 1:] = t[3, :K]
+    temps = jnp.asarray([0.0, 0.0, 0.8, 0.0], jnp.float32)
+    vp = np.asarray(_verify_pack(
+        logits, jnp.asarray(chunk), jnp.arange(B, dtype=jnp.int32),
+        jnp.zeros(B, jnp.int32), temps))
+    assert (vp[0, :K, 0] > 0.5).all()
+    assert (vp[1, :K, 0] < 0.5).all()
+    # greedy corrections and bonuses are the argmax rows
+    np.testing.assert_array_equal(vp[1, :, 2].astype(np.int32), t[1])
+    np.testing.assert_array_equal(vp[0, :, 4].astype(np.int32), t[0])
+    np.testing.assert_array_equal(vp[3, :, 2].astype(np.int32), t[3])
+
+
+def test_spec_scheduler_mixed_batch_greedy_stream_unchanged(tmp_path):
+    """A greedy lane sharing verify rounds with sampled lanes emits the
+    SAME stream as a spec scheduler serving it alone: sampled lanes ride
+    independent rng columns of the same sweep."""
+    from yalm_tpu.scheduler import Request
+    _, _, solo = _mk_sched(tmp_path, seed=61)
+    g1 = solo.submit(Request(prompt_tokens=[1, 7, 3], max_new_tokens=16,
+                             temperature=0.0))
+    solo.run()
+
+    _, _, mixed = _mk_sched(tmp_path, seed=61)
+    g2 = mixed.submit(Request(prompt_tokens=[1, 7, 3], max_new_tokens=16,
+                              temperature=0.0))
+    s1 = mixed.submit(Request(prompt_tokens=[1, 5], max_new_tokens=16,
+                              temperature=0.9, seed=7))
+    s2 = mixed.submit(Request(prompt_tokens=[1, 9], max_new_tokens=16,
+                              temperature=1.3, seed=8))
+    mixed.run()
+    assert g2.generated == g1.generated
+    assert len(s1.generated) == 16 and len(s2.generated) == 16
+    assert mixed.spec_stats["rounds"] >= 1
+
+
+def test_spec_scheduler_sampled_seed_reproducible(tmp_path):
+    """Same seed -> same sampled stream across scheduler instances; a
+    different seed diverges (the verify rng is keyed on request seed and
+    absolute position, not on batch composition)."""
+    from yalm_tpu.scheduler import Request
+    outs = []
+    for rep in range(2):
+        _, _, sched = _mk_sched(tmp_path, seed=62)
+        r = sched.submit(Request(prompt_tokens=[1, 4, 4, 4], max_new_tokens=12,
+                                 temperature=1.1, seed=123))
+        sched.run()
+        outs.append(list(r.generated))
+        assert all(np.isfinite(r.logprobs))
+    assert outs[0] == outs[1]
+    _, _, sched = _mk_sched(tmp_path, seed=62)
+    r2 = sched.submit(Request(prompt_tokens=[1, 4, 4, 4], max_new_tokens=12,
+                              temperature=1.1, seed=124))
+    sched.run()
+    assert len(r2.generated) == 12
+
+
+def test_spec_scheduler_top_logprobs(tmp_path):
+    """top_logprobs composes with speculation: every emitted token (accepted
+    OR correction) carries N alternatives from its own verify row, sorted
+    descending, and the emitted token's logprob never beats the top-1."""
+    from yalm_tpu.scheduler import Request
+    _, _, sched = _mk_sched(tmp_path, seed=63, top_logprobs=3)
+    r = sched.submit(Request(prompt_tokens=[1, 7, 3], max_new_tokens=10,
+                             temperature=0.0))
+    rs = sched.submit(Request(prompt_tokens=[1, 5], max_new_tokens=10,
+                              temperature=0.9, seed=3))
+    sched.run()
+    assert sched.spec_stats["rounds"] >= 1
+    for req in (r, rs):
+        assert len(req.top_logprobs) == 10
+        for tok, lp, top in zip(req.generated, req.logprobs,
+                                req.top_logprobs):
+            assert len(top) == 3
+            lps = [p for _, p in top]
+            assert lps == sorted(lps, reverse=True)
+            assert lp <= lps[0] + 1e-4
+            # greedy emissions: the emitted token IS the top-1
+            if req is r:
+                assert top[0][0] == tok

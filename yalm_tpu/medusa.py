@@ -74,3 +74,18 @@ def medusa_propose(mw: MedusaWeights, hidden: jax.Array) -> jax.Array:
                         z.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def medusa_propose_rows(mw: MedusaWeights, hidden: jax.Array) -> jax.Array:
+    """Batched greedy proposals from per-lane hidden rows (B, dim) ->
+    (B, H) int32 — the scheduler's per-round proposal source (one jitted
+    dispatch proposes for every lane)."""
+    z = jnp.einsum("hij,bj->bhi", mw.w1.astype(jnp.bfloat16),
+                   hidden.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) + mw.b1[None]
+    z = hidden[:, None].astype(jnp.float32) + jax.nn.silu(z)
+    logits = jnp.einsum("hvi,bhi->bhv", mw.head.astype(jnp.bfloat16),
+                        z.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)

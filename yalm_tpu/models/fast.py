@@ -1075,7 +1075,7 @@ def prefill_fast(
 # Batched verify chunk (scheduler-level speculative decoding)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "with_hidden"))
 def verify_chunk_fast_batched(
     cfg: ModelConfig,
     fw: FastWeights,
@@ -1083,6 +1083,8 @@ def verify_chunk_fast_batched(
     pos0: jax.Array,       # (B,) int32 — per-lane chunk start positions
     enable: jax.Array,     # (B,) int32 — 0 lanes compute garbage, write nothing
     cache: KVCache,        # (B, L, S, Hk, D)
+    *,
+    with_hidden: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """ONE target weight-sweep scores T tokens for EVERY lane — the batched
     half of scheduler-level speculative decoding. Returns logits (B, T,
@@ -1093,9 +1095,13 @@ def verify_chunk_fast_batched(
     reference streams weights once per TOKEN, src/main.cpp:102-112).
     Attention is per-lane causal over cache history + the chunk itself.
     PRECONDITION: enabled lanes have pos0 + T <= window (no ring wrap
-    inside a chunk — the scheduler's speculation edge rule)."""
-    return _chunk_forward_fast_batched(cfg, fw, tokens, pos0, None, enable,
-                                       cache, logits_mode="all")
+    inside a chunk — the scheduler's speculation edge rule).
+
+    with_hidden=True returns ((logits, hidden (B, T, dim)), cache): the
+    post-final-norm rows Medusa heads read (scheduler spec_medusa)."""
+    return _chunk_forward_fast_batched(
+        cfg, fw, tokens, pos0, None, enable, cache,
+        logits_mode="all_h" if with_hidden else "all")
 
 
 @partial(jax.jit, static_argnames=("cfg", "attend_len", "logits_mode"))
@@ -1234,6 +1240,10 @@ def _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len, enable,
     xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
     logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
                                    sc.lm_head if sc else None))
+    if logits_mode == "all_h":
+        # plus the post-final-norm hidden rows (Medusa heads read the
+        # hidden state that produced each position's logits)
+        return (logits.reshape(B, T, -1), xn.reshape(B, T, -1)), new_cache
     return logits.reshape(B, T, -1), new_cache
 
 
@@ -1426,7 +1436,7 @@ def prefill_fast_paged(
     raise ValueError(f"paged prefill: bad logits_mode {logits_mode!r}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size"))
+@partial(jax.jit, static_argnames=("cfg", "page_size", "with_hidden"))
 def verify_chunk_fast_batched_paged(
     cfg: ModelConfig,
     fw: FastWeights,
@@ -1437,6 +1447,7 @@ def verify_chunk_fast_batched_paged(
     tables: jax.Array,     # (B, window // page_size) int32 page ids
     *,
     page_size: int = 256,
+    with_hidden: bool = False,
 ) -> tuple[jax.Array, "PagedKVPool"]:
     """verify_chunk_fast_batched over a PAGED cache: speculative decoding
     COMPOSED with vLLM-style paged occupancy. Chunk KV rows scatter through
@@ -1530,4 +1541,7 @@ def verify_chunk_fast_batched_paged(
     xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
     logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
                                    sc.lm_head if sc else None))
+    if with_hidden:
+        return ((logits.reshape(B, T, -1), xn.reshape(B, T, -1)),
+                PagedKVPool(k=kp, v=vp))
     return logits.reshape(B, T, -1), PagedKVPool(k=kp, v=vp)

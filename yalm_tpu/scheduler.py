@@ -91,22 +91,103 @@ def _sample1_pack(logits, seed, pos, temp, topk, topp, topn: int = 0):
         jnp.concatenate([jnp.stack(rows[:2]), rows[2], rows[3]]))
 
 
-@jax.jit
-def _verify_pack(logits, chunk):
+@partial(jax.jit, static_argnames=("topn",))
+def _verify_pack(logits, chunk, seeds, positions, temps, topn: int = 0):
     """Post-process a speculative verify sweep ON DEVICE so the host fetches
-    (B, K+1, 3) floats instead of the full (B, K+1, V) logits (~5 MB per
-    round at 7B vocab). Layout: [..., 0] greedy target ids (exact in f32),
-    [..., 1] logprob of that id, [..., 2] logprob of the lane's NEXT
-    proposed token chunk[:, i+1] (the accepted-prefix candidate; the last
-    column's value is unused — emission stops at the correction token)."""
+    (B, K+1, 6 + 2*topn) floats instead of the full (B, K+1, V) logits
+    (~5 MB per round at 7B vocab).
+
+    Every scheduler proposal source is a POINT MASS per row (greedy draft
+    ticks, prompt-lookup n-grams, medusa argmax heads propose exactly one
+    token), so exact rejection sampling (Leviathan et al., arXiv:2211.17192)
+    reduces to: accept proposal x = chunk[:, i+1] w.p. min(1, p_T(x)/1) =
+    p_T(x); on rejection, the correction samples the residual
+    max(p_T - q, 0) ∝ p_T with x masked out; if every proposal lands, the
+    bonus token samples p_T at the last verified row. The emitted stream is
+    then distributed EXACTLY as plain temperature sampling from the target
+    (the engine's rejection_sample_verify math, batched on device).
+    Temperature-0 lanes degenerate to exact argmax acceptance — bitwise the
+    old greedy semantics.
+
+    Layout: [..., 0] accept flag, [..., 1] logprob of the proposed token,
+    [..., 2] residual-correction id, [..., 3] its logprob, [..., 4] bonus
+    id, [..., 5] its logprob, then topn top ids and topn top logprobs of
+    each row. Token ids are exact in f32; all reported logprobs are under
+    the FULL temperature-independent distribution (OpenAI semantics, same
+    as _sample_pack row 1)."""
+    B, K1, V = logits.shape
     lg = logits.astype(jnp.float32)
-    lse = jax.scipy.special.logsumexp(lg, axis=-1)
-    t = jnp.argmax(lg, axis=-1)
-    lp_t = jnp.take_along_axis(lg, t[..., None], axis=-1)[..., 0] - lse
-    shifted = jnp.concatenate([chunk[:, 1:], chunk[:, :1]], axis=1)
-    lp_c = jnp.take_along_axis(
-        lg, shifted[..., None].astype(jnp.int32), axis=-1)[..., 0] - lse
-    return jnp.stack([t.astype(jnp.float32), lp_t, lp_c], axis=-1)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)            # (B, K+1)
+    prop = jnp.concatenate([chunk[:, 1:], chunk[:, :1]],
+                           axis=1).astype(jnp.int32)          # (B, K+1)
+    lp_c = jnp.take_along_axis(lg, prop[..., None], axis=-1)[..., 0] - lse
+    greedy_t = jnp.argmax(lg, axis=-1)                        # (B, K+1)
+
+    temp = jnp.maximum(temps, 1e-6)[:, None, None]            # (B, 1, 1)
+    scaled = lg / temp
+    lse_T = jax.scipy.special.logsumexp(scaled, axis=-1)
+    lp_T_x = jnp.take_along_axis(scaled, prop[..., None],
+                                 axis=-1)[..., 0] - lse_T
+    # independent per-(lane, row) key chains: fold the row's absolute
+    # position into the request seed (rows land at distinct positions, and
+    # the plain tick's _sample_pack uses the UNfolded key at a position,
+    # so spec and plain draws never share a stream)
+    rowpos = positions[:, None] + jnp.arange(K1)[None]        # (B, K+1)
+    base = jax.vmap(jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p),
+        in_axes=(None, 0)))(seeds, rowpos)
+    sub = lambda n: jax.vmap(jax.vmap(
+        lambda k: jax.random.fold_in(k, n)))(base)
+    u = jax.vmap(jax.vmap(jax.random.uniform))(sub(1))        # (B, K+1)
+    sampled_lane = (temps > 0.0)[:, None]
+    acc = jnp.where(sampled_lane, u < jnp.exp(lp_T_x), prop == greedy_t)
+    # residual = p_T with the proposed token masked (point-mass q); if the
+    # mask empties the support (p_T(x) ~ 1) the acceptance already fires
+    # w.p. ~1, but guard the categorical against all -inf anyway
+    masked = jnp.where(jnp.arange(V)[None, None] == prop[..., None],
+                       -jnp.inf, scaled)
+    cat = jax.vmap(jax.vmap(jax.random.categorical))
+    res = cat(sub(2), masked).astype(jnp.int32)
+    res = jnp.where(jnp.isfinite(jnp.max(masked, axis=-1)), res, greedy_t)
+    bon = cat(sub(3), scaled).astype(jnp.int32)
+    res = jnp.where(sampled_lane, res, greedy_t)
+    bon = jnp.where(sampled_lane, bon, greedy_t)
+    res_lp = jnp.take_along_axis(lg, res[..., None], axis=-1)[..., 0] - lse
+    bon_lp = jnp.take_along_axis(lg, bon[..., None], axis=-1)[..., 0] - lse
+    cols = [acc.astype(jnp.float32), lp_c, res.astype(jnp.float32), res_lp,
+            bon.astype(jnp.float32), bon_lp]
+    if topn:
+        tv, ti = jax.lax.top_k(lg, topn)                      # (B, K+1, n)
+        cols += ([ti[..., k].astype(jnp.float32) for k in range(topn)]
+                 + [tv[..., k] - lse for k in range(topn)])
+    return jnp.stack(cols, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("topn",))
+def _verify_pack_medusa(logits, chunk, seeds, positions, temps, kd,
+                        hidden, mw, topn: int = 0):
+    """_verify_pack plus the NEXT round's Medusa proposals in the SAME
+    fetch: recompute the accept walk on device (bitwise the host walk —
+    leading accepts clipped to each lane's proposal count kd), gather the
+    hidden row at the correction index, run the heads there, and append
+    the proposals as one extra trailing column (rows 0..H-1). One
+    dispatch, one host fetch per round — the heads never cost a second
+    tunnel RTT (the engine path keeps hidden device-resident the same
+    way, engine.generate_medusa)."""
+    from .medusa import medusa_propose_rows
+    vp = _verify_pack(logits, chunk, seeds, positions, temps, topn=topn)
+    B, K1 = chunk.shape
+    acc = vp[..., 0] > 0.5
+    idx = jnp.arange(K1)[None]
+    rej = (~acc) & (idx < kd[:, None])
+    a = jnp.where(rej.any(axis=1), jnp.argmax(rej, axis=1),
+                  kd).astype(jnp.int32)                       # (B,)
+    h_a = jnp.take_along_axis(hidden, a[:, None, None], axis=1)[:, 0]
+    props = medusa_propose_rows(mw, h_a)                      # (B, H)
+    Hc = min(int(props.shape[1]), K1 - 1)  # next chunk holds at most K
+    col = jnp.zeros((B, K1, 1), jnp.float32)
+    col = col.at[:, :Hc, 0].set(props[:, :Hc].astype(jnp.float32))
+    return jnp.concatenate([vp, col], axis=-1)
 
 
 @dataclasses.dataclass
@@ -157,6 +238,9 @@ class _Slot:
     seq: int = 0            # admission order (paged preemption picks newest)
     spec_ok: bool = False   # draft cache hydrated & in sync (spec mode)
     hist: object = None     # NgramHistory (prompt-lookup spec mode)
+    med_props: object = None  # next-round head proposals (medusa spec mode;
+                              # None until the first verify sweep returns
+                              # this lane's hidden row)
 
     @property
     def free(self) -> bool:
@@ -184,6 +268,7 @@ class Scheduler:
         spec_k: int = 4,
         spec_lookup: bool = False,
         spec_ngram: int = 3,
+        spec_medusa=None,
         batched_admission: bool = False,
         top_logprobs: int = 0,
     ):
@@ -209,8 +294,12 @@ class Scheduler:
         spec_k greedy tokens PER LANE (spec_k+1 cheap batched draft ticks)
         and ONE batched target sweep verifies every lane's chunk at once
         (models/fast.verify_chunk_fast_batched) — up to spec_k+1 tokens per
-        target weight-sweep per lane, streams bit-identical to plain greedy
-        decode. Greedy-only (temperature-0 requests), dense fast path,
+        target weight-sweep per lane. Temperature-0 streams are
+        bit-identical to plain greedy decode; temperature>0 requests verify
+        with EXACT rejection sampling on device (_verify_pack: point-mass
+        proposals accept w.p. p_T(x), rejections sample the residual), so
+        the emitted distribution equals plain target sampling. Full-vocab
+        sampling only (top_k/top_p rejected at submit), dense fast path,
         single device. COMPOSES with the paged pool: the verify chunk
         scatters rows through the page tables
         (models/fast.verify_chunk_fast_batched_paged) and preempted lanes
@@ -224,8 +313,9 @@ class Scheduler:
         batched target sweep verifies every proposing lane. Lanes with no
         n-gram match this round join the plain tick and stay eligible —
         worst case degrades to plain continuous batching plus a dict
-        lookup. Greedy-only and dense like spec_draft (mutually exclusive
-        with it), but COMPOSES fully: with the paged pool, with the
+        lookup. Same sampling envelope as spec_draft (any temperature,
+        full-vocab only; mutually exclusive with it), but COMPOSES fully:
+        with the paged pool, with the
         dp x tp mesh (proposals are host-side, so only the verify sweep
         shards — parallel/fast_tp.make_verify_chunk_fast_tp), and with
         BOTH at once (make_verify_chunk_paged_fast_tp: the sweep scatters
@@ -236,24 +326,27 @@ class Scheduler:
         self.page_size = page_size
         self.spec_lookup = bool(spec_lookup)
         self.spec_ngram = int(spec_ngram)
-        if spec_lookup and spec_draft is not None:
-            raise ValueError("spec_lookup and spec_draft are mutually "
-                             "exclusive proposal sources")
-        self.spec = spec_draft is not None or self.spec_lookup
+        self.spec_medusa = spec_medusa
+        if sum([spec_lookup, spec_draft is not None,
+                spec_medusa is not None]) > 1:
+            raise ValueError("spec_lookup, spec_draft, and spec_medusa are "
+                             "mutually exclusive proposal sources")
+        self.spec = (spec_draft is not None or self.spec_lookup
+                     or spec_medusa is not None)
         self.spec_k = int(spec_k)
+        if spec_medusa is not None:
+            # one proposal per head per round; clamp K to the head count
+            self.spec_k = min(self.spec_k, int(spec_medusa.w1.shape[0]))
         self.topn = int(top_logprobs)
-        if self.topn and self.spec:
-            raise ValueError("top_logprobs with speculative modes is not "
-                             "supported (verify rounds fetch compact "
-                             "accept/reject stats, not top-N tables)")
         if self.spec and cfg.is_moe:
             raise ValueError("speculative scheduler mode: dense models only")
         if self.spec and mesh is not None:
             if not self.spec_lookup:
                 raise ValueError(
                     "spec x mesh supports prompt-lookup proposals only (a "
-                    "draft model would need its own sharding); use "
-                    "spec_lookup=True")
+                    "draft model would need its own sharding; medusa needs "
+                    "hidden rows the sharded verify sweep does not expose "
+                    "yet); use spec_lookup=True")
             if mesh.shape.get("ep", 1) != 1:
                 raise ValueError("spec x mesh needs ep=1 (dense)")
         if self.paged:
@@ -559,25 +652,30 @@ class Scheduler:
                     return _vc_tp(w, tokens, pos0, enable, cache)
             elif self.paged:
                 # speculation COMPOSED with the paged pool: the verify
-                # chunk scatters rows through the page tables
+                # chunk scatters rows through the page tables (medusa
+                # additionally pulls the hidden rows its heads read)
                 from .models.fast import verify_chunk_fast_batched_paged
                 ps = page_size
+                wh = spec_medusa is not None
 
                 @partial(jax.jit, donate_argnums=(4,))
                 def _verify(w, tokens, pos0, enable, pool, tables):
                     return verify_chunk_fast_batched_paged(
                         cfg, w, tokens, pos0, enable, pool, tables,
-                        page_size=ps)
+                        page_size=ps, with_hidden=wh)
             else:
+                wh = spec_medusa is not None
+
                 @partial(jax.jit, donate_argnums=(4,))
                 def _verify(w, tokens, pos0, enable, cache):
                     return verify_chunk_fast_batched(cfg, w, tokens, pos0,
-                                                     enable, cache)
+                                                     enable, cache,
+                                                     with_hidden=wh)
 
             self._verify = _verify
             self.spec_stats = {"rounds": 0, "accepted": 0, "proposed": 0}
 
-        if self.spec_lookup:
+        if self.spec_lookup or spec_medusa is not None:
             self.spec_edge = cfg.max_seq_len
         elif self.spec:
             dcfg, dweights = spec_draft
@@ -626,9 +724,13 @@ class Scheduler:
     def submit(self, request: Request) -> Request:
         if not request.prompt_tokens:
             raise ValueError("prompt_tokens must be non-empty (include BOS)")
-        if self.spec and request.temperature != 0.0:
-            raise ValueError("speculative scheduler mode verifies greedy "
-                             "argmax streams; temperature must be 0")
+        if self.spec and (request.top_k > 0 or request.top_p < 1.0):
+            # temperature>0 verifies with exact rejection sampling
+            # (_verify_pack), but the residual math assumes the FULL
+            # target distribution — a top-k/top-p cut would need the same
+            # filtering inside the verify sweep
+            raise ValueError("speculative scheduler mode supports full-vocab "
+                             "sampling only (top_k=0, top_p=1)")
         self.queue.append(request)
         return request
 
@@ -813,6 +915,14 @@ class Scheduler:
             from .spec import NgramHistory
             slot.hist = NgramHistory(list(toks) + [slot.last_token],
                                      max_ngram=self.spec_ngram)
+            slot.spec_ok = True
+            return
+        if self.spec_medusa is not None:
+            # the heads need this lane's hidden row, which the FIRST verify
+            # sweep returns (that round proposes nothing for this lane but
+            # still emits one exact token — mirrors engine.generate_medusa's
+            # hidden-bootstrapping chunk)
+            slot.med_props = None
             slot.spec_ok = True
             return
         for i0, take, bucket in chunk_schedule(
@@ -1138,9 +1248,12 @@ class Scheduler:
         """One speculative round: the proposal source (K+1 draft ticks, or
         per-lane prompt lookup when spec_lookup) proposes per-lane chunks,
         one batched target sweep verifies them all, each eligible lane
-        emits its longest agreeing prefix + the target's correction (up to
-        spec_k+1 tokens per round). Edge lanes fall back to a plain tick;
-        lookup lanes with no n-gram match join it for the round only."""
+        emits its longest ACCEPTED prefix + a correction (up to spec_k+1
+        tokens per round). Greedy lanes accept on argmax agreement and the
+        correction is the argmax; sampled lanes run exact rejection
+        sampling on device (see _verify_pack). Edge lanes fall back to a
+        plain tick with their own sampling params; lookup lanes with no
+        n-gram match join it for the round only."""
         K = self.spec_k
         elig, props = [], {}
         for b, s in enumerate(self.slots):
@@ -1175,6 +1288,17 @@ class Scheduler:
                 for b in elig:
                     chunk[b, 0] = self.slots[b].last_token
                     chunk[b, 1: 1 + kd[b]] = props[b]
+            elif self.spec_medusa is not None:
+                # head proposals banked by the PREVIOUS round's sweep
+                # (fresh lanes have none yet and ride the sweep for the
+                # hidden row + one exact token)
+                kd = {}
+                for b in elig:
+                    p = (self.slots[b].med_props or [])[:K]
+                    kd[b] = len(p)
+                    chunk[b, 0] = self.slots[b].last_token
+                    if p:
+                        chunk[b, 1: 1 + len(p)] = p
             else:
                 tokens = np.zeros(B, np.int32)
                 for b in elig:
@@ -1189,59 +1313,105 @@ class Scheduler:
                     chunk[b, 0] = self.slots[b].last_token
                     chunk[b, 1:] = d[b, :K]
             if self.paged:
-                logits, self.cache = self._verify(
+                out, self.cache = self._verify(
                     self.weights, jnp.asarray(chunk), jnp.asarray(positions),
                     jnp.asarray(write), self.cache,
                     jnp.asarray(self.alloc.table_array()))
             else:
-                logits, self.cache = self._verify(
+                out, self.cache = self._verify(
                     self.weights, jnp.asarray(chunk), jnp.asarray(positions),
                     jnp.asarray(write), self.cache)
-            vp = np.asarray(_verify_pack(logits, jnp.asarray(chunk)))
-            t = vp[..., 0].astype(np.int32)              # (B, K+1)
+            temps = np.zeros(B, np.float32)
+            seeds = np.zeros(B, np.int32)
+            for b in elig:
+                temps[b] = self.slots[b].request.temperature
+                seeds[b] = self.slots[b].request.seed
+            if self.spec_medusa is not None:
+                logits, hidden = out
+                kd_arr = np.zeros(B, np.int32)
+                for b in elig:
+                    kd_arr[b] = kd[b]
+                vp = np.asarray(_verify_pack_medusa(
+                    logits, jnp.asarray(chunk), jnp.asarray(seeds),
+                    jnp.asarray(positions), jnp.asarray(temps),
+                    jnp.asarray(kd_arr), hidden, self.spec_medusa,
+                    topn=self.topn))
+            else:
+                logits = out
+                vp = np.asarray(_verify_pack(
+                    logits, jnp.asarray(chunk), jnp.asarray(seeds),
+                    jnp.asarray(positions), jnp.asarray(temps),
+                    topn=self.topn))
+            acc = vp[..., 0] > 0.5                       # (B, K+1)
             self.spec_stats["rounds"] += 1
             for b in elig:
                 s = self.slots[b]
                 a = 0
-                while a < kd[b] and chunk[b, a + 1] == t[b, a]:
+                while a < kd[b] and acc[b, a]:
                     a += 1
-                emitted = [int(x) for x in chunk[b, 1: a + 1]] + [int(t[b, a])]
+                # first rejection -> residual correction; all kd accepted
+                # -> bonus token sampled at the last verified row
+                corr_col = 2 if a < kd[b] else 4
+                corr = int(vp[b, a, corr_col])
+                emitted = [int(x) for x in chunk[b, 1: a + 1]] + [corr]
                 self.spec_stats["accepted"] += a
                 self.spec_stats["proposed"] += kd[b]
                 s.pos = int(positions[b]) + a + 1
                 s.last_token = emitted[-1]
                 if self.spec_lookup:
                     s.hist.extend(emitted)
+                if self.spec_medusa is not None:
+                    # next round's head proposals, computed on device from
+                    # the hidden row at the correction index (same fetch)
+                    H = min(int(self.spec_medusa.w1.shape[0]), K)
+                    s.med_props = [int(vp[b, h, -1]) for h in range(H)]
                 for i, tok in enumerate(emitted):
                     if s.request is None:
                         break  # finished mid-round: discard the tail
                     # i < a: the accepted proposal chunk[b, i+1] -> lp_c;
-                    # i == a: the target's correction t[b, a] -> lp_t
-                    lp = float(vp[b, i, 2] if i < a else vp[b, i, 1])
-                    if self._emit_checked(s, tok, lp):
+                    # i == a: the correction's own logprob
+                    lp = float(vp[b, i, 1] if i < a else vp[b, i, corr_col + 1])
+                    top = None
+                    if self.topn:
+                        top = [(int(vp[b, i, 6 + k]),
+                                float(vp[b, i, 6 + self.topn + k]))
+                               for k in range(self.topn)]
+                    if self._emit_checked(s, tok, lp, top):
                         self._maybe_finish(s, tok)
                     else:
                         break
 
         if plain:
-            # window-edge lanes: one plain greedy tick (spec lanes masked)
+            # window-edge lanes (and lookup lanes with no n-gram match this
+            # round): one plain tick with each lane's OWN sampling params
+            # (spec lanes masked)
+            pset = set(plain)
             tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
             positions = jnp.asarray([s.pos for s in self.slots], jnp.int32)
-            write = jnp.asarray([1 if b in set(plain) else 0
+            write = jnp.asarray([1 if b in pset else 0
                                  for b in range(self.B)], jnp.int32)
-            zeros_f = jnp.zeros((self.B,), jnp.float32)
-            zeros_i = jnp.zeros((self.B,), jnp.int32)
+            temps = jnp.asarray(
+                [s.request.temperature if b in pset else 0.0
+                 for b, s in enumerate(self.slots)], jnp.float32)
+            seeds = jnp.asarray(
+                [s.request.seed if b in pset else 0
+                 for b, s in enumerate(self.slots)], jnp.int32)
+            topks = jnp.asarray(
+                [s.request.top_k if b in pset else 0
+                 for b, s in enumerate(self.slots)], jnp.int32)
+            topps = jnp.asarray(
+                [s.request.top_p if b in pset else 1.0
+                 for b, s in enumerate(self.slots)], jnp.float32)
             if self.paged:
                 packed, _, self.cache = self._tick_paged(
-                    self.weights, tokens, positions, self.cache, zeros_i,
-                    zeros_f, write, zeros_i,
-                    jnp.ones((self.B,), jnp.float32),
+                    self.weights, tokens, positions, self.cache, seeds,
+                    temps, write, topks, topps,
                     jnp.asarray(self.alloc.table_array()))
             else:
                 packed, self.cache = self._tick(
-                    self.weights, tokens, positions, self.cache, zeros_i,
-                    zeros_f, write, zeros_i, jnp.ones((self.B,), jnp.float32))
-            nxt, lps, _ = _unpack_sample(packed)
+                    self.weights, tokens, positions, self.cache, seeds,
+                    temps, write, topks, topps)
+            nxt, lps, tops = _unpack_sample(packed, self.topn)
             for b in plain:
                 s = self.slots[b]
                 tok = int(nxt[b])
@@ -1249,7 +1419,8 @@ class Scheduler:
                 s.last_token = tok
                 if self.spec_lookup and s.spec_ok and s.hist is not None:
                     s.hist.extend([tok])  # stays eligible next round
-                if self._emit_checked(s, tok, float(lps[b])):
+                if self._emit_checked(s, tok, float(lps[b]),
+                                      tops[b] if tops else None):
                     self._maybe_finish(s, tok)
 
     def run(self, max_ticks: int = 100000) -> None:

@@ -43,7 +43,7 @@ class ServingEngine:
                  paged_pages: int = 0, page_size: int = 256,
                  mesh=None, spec_draft=None, spec_k: int = 4,
                  spec_lookup: bool = False, spec_ngram: int = 3,
-                 top_logprobs: int = 5):
+                 spec_medusa=None, top_logprobs: int = 5):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -58,15 +58,14 @@ class ServingEngine:
                                mesh=mesh, spec_draft=spec_draft,
                                spec_k=spec_k, spec_lookup=spec_lookup,
                                spec_ngram=spec_ngram,
+                               spec_medusa=spec_medusa,
                                # serving optimizes TTFT under load: all
                                # admitting lanes hydrate in one weight sweep
                                batched_admission=True,
                                # OpenAI top-N logprobs ride the tick's one
-                               # packed fetch (spec modes fetch compact
-                               # accept stats instead — no top-N there)
-                               top_logprobs=(0 if (spec_draft is not None
-                                                   or spec_lookup)
-                                             else top_logprobs))
+                               # packed fetch (spec verify rounds append
+                               # per-row top-N columns to the same fetch)
+                               top_logprobs=top_logprobs)
         self._inbox: "queue.Queue[tuple[Request, queue.Queue]]" = queue.Queue()
         self._watch: list[tuple[Request, "queue.Queue"]] = []
         # serving counters for /metrics (observability beyond the
@@ -106,6 +105,10 @@ class ServingEngine:
                                         tp=tp)
         else:
             weights = load_weights(yf, cfg)
+        if kw.pop("medusa", False):
+            # self-drafting heads live in the SAME checkpoint (engine -u)
+            from .medusa import load_medusa_weights
+            kw["spec_medusa"] = load_medusa_weights(yf, cfg)
         tok = Tokenizer.from_yalm(yf)
         eng = cls(cfg, weights, tok, batch=batch, **kw)
         yf.close()
@@ -593,19 +596,29 @@ def main(argv=None) -> None:
                     help="serve with SCHEDULER-LEVEL speculative decoding: "
                          "this small draft checkpoint proposes --spec-k "
                          "tokens per lane per round, one batched target "
-                         "sweep verifies all lanes (greedy requests only; "
-                         "composes with --paged-pages)")
+                         "sweep verifies all lanes (any temperature via "
+                         "exact rejection sampling; full-vocab only: "
+                         "top_k/top_p rejected; composes with "
+                         "--paged-pages)")
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--spec-lookup", action="store_true",
                     help="draft-model-free speculative decoding: per-lane "
                          "prompt lookup (n-gram match over the lane's own "
                          "tokens) proposes up to --spec-k tokens, one "
-                         "batched target sweep verifies all lanes (greedy "
-                         "requests only; biggest wins on input-grounded "
-                         "outputs that reuse prompt spans; composes with "
-                         "--paged-pages OR --mesh)")
+                         "batched target sweep verifies all lanes (any "
+                         "temperature via exact rejection sampling; "
+                         "biggest wins on input-grounded outputs that "
+                         "reuse prompt spans; composes with --paged-pages "
+                         "AND/OR --mesh)")
     ap.add_argument("--spec-ngram", type=int, default=3,
                     help="max n-gram size for --spec-lookup matching")
+    ap.add_argument("--medusa", action="store_true",
+                    help="speculative decoding with the checkpoint's OWN "
+                         "medusa heads (metadata medusa_heads): each verify "
+                         "sweep's hidden rows feed the heads for the next "
+                         "round's proposals — no draft model, no lookup "
+                         "index (any temperature via exact rejection "
+                         "sampling; composes with --paged-pages)")
     ap.add_argument("--mesh", default=None, metavar="DP,EP,TP",
                     help="serve over a ('dp','ep','tp') device mesh: slot "
                          "lanes shard on dp, experts on ep, heads/hidden on "
@@ -688,7 +701,8 @@ def main(argv=None) -> None:
                                            mesh=mesh, spec_draft=spec_draft,
                                            spec_k=args.spec_k,
                                            spec_lookup=args.spec_lookup,
-                                           spec_ngram=args.spec_ngram)
+                                           spec_ngram=args.spec_ngram,
+                                           medusa=args.medusa)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

@@ -1458,6 +1458,43 @@ def verify_chunk_fast_batched_paged(
     view — garbage beyond a lane's history is masked causally.
     PRECONDITIONS: enabled lanes have pos0 + T <= window (scheduler edge
     rule) AND pages mapped through pos0 + T (scheduler._ensure_pages)."""
+    return _chunk_forward_fast_batched_paged(
+        cfg, fw, tokens, pos0, None, enable, pool, tables,
+        page_size=page_size,
+        logits_mode="all_h" if with_hidden else "all")
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "logits_mode"))
+def prefill_chunk_fast_batched_paged(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (B, T) int32 padded chunks
+    pos0: jax.Array,       # (B,) int32 per-lane chunk start
+    valid_len: jax.Array,  # (B,) int32 real rows per lane (rest padding)
+    enable: jax.Array,     # (B,) int32
+    pool: "PagedKVPool",
+    tables: jax.Array,     # (B, window // page_size) int32 page ids
+    *,
+    page_size: int = 256,
+    logits_mode: str = "lastv",
+) -> tuple[Optional[jax.Array], "PagedKVPool"]:
+    """BATCHED chunked admission over the PAGED pool: every admitting
+    lane's next prompt chunk hydrates in ONE weight sweep, its rows
+    scattering through the lane's page table (so a chunk may straddle
+    page boundaries — the per-slot paged path had to clamp each chunk
+    inside one page). Same ~A x TTFT win as the dense
+    prefill_chunk_fast_batched. Padding rows (>= valid_len) and disabled
+    lanes scatter into the reserved sink page 0.
+    PRECONDITIONS: enabled lanes have pos0 + valid_len <= window and pages
+    mapped through pos0 + valid_len (scheduler._ensure_pages)."""
+    return _chunk_forward_fast_batched_paged(
+        cfg, fw, tokens, pos0, valid_len, enable, pool, tables,
+        page_size=page_size, logits_mode=logits_mode)
+
+
+def _chunk_forward_fast_batched_paged(cfg, fw, tokens, pos0, valid_len,
+                                      enable, pool, tables, page_size: int,
+                                      logits_mode: str):
     from .paged import PagedKVPool
 
     B, T = tokens.shape
@@ -1465,16 +1502,19 @@ def verify_chunk_fast_batched_paged(
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     qpk = Hq // Hk
     sc = fw.scales
-    assert not cfg.is_moe, "paged spec verify chunk supports dense models"
+    assert not cfg.is_moe, "paged batched chunks support dense models"
 
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
     att_mask = jnp.arange(S)[None, None, :] <= positions[:, :, None]
     mask_of = _sliding_mask_fn(cfg, positions, att_mask, S)
-    blk = positions // page_size
+    blk = jnp.minimum(positions // page_size, tables.shape[1] - 1)
     row = positions % page_size
     pages = jnp.take_along_axis(tables, blk, axis=1)            # (B, T)
-    pages = jnp.where(enable[:, None] != 0, pages, 0)           # sink page
+    wmask = (enable[:, None] != 0)
+    if valid_len is not None:
+        wmask = wmask & (jnp.arange(T)[None, :] < valid_len[:, None])
+    pages = jnp.where(wmask, pages, 0)                          # sink page
     pf, rf = pages.reshape(-1), row.reshape(-1)
 
     x = fw.embed[tokens].astype(jnp.float32)
@@ -1538,10 +1578,22 @@ def verify_chunk_fast_batched_paged(
 
     x, kp, vp = jax.lax.fori_loop(
         0, cfg.n_layers, layer_body, (x, pool.k, pool.v))
+    new_pool = PagedKVPool(k=kp, v=vp)
+    if logits_mode == "none":
+        return None, new_pool
+    if logits_mode == "lastv":
+        xg = x.reshape(B, T, cfg.dim)
+        idx = (jnp.maximum(valid_len, 1) - 1 if valid_len is not None
+               else jnp.full((B,), T - 1, jnp.int32))
+        x_last = jnp.take_along_axis(
+            xg, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        xn = rmsnorm(x_last, fw.final_norm, cfg.norm_eps)
+        return _cap_logits(cfg, gemm(xn, fw.lm_head,
+                                     sc.lm_head if sc else None)), new_pool
     xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
     logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
                                    sc.lm_head if sc else None))
-    if with_hidden:
+    if logits_mode == "all_h":
         return ((logits.reshape(B, T, -1), xn.reshape(B, T, -1)),
-                PagedKVPool(k=kp, v=vp))
-    return logits.reshape(B, T, -1), PagedKVPool(k=kp, v=vp)
+                new_pool)
+    return logits.reshape(B, T, -1), new_pool

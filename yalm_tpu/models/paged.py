@@ -99,6 +99,11 @@ class PageAllocator:
     def _mapped(self, lane: int) -> int:
         return int((self.tables[lane] != 0).sum())
 
+    def mapped_through(self, lane: int, target_len: int) -> bool:
+        """Whether the lane's table covers positions [0, target_len)
+        (grow maps blocks contiguously from 0)."""
+        return self._mapped(lane) >= self.pages_for(target_len)
+
     def grow(self, lane: int, target_len: int) -> None:
         """Map pages so the lane can hold target_len tokens. Raises if the
         pool is exhausted — callers must check can_grow first. Unreferenced
@@ -243,6 +248,10 @@ class GroupedPageAllocator:
     def grow(self, lane: int, target_len: int) -> None:
         g, ll = self._route(lane)
         g.grow(ll, target_len)
+
+    def mapped_through(self, lane: int, target_len: int) -> bool:
+        g, ll = self._route(lane)
+        return g.mapped_through(ll, target_len)
 
     def release(self, lane: int) -> None:
         g, ll = self._route(lane)

@@ -562,8 +562,7 @@ class Scheduler:
                                   topks, topps, self.topn)
             return packed, cache
 
-        if batched_admission and self.fast and mesh is None \
-                and not self.paged:
+        if batched_admission and self.fast and mesh is None:
             # OPT-IN: all admitting lanes' chunks hydrate in ONE weight
             # sweep — with A concurrent admissions, time-to-first-token
             # improves ~A x under load. The trade: a lane's chunk pads to
@@ -571,17 +570,31 @@ class Scheduler:
             # bf16-rounding level) on co-admitted traffic — the default
             # per-slot path keeps streams bit-identical to a solo run.
             # The server turns this on (serving optimizes TTFT).
-            from .models.fast import prefill_chunk_fast_batched
+            if self.paged:
+                # the paged sweep scatters each lane's chunk rows through
+                # its page table (chunks may straddle page boundaries here)
+                from .models.fast import prefill_chunk_fast_batched_paged
+                ps = page_size
 
-            @partial(jax.jit, static_argnames=("attend_len",),
-                     donate_argnums=(5,))
-            def _admit_batch(w, tokens, pos0, valid_len, enable, cache,
-                             attend_len):
-                """ONE weight sweep hydrates every admitting lane's chunk
-                (batched admission — A concurrent admissions cost ~one)."""
-                return prefill_chunk_fast_batched(
-                    cfg, w, tokens, pos0, valid_len, enable, cache,
-                    attend_len=attend_len, logits_mode="lastv")
+                @partial(jax.jit, donate_argnums=(5,))
+                def _admit_batch(w, tokens, pos0, valid_len, enable, pool,
+                                 tables):
+                    return prefill_chunk_fast_batched_paged(
+                        cfg, w, tokens, pos0, valid_len, enable, pool,
+                        tables, page_size=ps, logits_mode="lastv")
+            else:
+                from .models.fast import prefill_chunk_fast_batched
+
+                @partial(jax.jit, static_argnames=("attend_len",),
+                         donate_argnums=(5,))
+                def _admit_batch(w, tokens, pos0, valid_len, enable, cache,
+                                 attend_len):
+                    """ONE weight sweep hydrates every admitting lane's
+                    chunk (batched admission — A concurrent admissions
+                    cost ~one)."""
+                    return prefill_chunk_fast_batched(
+                        cfg, w, tokens, pos0, valid_len, enable, cache,
+                        attend_len=attend_len, logits_mode="lastv")
 
             self._admit_batch = _admit_batch
         else:
@@ -1083,6 +1096,18 @@ class Scheduler:
         if len(work) == 1:
             return set()  # a single admission: the per-slot path's
             # prefix-bounded single-lane program is cheaper
+        if self.paged:
+            # lazy growth for every lane's whole chunk BEFORE the sweep;
+            # an _ensure_pages call can preempt the NEWEST lane — possibly
+            # one already in this work list — so re-validate afterwards
+            for b, slot, take in list(work):
+                self._ensure_pages(b, min(window, slot.pos + take))
+            work = [(b, s, t) for b, s, t in work
+                    if s.request is not None and s.admitting
+                    and self.alloc.mapped_through(b, min(window,
+                                                         s.pos + t))]
+            if not work:
+                return set()
         B = self.B
         tokens = np.zeros((B, bucket), np.int32)
         pos0 = np.zeros(B, np.int32)
@@ -1097,17 +1122,22 @@ class Scheduler:
             enable[b] = 1
             attend = max(attend, attend_bucket(slot.pos + bucket, window))
         self.admit_sweeps += 1
-        out, self.cache = self._admit_batch(
-            self.weights, jnp.asarray(tokens), jnp.asarray(pos0),
-            jnp.asarray(vlen), jnp.asarray(enable), self.cache,
-            attend_len=attend)
+        if self.paged:
+            out, self.cache = self._admit_batch(
+                self.weights, jnp.asarray(tokens), jnp.asarray(pos0),
+                jnp.asarray(vlen), jnp.asarray(enable), self.cache,
+                jnp.asarray(self.alloc.table_array()))
+        else:
+            out, self.cache = self._admit_batch(
+                self.weights, jnp.asarray(tokens), jnp.asarray(pos0),
+                jnp.asarray(vlen), jnp.asarray(enable), self.cache,
+                attend_len=attend)
         for b, slot, take in work:
             slot.pos += take
             slot.admit_i += take
             if slot.admit_i >= len(slot.admit_tokens):
                 if slot.resuming:
-                    # defensive: resume points only exist in paged mode,
-                    # where batched admission is currently disabled
+                    # paged preemption resume: re-hydration emits nothing
                     self._finish_resume(slot)
                 else:
                     self._finish_admission(slot, out[b])

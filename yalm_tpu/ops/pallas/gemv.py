@@ -631,9 +631,11 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         w = w_ref[0]                                     # (bn, Hp) uint8
-        # Mosaic has no uint8->bf16 cast; widen to i32 on the VPU first
+        # Mosaic has no uint8->bf16 cast (widen to i32 on the VPU first)
+        # and `w >> 4` ON UINT8 crashes its compiler outright when the
+        # result feeds the MXU — mask the high nibble and shift in i32
         lo = ((w & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
-        hi = ((w >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+        hi = (((w & 0xF0).astype(jnp.int32) // 16) - 8).astype(jnp.bfloat16)
         xb = x_ref[...]                                  # (B, group) f32
         x_lo = xb[:, :Hp].astype(jnp.bfloat16)
         x_hi = xb[:, Hp:].astype(jnp.bfloat16)
@@ -718,9 +720,10 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         w = w_ref[0, 0]                                  # (bn, Hp) uint8
-        # same i32-hop cast + full-(G, bn) scale slab as gemm4_l
+        # same i32-hop cast + mask-instead-of-u8-shift + full-(G, bn)
+        # scale slab as gemm4_l
         lo = ((w & 0xF).astype(jnp.int32) - 8).astype(jnp.bfloat16)
-        hi = ((w >> 4).astype(jnp.int32) - 8).astype(jnp.bfloat16)
+        hi = (((w & 0xF0).astype(jnp.int32) // 16) - 8).astype(jnp.bfloat16)
         xb = x_ref[...]
         x_lo = xb[:, :Hp].astype(jnp.bfloat16)
         x_hi = xb[:, Hp:].astype(jnp.bfloat16)

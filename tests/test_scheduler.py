@@ -434,3 +434,99 @@ def test_batched_admission_paged_preemption_resume(tmp_path):
     full = run(1 + 8 * 8, True)
     tight = run(1 + 10, True)     # forces preemption + resume
     assert tight == full
+
+
+# ---------------------------------------------------- dense prefix caching
+def _dense_prefix_sched(tmp_path, seed=65, **kw):
+    from test_fast_path import fast_config
+    cfg = fast_config(max_seq_len=128)
+    path = str(tmp_path / f"dp{seed}.yalm")
+    synth_checkpoint(path, cfg, seed=seed)
+    weights = load_weights(read_yalm(path), cfg)
+    return cfg, Scheduler(cfg, weights, batch=8, prefix_cache=True, **kw)
+
+
+def test_dense_prefix_cache_reuses_rows(tmp_path):
+    """DENSE prompt reuse (VERDICT item: prefix caching beyond paged):
+    a repeated prompt copies the registered lane's rows and skips its
+    prefill; the stream matches the cold run exactly (the copied rows
+    ARE the cold run's rows)."""
+    cfg, sched = _dense_prefix_sched(tmp_path)
+    prompt = [1] + [7, 9, 11] * 13            # 40 tokens
+    r1 = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=6,
+                              temperature=0.0))
+    sched.run()
+    assert sched.prefix_stats["registered"] == 1
+    assert sched.prefix_stats["hits"] == 0
+    r2 = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=6,
+                              temperature=0.0))
+    sched.run()
+    assert r2.generated == r1.generated
+    st = sched.prefix_stats
+    assert st["hits"] == 1
+    # all but the last prompt token skipped prefill
+    assert st["hit_tokens"] == len(prompt) - 1
+
+
+def test_dense_prefix_cache_token_granular_partial_match(tmp_path):
+    """Matching is TOKEN-granular: a prompt sharing only part of a
+    registered prompt reuses exactly the common prefix — finer than the
+    paged pool's full-page keys — and the continuation stays correct
+    (matches a cold scheduler's stream)."""
+    cfg, sched = _dense_prefix_sched(tmp_path, seed=66)
+    base = [1] + [5] * 30
+    fork = [1] + [5] * 21 + [9] * 9            # diverges at token 22
+    r1 = sched.submit(Request(prompt_tokens=base, max_new_tokens=4,
+                              temperature=0.0))
+    sched.run()
+    r2 = sched.submit(Request(prompt_tokens=fork, max_new_tokens=6,
+                              temperature=0.0))
+    sched.run()
+    st = sched.prefix_stats
+    assert st["hits"] == 1 and st["hit_tokens"] == 22
+
+    cfg2, cold = _dense_prefix_sched(tmp_path, seed=66)
+    rc = cold.submit(Request(prompt_tokens=fork, max_new_tokens=6,
+                             temperature=0.0))
+    cold.run()
+    assert r2.generated == rc.generated
+
+
+def test_dense_prefix_cache_invalidation_on_lane_reuse(tmp_path):
+    """An entry dies when a NEW request starts hydrating its source lane
+    (the rows get overwritten) — later identical prompts miss but stay
+    correct."""
+    cfg, sched = _dense_prefix_sched(tmp_path, seed=67)
+    a = [1] + [7] * 24
+    r1 = sched.submit(Request(prompt_tokens=a, max_new_tokens=4,
+                              temperature=0.0))
+    sched.run()
+    # fill EVERY lane with other prompts: lane 0's rows get overwritten
+    others = [sched.submit(Request(prompt_tokens=[1] + [20 + i] * 10,
+                                   max_new_tokens=3, temperature=0.0))
+              for i in range(8)]
+    sched.run()
+    ht_before = sched.prefix_stats["hit_tokens"]
+    r2 = sched.submit(Request(prompt_tokens=a, max_new_tokens=4,
+                              temperature=0.0))
+    sched.run()
+    assert r2.generated == r1.generated  # correct either way
+    # the original 25-token entry was invalidated: any hit r2 scored can
+    # only be the single [1] head token shared with the 'others'
+    assert sched.prefix_stats["hit_tokens"] - ht_before <= 1
+
+
+def test_dense_prefix_cache_ring_regime_opt_out(tmp_path):
+    """Requests that could wrap the window never register or match (the
+    ring regime rewrites early rows in place)."""
+    cfg, sched = _dense_prefix_sched(tmp_path, seed=68)
+    long_prompt = [1] + [5] * 100               # 101 + 40 + 1 > 128
+    r1 = sched.submit(Request(prompt_tokens=long_prompt, max_new_tokens=40,
+                              temperature=0.0))
+    sched.run()
+    assert sched.prefix_stats["registered"] == 0
+    r2 = sched.submit(Request(prompt_tokens=long_prompt, max_new_tokens=40,
+                              temperature=0.0))
+    sched.run()
+    assert sched.prefix_stats["hits"] == 0
+    assert r2.generated == r1.generated

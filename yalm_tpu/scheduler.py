@@ -190,6 +190,58 @@ def _verify_pack_medusa(logits, chunk, seeds, positions, temps, kd,
     return jnp.concatenate([vp, col], axis=-1)
 
 
+class _DensePrefixRegistry:
+    """Token-granular prompt-prefix reuse for the DENSE batched cache.
+
+    The paged pool shares refcounted pages (models/paged.py); a dense lane
+    OWNS its rows, so reuse is a lane-to-lane HBM copy instead: a finished
+    admission registers (prompt tokens, lane), and a later admission
+    copies the registered lane's cache rows and skips prefilling the
+    common prefix (~0.5 GB / <1 ms at 7B — far below re-prefilling
+    hundreds of tokens). Entries stay valid while the source lane's rows
+    [0, len) are intact: rows survive the request FINISHING (the lane
+    sits idle) and die when a NEW request starts hydrating that lane
+    (invalidate_lane); the registering request itself can never enter the
+    ring regime (scheduler._prefix_cacheable gate). Matching is
+    TOKEN-granular — causal attention makes identical token prefixes
+    yield identical KV rows — finer than the paged pool's full-page
+    chained keys."""
+
+    def __init__(self, cap: int = 64):
+        self.cap = cap
+        self.entries: list[tuple[tuple, int]] = []   # (tokens, lane)
+        self.stats = {"hits": 0, "hit_tokens": 0, "registered": 0,
+                      "evicted": 0}
+
+    def register(self, lane: int, tokens) -> None:
+        t = tuple(tokens)
+        self.entries = [(tk, ln) for tk, ln in self.entries if tk != t]
+        self.entries.append((t, lane))
+        self.stats["registered"] += 1
+        while len(self.entries) > self.cap:
+            self.entries.pop(0)
+            self.stats["evicted"] += 1
+
+    def invalidate_lane(self, lane: int) -> None:
+        """A new request is about to overwrite this lane's rows."""
+        self.entries = [(t, ln) for t, ln in self.entries if ln != lane]
+
+    def match(self, tokens, limit: int) -> tuple[int, int]:
+        """Longest common prefix (capped at `limit`) against every live
+        entry. Returns (src_lane, n_tokens); (-1, 0) when nothing helps."""
+        new = np.asarray(tokens, np.int64)
+        best_lane, best = -1, 0
+        for t, ln in self.entries:
+            m = min(len(t), len(new), limit)
+            if m <= best:
+                continue
+            neq = np.nonzero(np.asarray(t[:m], np.int64) != new[:m])[0]
+            p = int(neq[0]) if len(neq) else m
+            if p > best:
+                best, best_lane = p, ln
+        return best_lane, best
+
+
 @dataclasses.dataclass
 class Request:
     prompt_tokens: list[int]
@@ -270,6 +322,7 @@ class Scheduler:
         spec_ngram: int = 3,
         spec_medusa=None,
         batched_admission: bool = False,
+        prefix_cache: bool = False,
         top_logprobs: int = 0,
     ):
         """mesh: an optional ('dp','ep','tp') jax.sharding.Mesh. Slot lanes
@@ -601,6 +654,26 @@ class Scheduler:
             self._admit_batch = None
         self.admit_sweeps = 0  # batched-admission weight sweeps (stats)
 
+        if prefix_cache and not self.paged and self.fast and mesh is None:
+            # DENSE prompt reuse (the paged pool gets it automatically via
+            # shared pages). OPT-IN like batched admission: the copied
+            # prefix rows carry the SOURCE request's chunk-schedule bf16
+            # rounding, so streams can drift from a bit-identical solo run.
+            # The server turns this on.
+            self.dense_prefix = _DensePrefixRegistry()
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def _copy_lane(cache, src, dst):
+                """Lane-to-lane full-cache copy: one in-place HBM pass —
+                rows past the matched prefix are src garbage that causal
+                masking never exposes and admission overwrites."""
+                return KVCache(k=cache.k.at[dst].set(cache.k[src]),
+                               v=cache.v.at[dst].set(cache.v[src]))
+
+            self._copy_lane = _copy_lane
+        else:
+            self.dense_prefix = None
+
         @partial(jax.jit, static_argnames=("logits_mode", "attend_len"),
                  donate_argnums=(5,))
         def _prefill_slot(w, tokens, pos0, valid_len, slot, cache, logits_mode,
@@ -751,6 +824,16 @@ class Scheduler:
     def n_active(self) -> int:
         return sum(not s.free for s in self.slots)
 
+    @property
+    def prefix_stats(self) -> Optional[dict]:
+        """Prompt-reuse counters, whichever backend provides them: the
+        paged pool's shared-page cache or the dense lane-copy registry."""
+        if self.paged:
+            return self.alloc.prefix_stats
+        if self.dense_prefix is not None:
+            return self.dense_prefix.stats
+        return None
+
     # how many ring-regime prompt tokens hydrate per tick for ONE admitting
     # slot (each is a full per-token decode step, so this bounds the stall
     # a beyond-window prompt can impose between decode ticks)
@@ -830,6 +913,25 @@ class Scheduler:
                     self.queue.insert(0, req)
                     continue
                 self.alloc.grow(b, min(self.cfg.max_seq_len, matched + 1))
+            elif self.dense_prefix is not None:
+                if not slot.resuming and self._prefix_cacheable(slot):
+                    # dense prefix reuse: copy the best-matching lane's
+                    # cache and skip prefilling the common prefix (always
+                    # leaving >= 1 token for the first-token logits)
+                    limit = min(len(slot.admit_tokens) - 1,
+                                self.cfg.max_seq_len - 1)
+                    src, matched = self.dense_prefix.match(
+                        slot.admit_tokens, limit)
+                    if matched:
+                        if src != b:
+                            self.cache = self._copy_lane(
+                                self.cache, jnp.int32(src), jnp.int32(b))
+                        slot.pos = matched
+                        slot.admit_i = matched
+                        self.dense_prefix.stats["hits"] += 1
+                        self.dense_prefix.stats["hit_tokens"] += matched
+                # either way this lane's rows are about to be overwritten
+                self.dense_prefix.invalidate_lane(b)
 
     def _prefix_cacheable(self, slot: _Slot) -> bool:
         """Prefix pages are shared READ-ONLY, so only lanes that can never
@@ -905,6 +1007,10 @@ class Scheduler:
             # the prompt's full pages are completely written now: publish
             # them for future identical prefixes
             self.alloc.register_prefix(self.slots.index(slot),
+                                       slot.admit_tokens)
+        elif self.dense_prefix is not None and not slot.resuming \
+                and self._prefix_cacheable(slot):
+            self.dense_prefix.register(self.slots.index(slot),
                                        slot.admit_tokens)
         if self.spec:
             self._spec_hydrate(slot)

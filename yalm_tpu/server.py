@@ -62,6 +62,9 @@ class ServingEngine:
                                # serving optimizes TTFT under load: all
                                # admitting lanes hydrate in one weight sweep
                                batched_admission=True,
+                               # prompt reuse for DENSE deployments too
+                               # (paged pools share pages natively)
+                               prefix_cache=True,
                                # OpenAI top-N logprobs ride the tick's one
                                # packed fetch (spec verify rounds append
                                # per-row top-N columns to the same fetch)
@@ -265,7 +268,9 @@ def make_handler(engine: ServingEngine):
                     al = engine.sched.alloc
                     lines.append("# TYPE yalm_pages_free gauge")
                     lines.append(f"yalm_pages_free {al.n_free}")
-                    for k, v in al.prefix_stats.items():
+                ps = getattr(engine.sched, "prefix_stats", None)
+                if ps:
+                    for k, v in ps.items():
                         lines.append(
                             f"# TYPE yalm_prefix_cache_{k}_total counter")
                         lines.append(f"yalm_prefix_cache_{k}_total {v}")

@@ -109,7 +109,7 @@ def build_cfg(preset: str, dtype: str):
             rotary_dim=256, norm_eps=1e-6, act_type="gelu",
             weight_dtype=dtype, embed_scale=3584.0 ** 0.5,
             has_post_norms=True, attn_softcap=50.0, final_softcap=30.0,
-            sliding_window=4096,
+            sliding_window=4096, tie_word_embeddings=True,
             layer_sliding=tuple(1 if i % 2 == 0 else 0 for i in range(42)),
         )
     if preset == "gemma3-12b":
@@ -122,6 +122,7 @@ def build_cfg(preset: str, dtype: str):
             bos_token_id=2, eos_token_id=1, rope_theta=1e6,
             rotary_dim=256, norm_eps=1e-6, act_type="gelu",
             weight_dtype=dtype, embed_scale=3840.0 ** 0.5,
+            tie_word_embeddings=True,
             has_post_norms=True, has_qk_norm=True, sliding_window=1024,
             layer_sliding=tuple(0 if (i + 1) % 6 == 0 else 1
                                 for i in range(48)),
@@ -227,8 +228,9 @@ def _synth_fast_weights(cfg, seed=0):
                                      -127, 128, jnp.int8)
             return sub
 
+        emb4 = mk8(9, cfg.vocab_size, d)
         return FastWeights(
-            embed=mk8(9, cfg.vocab_size, d),
+            embed=emb4,
             rms_att=jnp.ones((nl, d), jnp.float32),
             rms_ffn=jnp.ones((nl, d), jnp.float32),
             wqkv=mk(1, nl, nqkv, d // 2),
@@ -236,7 +238,10 @@ def _synth_fast_weights(cfg, seed=0):
             w13=mk(5, nl, *e, 2 * h, d // 2),
             w2=mk(6, nl, *e, d, h // 2),
             final_norm=jnp.ones((d,), jnp.float32),
-            lm_head=mk8(10, cfg.vocab_size, d),
+            # tied heads (Gemma-style) must not synth a second vocab x dim
+            # buffer — at 262k vocab that is ~1 GB of HBM
+            lm_head=(emb4 if cfg.tie_word_embeddings
+                     else mk8(10, cfg.vocab_size, d)),
             moegate=(mk8(11, nl, cfg.n_experts, d) if cfg.is_moe
                      else None),
             scales=scales,
@@ -255,8 +260,9 @@ def _synth_fast_weights(cfg, seed=0):
             moegate=(jnp.full((nl, cfg.n_experts), s) if cfg.is_moe
                      else None),
         )
+    emb = mk(9, cfg.vocab_size, cfg.dim)
     return FastWeights(
-        embed=mk(9, cfg.vocab_size, cfg.dim),
+        embed=emb,
         rms_att=jnp.ones((nl, cfg.dim), jnp.float32),
         rms_ffn=jnp.ones((nl, cfg.dim), jnp.float32),
         wqkv=mk(1, nl, cfg.q_dim + 2 * cfg.kv_dim, cfg.dim),
@@ -264,7 +270,8 @@ def _synth_fast_weights(cfg, seed=0):
         w13=mk(5, nl, *e, 2 * cfg.hidden_dim, cfg.dim),
         w2=mk(6, nl, *e, cfg.dim, cfg.hidden_dim),
         final_norm=jnp.ones((cfg.dim,), jnp.float32),
-        lm_head=mk(10, cfg.vocab_size, cfg.dim),
+        lm_head=(emb if cfg.tie_word_embeddings
+                 else mk(10, cfg.vocab_size, cfg.dim)),
         moegate=(mk(11, nl, cfg.n_experts, cfg.dim) if cfg.is_moe
                  else None),
         scales=scales,

@@ -422,13 +422,14 @@ def main() -> None:
     eng = Engine(cfg, weights, kv_dtype=kv_dtype, compute_dtype=jnp.bfloat16,
                  fast=True)
     key = jax.random.PRNGKey(0)
-    # Softcap presets (Gemma) saturate SYNTHETIC logits at +-final_softcap,
-    # so greedy decode collapses to one repeated token (an expected artifact
-    # of random weights, not a kernel bug) and trips the degeneracy assert.
-    # Sample at temperature 1.0 there: the saturated ties break randomly,
-    # the diversity assert stays meaningful, and the per-token cost is the
-    # same compiled `sample` program (temperature is data).
-    temp = jnp.float32(1.0 if cfg.final_softcap else 0.0)
+    # Decode at temperature 1.0: SYNTHETIC weights make greedy decode
+    # collapse to one repeated token on several presets (softcap saturation
+    # on gemma2, tied-head logit bias on gemma3) — an artifact of random
+    # weights, not a kernel bug — which trips the degeneracy assert.
+    # Sampling keeps the assert meaningful at identical cost: `sample`
+    # evaluates both the argmax and the categorical branch either way
+    # (temperature is data, one compiled program).
+    temp = jnp.float32(1.0)
 
     # The decode loop runs ON DEVICE in blocks (engine._decode_block), so
     # host dispatch cost is amortized over the whole block; a host fetch of

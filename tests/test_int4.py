@@ -46,8 +46,10 @@ def test_kernel_matches_emulation_and_reference(n, k):
         got_em = gemm4_l(x, packed, jnp.int32(layer), scales)
         np.testing.assert_array_equal(np.asarray(got_em), np.asarray(want))
         got_pl = gemm4_l(x, packed, jnp.int32(layer), scales, interpret=True)
+        # kernel uses unsigned dots + 8*sum(x) correction (dot4_tile):
+        # equal to the emulation's signed dots up to f32 accumulation order
         np.testing.assert_allclose(np.asarray(got_pl), np.asarray(want),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-4, atol=1e-4)
         # and the whole thing matches a plain dot against dequantized
         # weights to bf16-dot tolerance
         deq = unpack_int4(np.asarray(packed[layer]),

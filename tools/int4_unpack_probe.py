@@ -2,9 +2,14 @@
 
 Round-4 follow-up to the 2.4x unpack fix: the fixed kernel still runs
 0.055 ms vs the 0.039 ms streaming SoL for its 29.3 MB of packed bytes
-(~71%). Variants probed here, all numerics-preserving:
+(~71%). Variants probed here are equivalent up to f32 accumulation order
+(sum-corr reorders the accumulation: unsigned dots then -8*sum(x) vs
+signed dots) — each is asserted against the emulation numerics before its
+time is reported, so a wrong variant cannot "win":
 
-  A  baseline      current gemm4_l kernel (7 u8/i32 ops per byte)
+  A  prod-equivalent re-impl of gemm4_l's tile body (7 u8/i32 ops/byte;
+     drops the layer-stack dim + scalar-prefetch steering, so times can
+     drift slightly from the shipped layer-indexed kernel)
   B  sum-corr      unsigned nibble dots + 8*sum(x) correction folded into
                    the f32 flush (drops both -8 subtracts: 5 ops per byte)
   H  2-group       two groups per k-step (2 MB DMA chunks, half the grid
@@ -46,7 +51,7 @@ def _make_inputs(seed=0):
             jnp.asarray(w, jnp.bfloat16))
 
 
-def _time(fn, x, *consts, reps=5):
+def _time(fn, x, *consts, reps=7):
     """Two-size difference: t = (T(hi) - T(lo)) / (hi - lo) cancels the
     ~26 ms tunnel RTT exactly (at small iter counts RTT/iters swamps the
     kernel; see BASELINE.md round-4 ceiling-probe note)."""
@@ -153,7 +158,7 @@ def main():
     ref = np.asarray(_gemm4_ref(jnp.asarray(x), w4, gs, GROUP))
 
     variants = {
-        "A  baseline (prod kern)": _variant(False, 1),
+        "A  prod-equiv re-impl": _variant(False, 1),
         "B  sum-corr": _variant(True, 1),
         "H  2-group": _variant(False, 2),
         "BH sum-corr+2-group": _variant(True, 2),
@@ -164,6 +169,10 @@ def main():
         try:
             out = np.asarray(fn(x, w4, gs))
             err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9)
+            # bf16 dots reordered in f32 stay well under 1e-2; anything
+            # larger means the variant computes something else — fail it
+            # rather than let a wrong kernel win the bench
+            assert err < 1e-2, f"numerics mismatch (relerr {err:.2e})"
             dt = _time(fn, x, w4, gs)
             print(f"{name:26s} {dt*1e3:7.3f} ms  {sol_bytes/dt/1e9:6.0f} GB/s  "
                   f"relerr {err:.2e}")

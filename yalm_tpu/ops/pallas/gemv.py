@@ -621,7 +621,11 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
     tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 2 << 20))
     block_n = _best_divisor(N, target=max(128, min(N, tile_bytes // Hp)),
                             align=128)
-    n_n, n_k = N // block_n, G
+    # two groups per k-step (when G divides): halves the grid steps and the
+    # one-hot scale selects — probed +8% alone, +21% with the unsigned-dot
+    # correction (tools/int4_unpack_probe.py, BH variant)
+    gps = 2 if G % 2 == 0 else 1
+    n_n, n_k = N // block_n, G // gps
 
     def kern(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
         j = pl.program_id(1)
@@ -630,31 +634,23 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        # Mosaic has no uint8->bf16 cast and `w >> 4` ON UINT8 crashes its
-        # compiler outright when the result feeds the MXU. Widen each byte
-        # to i32 ONCE, then mask/shift in i32: one u8 convert instead of
-        # two u8 bit-ops + two u8 converts — measured 2x faster unpack
-        # (0.055 vs 0.210 ms on a 4096x14336 w2 gemv), which flips int4
-        # from VPU-bound-below-fp8 to FASTER than fp8 per layer.
-        wi = w_ref[0].astype(jnp.int32)                  # (bn, Hp)
-        lo = ((wi & 0xF) - 8).astype(jnp.bfloat16)
-        hi = ((wi >> 4) - 8).astype(jnp.bfloat16)
-        xb = x_ref[...]                                  # (B, group) f32
-        x_lo = xb[:, :Hp].astype(jnp.bfloat16)
-        x_hi = xb[:, Hp:].astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            x_lo, lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        part += jax.lax.dot_general(
-            x_hi, hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
         # group scale: s block is the FULL (G, bn) slab (a (1, 1, bn)
         # block would put extent 1 on the second-minor dim — Mosaic
         # rejects it); j-invariant index_map keeps it resident, one-hot
-        # reduce selects row j without a dynamic minor-dim slice
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == j)
-        s = jnp.sum(jnp.where(onehot, s_ref[0], 0.0), axis=0)   # (bn,)
-        acc_ref[...] += part * s[None, :]
+        # reduce selects the row without a dynamic minor-dim slice
+        def load_s(g):
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+                      == j * gps + g)
+            return jnp.sum(jnp.where(onehot, s_ref[0], 0.0), axis=0)
+
+        # dot4_tile: ONE u8->i32 widen, i32 mask/shift (Mosaic has no
+        # uint8->bf16 cast; `w >> 4` ON UINT8 crashes its compiler when
+        # the result feeds the MXU; extra u8-domain ops measured 4x
+        # slower), unsigned dots + 8*sum(x) correction
+        xb = x_ref[...].astype(jnp.bfloat16)             # (B, gps*group)
+        acc_ref[...] += dot4_tile(
+            xb, lambda g: w_ref[0][:, g * Hp:(g + 1) * Hp], load_s,
+            gps, group)
 
         @pl.when(j == n_k - 1)
         def _():
@@ -664,8 +660,8 @@ def gemm4_l(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         num_scalar_prefetch=1,
         grid=(n_n, n_k),
         in_specs=[
-            pl.BlockSpec((B, group), lambda i, j, l: (0, j)),
-            pl.BlockSpec((1, block_n, Hp), lambda i, j, l: (l[0], i, j)),
+            pl.BlockSpec((B, gps * group), lambda i, j, l: (0, j)),
+            pl.BlockSpec((1, block_n, gps * Hp), lambda i, j, l: (l[0], i, j)),
             pl.BlockSpec((1, G, block_n), lambda i, j, l: (l[0], 0, i)),
         ],
         out_specs=pl.BlockSpec((B, block_n), lambda i, j, l: (0, i)),
@@ -713,7 +709,8 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
     tile_bytes = int(os.environ.get("YALM_GEMV_TILE_BYTES", 2 << 20))
     block_n = _best_divisor(N, target=max(128, min(N, tile_bytes // Hp)),
                             align=128)
-    n_n, n_k = N // block_n, G
+    gps = 2 if G % 2 == 0 else 1
+    n_n, n_k = N // block_n, G // gps
 
     def kern(sc_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
         j = pl.program_id(1)
@@ -722,22 +719,16 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        # same single-i32-widen unpack + full-(G, bn) scale slab as gemm4_l
-        wi = w_ref[0, 0].astype(jnp.int32)               # (bn, Hp)
-        lo = ((wi & 0xF) - 8).astype(jnp.bfloat16)
-        hi = ((wi >> 4) - 8).astype(jnp.bfloat16)
-        xb = x_ref[...]
-        x_lo = xb[:, :Hp].astype(jnp.bfloat16)
-        x_hi = xb[:, Hp:].astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            x_lo, lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        part += jax.lax.dot_general(
-            x_hi, hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0) == j)
-        s = jnp.sum(jnp.where(onehot, s_ref[0, 0], 0.0), axis=0)
-        acc_ref[...] += part * s[None, :]
+        # same dot4_tile body + full-(G, bn) scale slab as gemm4_l
+        def load_s(g):
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+                      == j * gps + g)
+            return jnp.sum(jnp.where(onehot, s_ref[0, 0], 0.0), axis=0)
+
+        xb = x_ref[...].astype(jnp.bfloat16)
+        acc_ref[...] += dot4_tile(
+            xb, lambda g: w_ref[0, 0][:, g * Hp:(g + 1) * Hp], load_s,
+            gps, group)
 
         @pl.when(j == n_k - 1)
         def _():
@@ -747,8 +738,8 @@ def gemm4_le(x: jax.Array, w4_all: jax.Array, layer: jax.Array,
         num_scalar_prefetch=1,
         grid=(n_n, n_k),
         in_specs=[
-            pl.BlockSpec((B, group), lambda i, j, sc: (0, j)),
-            pl.BlockSpec((1, 1, block_n, Hp),
+            pl.BlockSpec((B, gps * group), lambda i, j, sc: (0, j)),
+            pl.BlockSpec((1, 1, block_n, gps * Hp),
                          lambda i, j, sc: (sc[0], sc[1], i, j)),
             pl.BlockSpec((1, 1, G, block_n),
                          lambda i, j, sc: (sc[0], sc[1], 0, i)),
@@ -801,6 +792,47 @@ def gemv4(x: jax.Array, w4: jax.Array, gscale: jax.Array, *,
           interpret: bool | None = None) -> jax.Array:
     return gemm4(x.reshape(1, -1), w4, gscale,
                  interpret=interpret).reshape(-1)
+
+
+def dot4_tile(xb, load_w, load_s, G: int, group: int):
+    """Per-tile packed-int4 GEMV body shared by the kernels (gemm4_l,
+    ffn4_l, attn_block4_l): y = sum_g (x_lo_g @ lo_g^T + x_hi_g @ hi_g^T -
+    8*sum(x_g)) * s_g — bf16 dots, f32 partials, group scale on the f32
+    partial; equal to the signed dequant up to f32 accumulation order.
+
+    The UNSIGNED-nibble dot + 8*sum(x) correction drops both per-element
+    `-8` subtracts from the unpack (7 -> 5 VPU ops per byte; probed +21%
+    with the 2-group step on the w2 shape, tools/int4_unpack_probe.py).
+    The correction sums the SAME bf16-rounded x the dots consume, in f32,
+    and is shared across every output row of the tile.
+
+    xb: (B, G*group) bf16 activations (static slices per group).
+    load_w(g) -> (bn, group//2) uint8 packed tile slice for group g.
+    load_s(g) -> (bn,) f32 group-g dequant scales for this tile's rows.
+    Returns (B, bn) f32.
+    """
+    Hp = group // 2
+    acc = None
+    for g in range(G):
+        # ONE u8->i32 widen per byte, then i32 mask/shift: `w >> 4` on
+        # uint8 feeding the MXU crashes Mosaic, and extra u8-domain ops
+        # measured 4x slower (see gemm4_l)
+        wi = load_w(g).astype(jnp.int32)                 # (bn, Hp)
+        lo = (wi & 0xF).astype(jnp.bfloat16)
+        hi = (wi >> 4).astype(jnp.bfloat16)
+        x_lo = xb[:, g * group: g * group + Hp]
+        x_hi = xb[:, g * group + Hp: (g + 1) * group]
+        part = jax.lax.dot_general(
+            x_lo, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part += jax.lax.dot_general(
+            x_hi, hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part -= 8.0 * (jnp.sum(x_lo.astype(jnp.float32), -1, keepdims=True)
+                       + jnp.sum(x_hi.astype(jnp.float32), -1, keepdims=True))
+        part = part * load_s(g)[None, :]
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def pick_blocks(N: int, K: int, itemsize: int) -> tuple[int, int]:

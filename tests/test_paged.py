@@ -169,11 +169,54 @@ def test_paged_rejects_bad_configs(tmp_path):
     with pytest.raises(ValueError):
         Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
                   paged_pages=8, page_size=7)
+
+
+def test_paged_moe_matches_dense(tmp_path):
+    """paged x MoE (round-5 closure): the paged tick/prefill route each
+    row through the all-expert batched FFN — streams match the dense MoE
+    scheduler exactly (page tables are orthogonal to expert routing)."""
     mcfg, mweights = _weights(tmp_path, seed=42, n_experts=2,
                               n_experts_active=1)
-    with pytest.raises(ValueError):
-        Scheduler(mcfg, mweights, batch=8, kv_dtype=jnp.bfloat16,
-                  paged_pages=8, page_size=PAGE)
+
+    def run(**kw):
+        sched = Scheduler(mcfg, mweights, batch=8, kv_dtype=jnp.bfloat16,
+                          **kw)
+        rs = _reqs(6, max_new=8)
+        for r in rs:
+            sched.submit(r)
+        sched.run()
+        return [r.generated for r in rs]
+
+    dense = run()
+    W = mcfg.max_seq_len
+    paged = run(paged_pages=1 + 8 * (W // PAGE), page_size=PAGE)
+    assert dense == paged
+
+
+def test_paged_moe_pool_pressure(tmp_path):
+    """paged x MoE under pool pressure: lazy growth + preemption complete
+    every MoE stream identically to the dense run."""
+    mcfg, mweights = _weights(tmp_path, seed=43, n_experts=2,
+                              n_experts_active=1)
+
+    def mk():
+        return _reqs(6, max_new=16, seed0=3)
+
+    dense = Scheduler(mcfg, mweights, batch=8, kv_dtype=jnp.bfloat16)
+    want = []
+    for r in mk():
+        dense.submit(r)
+        want.append(r)
+    dense.run()
+
+    sched = Scheduler(mcfg, mweights, batch=8, kv_dtype=jnp.bfloat16,
+                      paged_pages=7, page_size=8)
+    reqs = mk()
+    for r in reqs:
+        sched.submit(r)
+    sched.run()
+    for i, (r, b) in enumerate(zip(reqs, want)):
+        assert r.generated == b.generated, f"request {i}"
 
 
 def test_paged_kernel_interpret_parity():

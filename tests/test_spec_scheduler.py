@@ -193,18 +193,24 @@ def test_spec_scheduler_window_edge_fallback(tmp_path):
     assert spec_sched.spec_stats["rounds"] >= 1
 
 
-def test_spec_scheduler_rejects_topk_topp_only(tmp_path):
-    """temperature>0 is served via exact rejection sampling; only
-    top_k/top_p cuts are outside the verify math and rejected."""
+def test_spec_scheduler_serves_topk_topp(tmp_path):
+    """top_k/top_p requests are served under speculation: _verify_pack
+    applies the per-request envelope to the target distribution before
+    the accept/residual math (round-5 closure; every emitted token must
+    come from the request's top-k set)."""
     from yalm_tpu.scheduler import Request
-    _, _, sched = _mk_sched(tmp_path, seed=59)
-    sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7,
-                         max_new_tokens=3))
-    with pytest.raises(ValueError, match="full-vocab"):
-        sched.submit(Request(prompt_tokens=[1, 2], top_k=4))
-    with pytest.raises(ValueError, match="full-vocab"):
-        sched.submit(Request(prompt_tokens=[1, 2], top_p=0.5))
+    cfg, _, sched = _mk_sched(tmp_path, seed=59)
+    r1 = sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7,
+                              max_new_tokens=6, top_k=1, seed=7))
+    r2 = sched.submit(Request(prompt_tokens=[1, 2], temperature=0.9,
+                              max_new_tokens=6, top_p=0.5, seed=8))
     sched.run()
+    assert len(r1.generated) == 6 and len(r2.generated) == 6
+    # top_k=1 at any temperature IS greedy: must match a greedy request
+    g = sched.submit(Request(prompt_tokens=[1, 2], temperature=0.0,
+                             max_new_tokens=6))
+    sched.run()
+    assert r1.generated == g.generated, (r1.generated, g.generated)
 
 
 def test_server_over_spec_scheduler(tmp_path):
@@ -239,12 +245,9 @@ def test_server_over_spec_scheduler(tmp_path):
         # sampled requests are served (exact rejection-sampling verify)
         out_s = eng.complete("hi", max_tokens=4, temperature=0.9)
         assert isinstance(out_s, str)
-        # a top-k request fails alone; the scheduler keeps serving
-        req, q = eng.submit_prompt("hi", max_tokens=4, temperature=0.9,
-                                   top_k=5)
-        while q.get() is not None and not req.done:
-            pass
-        assert req.error and "full-vocab" in req.error
+        # top-k/top-p requests are served too (envelope inside verify)
+        out_k = eng.complete("hi", max_tokens=4, temperature=0.9, top_k=5)
+        assert isinstance(out_k, str)
         out2 = eng.complete("again", max_tokens=4, temperature=0.0)
         assert isinstance(out2, str)
     finally:
@@ -281,7 +284,8 @@ def test_verify_pack_exact_distribution():
         trial += BB
         vp = np.asarray(_verify_pack(
             logits, jnp.asarray(chunk), seeds,
-            jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32)))
+            jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32),
+            jnp.zeros(BB, jnp.int32), jnp.ones(BB, jnp.float32)))
         acc0 = vp[:, 0, 0] > 0.5
         first = np.where(acc0, chunk[:, 1], vp[:, 0, 2].astype(np.int32))
         np.add.at(counts, first, 1)
@@ -301,12 +305,69 @@ def test_verify_pack_exact_distribution():
         trial += BB
         vp = np.asarray(_verify_pack(
             logits, jnp.asarray(chunk), seeds,
-            jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32)))
+            jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32),
+            jnp.zeros(BB, jnp.int32), jnp.ones(BB, jnp.float32)))
         acc0 = vp[:, 0, 0] > 0.5
         first = np.where(acc0, worst, vp[:, 0, 2].astype(np.int32))
         np.add.at(counts2, first, 1)
     tv2 = 0.5 * np.abs(counts2 / n - p0).sum()
     assert tv2 < 0.02, (tv2, counts2 / n, p0)
+
+
+def test_verify_pack_envelope_exact_distribution():
+    """With a per-request top_k/top_p envelope, the rejection-sampled first
+    token is distributed EXACTLY as plain envelope sampling (sample_ext's
+    cut applied to the target), and out-of-envelope proposals are always
+    rejected — the round-5 TV gate for spec x top_k/top_p."""
+    import jax
+    from yalm_tpu.scheduler import _verify_pack
+    from yalm_tpu.engine import _softmax_T
+
+    rng = np.random.default_rng(3)
+    V, K, T = 8, 3, 0.9
+
+    def env_dist(lg, k, p):
+        desc = np.sort(lg)[::-1]
+        kth = desc[(k if k > 0 else V) - 1]
+        probs = _softmax_T(desc, T)
+        cut = min(int((np.cumsum(probs) < p).sum()), V - 1)
+        pth = desc[cut] if p < 1.0 else desc[-1]
+        thresh = max(kth, pth)
+        e = np.where(lg >= thresh, lg / T, -np.inf)
+        e = np.exp(e - e.max())
+        return e / e.sum()
+
+    t_lg = rng.standard_normal((K + 1, V)).astype(np.float32) * 2.0
+    q0 = _softmax_T(rng.standard_normal(V) * 2.0, T)   # full-vocab proposals
+
+    n, BB = 40000, 4000
+    for topk, topp in ((3, 1.0), (0, 0.6)):
+        p_env = env_dist(t_lg[0], topk, topp)
+        counts = np.zeros(V)
+        trial = 0
+        for rep in range(n // BB):
+            props = rng.choice(V, size=(BB, K), p=q0).astype(np.int32)
+            chunk = np.concatenate(
+                [np.full((BB, 1), 2, np.int32), props], axis=1)
+            logits = jnp.asarray(np.broadcast_to(t_lg, (BB, K + 1, V)))
+            seeds = jnp.asarray(trial + np.arange(BB), jnp.int32)
+            trial += BB
+            vp = np.asarray(_verify_pack(
+                logits, jnp.asarray(chunk), seeds,
+                jnp.zeros(BB, jnp.int32), jnp.full(BB, T, jnp.float32),
+                jnp.full(BB, topk, jnp.int32),
+                jnp.full(BB, topp, jnp.float32)))
+            acc0 = vp[:, 0, 0] > 0.5
+            # out-of-envelope proposals can never be accepted
+            out_of_env = p_env[chunk[:, 1]] == 0.0
+            assert not (acc0 & out_of_env).any()
+            first = np.where(acc0, chunk[:, 1], vp[:, 0, 2].astype(np.int32))
+            np.add.at(counts, first, 1)
+        emp = counts / n
+        tv = 0.5 * np.abs(emp - p_env).sum()
+        assert tv < 0.02, (topk, topp, tv, emp, p_env)
+        # every emitted token is inside the envelope
+        assert emp[p_env == 0.0].sum() == 0.0
 
 
 def test_verify_pack_greedy_lanes_bitwise():
@@ -325,7 +386,8 @@ def test_verify_pack_greedy_lanes_bitwise():
     temps = jnp.asarray([0.0, 0.0, 0.8, 0.0], jnp.float32)
     vp = np.asarray(_verify_pack(
         logits, jnp.asarray(chunk), jnp.arange(B, dtype=jnp.int32),
-        jnp.zeros(B, jnp.int32), temps))
+        jnp.zeros(B, jnp.int32), temps,
+        jnp.zeros(B, jnp.int32), jnp.ones(B, jnp.float32)))
     assert (vp[0, :K, 0] > 0.5).all()
     assert (vp[1, :K, 0] < 0.5).all()
     # greedy corrections and bonuses are the argmax rows
@@ -401,3 +463,73 @@ def test_spec_scheduler_top_logprobs(tmp_path):
             # greedy emissions: the emitted token IS the top-1
             if req is r:
                 assert top[0][0] == tok
+
+
+# ----------------------------------------------------------- spec x MoE
+def test_spec_scheduler_moe_self_draft(tmp_path):
+    """spec x MoE (round-5 closure): the verify sweep routes each chunk row
+    through the all-expert batched FFN. Self-draft (draft == target) on a
+    MoE model: high acceptance, full streams, and agreement with the plain
+    MoE scheduler until the first verify-vs-tick bf16 near-tie."""
+    from yalm_tpu.scheduler import Request, Scheduler
+    cfg = fast_config(n_experts=2, n_experts_active=1, max_seq_len=64)
+    path = str(tmp_path / "moe.yalm")
+    synth_checkpoint(path, cfg, seed=71)
+    weights = load_weights(read_yalm(path), cfg)
+    w2 = load_weights(read_yalm(path), cfg)
+
+    def reqs():
+        return [Request(prompt_tokens=[1, 5 + i, 9], max_new_tokens=12,
+                        temperature=0.0, seed=i) for i in range(4)]
+
+    plain = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16)
+    want = []
+    for r in reqs():
+        plain.submit(r)
+        want.append(r)
+    plain.run()
+
+    spec = Scheduler(cfg, w2, batch=8, kv_dtype=jnp.bfloat16,
+                     spec_draft=(cfg, load_weights(read_yalm(path), cfg)),
+                     spec_k=3)
+    got = reqs()
+    for r in got:
+        spec.submit(r)
+    spec.run()
+    assert all(len(r.generated) == 12 for r in got)
+    st = spec.spec_stats
+    assert st["accepted"] / max(st["proposed"], 1) > 0.7, st
+    agree = total = 0
+    for a, b in zip(got, want):
+        for x, y in zip(a.generated, b.generated):
+            total += 1
+            if x != y:
+                break
+            agree += 1
+    assert agree / total > 0.7, (agree, total)
+
+
+def test_spec_scheduler_moe_lookup_paged(tmp_path):
+    """lookup-spec x paged x MoE: the paged verify sweep scatters MoE chunk
+    rows through page tables; repetitive prompts give real acceptance."""
+    from yalm_tpu.scheduler import Request, Scheduler
+    cfg = fast_config(n_experts=2, n_experts_active=1, max_seq_len=64)
+    path = str(tmp_path / "moe2.yalm")
+    synth_checkpoint(path, cfg, seed=72)
+    weights = load_weights(read_yalm(path), cfg)
+
+    def run(**kw):
+        sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                          spec_lookup=True, spec_k=3, **kw)
+        rs = [Request(prompt_tokens=[1, 5 + i, 9, 5 + i, 9],
+                      max_new_tokens=10, temperature=0.0, seed=i)
+              for i in range(4)]
+        for r in rs:
+            sched.submit(r)
+        sched.run()
+        assert sched.spec_stats["rounds"] >= 1
+        return [r.generated for r in rs]
+
+    dense = run()
+    paged = run(paged_pages=1 + 8 * 4, page_size=16)
+    assert dense == paged

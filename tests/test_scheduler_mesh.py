@@ -168,3 +168,55 @@ def test_paged_mesh_pool_pressure(tmp_path):
     sched.run()
     for i, (r, b) in enumerate(zip(reqs, want)):
         assert r.generated == b, f"request {i}"
+
+
+def test_spec_draft_scheduler_on_mesh_matches_plain(tmp_path):
+    """draft x mesh (round-5 closure): the draft model shards over the
+    SAME dp x tp mesh (its K+1 greedy ticks are fast-TP batched ticks).
+    T=0 rejection is exact, so the spec-draft mesh scheduler's streams
+    equal the PLAIN mesh scheduler's — whatever the draft proposes."""
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=31)
+    weights = load_weights(read_yalm(path), cfg)
+    import dataclasses
+    dcfg = dataclasses.replace(cfg, n_layers=1)
+    dpath = str(tmp_path / "d.yalm")
+    synth_checkpoint(dpath, dcfg, seed=32)
+    dweights = load_weights(read_yalm(dpath), dcfg)
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), devices=jax.devices()[:4])
+    plain = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      mesh=mesh)
+    want = _run(plain, _reqs(6))
+
+    spec = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                     mesh=mesh, spec_draft=(dcfg, dweights), spec_k=3)
+    assert spec.spec and spec.mesh is mesh
+    got = _run(spec, _reqs(6))
+    for i, (a, b) in enumerate(zip(got, want)):
+        assert a == b, f"request {i}: spec-draft-mesh={a} plain-mesh={b}"
+    assert spec.spec_stats["rounds"] >= 1
+
+
+def test_spec_draft_scheduler_mesh_self_draft_accepts(tmp_path):
+    """draft == target on the mesh: proposals must be accepted (the
+    sharded draft tick and the sharded verify sweep agree numerically),
+    so tokens-per-round exceeds 1."""
+    cfg = fast_config()
+    path = str(tmp_path / "m.yalm")
+    synth_checkpoint(path, cfg, seed=33)
+    weights = load_weights(read_yalm(path), cfg)
+    w2 = load_weights(read_yalm(path), cfg)
+
+    mesh = make_mesh(MeshConfig(dp=2, tp=2), devices=jax.devices()[:4])
+    spec = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                     mesh=mesh, spec_draft=(cfg, w2), spec_k=3)
+    rs = [Request(prompt_tokens=[1, 5 + i, 9], max_new_tokens=12,
+                  temperature=0.0, seed=i) for i in range(4)]
+    for r in rs:
+        spec.submit(r)
+    spec.run()
+    assert all(len(r.generated) == 12 for r in rs)
+    st = spec.spec_stats
+    assert st["accepted"] / max(st["proposed"], 1) > 0.7, st

@@ -701,7 +701,8 @@ def make_tick_fast_tp(cfg: ModelConfig, mesh: Mesh,
 # ---------------------------------------------------------------------------
 
 def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
-                              with_scales: bool = False):
+                              with_scales: bool = False,
+                              with_hidden: bool = False):
     """Build verify(fast_weights, tokens (B,T), pos0 (B,), enable (B,),
     cache) -> (logits (B,T,V), cache): the scheduler-level speculative
     verify sweep (models/fast.verify_chunk_fast_batched) with lanes sharded
@@ -709,7 +710,12 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
     lane's proposed chunk across the whole mesh — speculation COMPOSED with
     tensor parallelism (nothing comparable in the reference,
     src/main.cpp:102-112). Dense models only (spec-mode envelope); `ep`
-    must be 1."""
+    must be 1.
+
+    with_hidden=True returns ((logits, hidden (B, T, dim)), cache): the
+    post-final-norm rows Medusa heads read. The rows are replicated across
+    tp already (x lives replicated after each wo/w2 psum), so exposing
+    them is pure output plumbing — the round-4 blocker for medusa x mesh."""
     tp = mesh.shape["tp"]
     ep = mesh.shape.get("ep", 1)
     assert not cfg.is_moe and ep == 1, "spec verify x mesh: dense, ep=1"
@@ -814,26 +820,32 @@ def make_verify_chunk_fast_tp(cfg: ModelConfig, mesh: Mesh,
             local = local * sc.lm_head[None].astype(jnp.float32)
         logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
                                     axis=1, tiled=True)
-        return logits.reshape(B_l, T, -1), KVCache(k=k_new, v=v_new)
+        new_cache = KVCache(k=k_new, v=v_new)
+        if with_hidden:
+            return (logits.reshape(B_l, T, -1),
+                    xn.reshape(B_l, T, -1)), new_cache
+        return logits.reshape(B_l, T, -1), new_cache
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(w_specs, P("dp"), P("dp"), P("dp"), c_specs),
-        out_specs=(P("dp"), c_specs),
+        out_specs=(((P("dp"), P("dp")) if with_hidden else P("dp")), c_specs),
         check_vma=False,
     )
 
 
 def make_verify_chunk_paged_fast_tp(cfg: ModelConfig, mesh: Mesh,
                                     page_size: int,
-                                    with_scales: bool = False):
+                                    with_scales: bool = False,
+                                    with_hidden: bool = False):
     """Speculative verify sweep over a PAGED pool on the dp x tp mesh —
     the last composition corner (spec x paged x mesh): lanes + page-pool
     shards on `dp` (GROUP-LOCAL page ids), heads/hidden on `tp`. Chunk KV
     rows scatter through each group's tables exactly like the single-
     device paged verify (models/fast.verify_chunk_fast_batched_paged);
     disabled lanes collide harmlessly on their group's reserved page 0.
-    Dense models, ep=1 (spec-mode envelope)."""
+    Dense models, ep=1 (spec-mode envelope). with_hidden=True additionally
+    returns the post-final-norm rows (medusa x paged x mesh)."""
     from ..models.paged import PagedKVPool
 
     tp = mesh.shape["tp"]
@@ -936,12 +948,16 @@ def make_verify_chunk_paged_fast_tp(cfg: ModelConfig, mesh: Mesh,
             local = local * sc.lm_head[None].astype(jnp.float32)
         logits = jax.lax.all_gather(_cap_logits(cfg, local), "tp",
                                     axis=1, tiled=True)
-        return logits.reshape(B_l, T, -1), PagedKVPool(k=kp, v=vp)
+        new_pool = PagedKVPool(k=kp, v=vp)
+        if with_hidden:
+            return (logits.reshape(B_l, T, -1),
+                    xn.reshape(B_l, T, -1)), new_pool
+        return logits.reshape(B_l, T, -1), new_pool
 
     return shard_map(
         body, mesh=mesh,
         in_specs=(w_specs, P("dp"), P("dp"), P("dp"), p_specs, P("dp")),
-        out_specs=(P("dp"), p_specs),
+        out_specs=(((P("dp"), P("dp")) if with_hidden else P("dp")), p_specs),
         check_vma=False,
     )
 

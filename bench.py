@@ -414,6 +414,8 @@ def main() -> None:
         return bench_paged(cfg, weights, pbatch, steps, kv_dtype, kv)
     if os.environ.get("YALM_BENCH_SPEC", "") == "accept":
         return bench_spec_accept(cfg, weights, kv_dtype)
+    if os.environ.get("YALM_BENCH_SPEC", "") == "accept-medusa":
+        return bench_spec_accept_medusa(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_SPEC", "").startswith("sched"):
         return bench_spec_sched(cfg, weights, kv_dtype)
     if os.environ.get("YALM_BENCH_SPEC"):
@@ -849,10 +851,13 @@ def bench_spec_accept(cfg, weights, kv_dtype=None) -> None:
     ptoks, pdt, pticks = run(plain)
     plain_tps = ptoks / corr(pdt, pticks)
     log(f"plain sched: {plain_tps:.1f} tok/s rtt-corrected")
+    plain = None  # free its 2+ GB cache before the spec schedulers allocate
 
     rows = []
     rng = np.random.default_rng(0)
+    sched = None
     for p in ps:
+        sched = None  # drop the previous sweep point's caches first
         sched = Scheduler(cfg, weights, batch=B, kv_dtype=kv, spec_k=K,
                           spec_draft=(dcfg, draft_w))
         orig = sched._draft_propose
@@ -888,6 +893,146 @@ def bench_spec_accept(cfg, weights, kv_dtype=None) -> None:
         "plain_sched_tok_s": round(plain_tps, 2),
         "sweep": rows,
         "batch": B, "n_draft": K, "draft_layers": dl,
+    }))
+
+
+def bench_spec_accept_medusa(cfg, weights, kv_dtype=None) -> None:
+    """TREE vs CHAIN Medusa at EQUAL per-candidate acceptance — the
+    round-5 datapoint that tree attention pays: at per-candidate survival
+    p, a k-wide tree advances a depth with probability 1-(1-p)^k vs the
+    chain's p, for the SAME verify-sweep cost structure.
+
+    Candidates are INJECTED: each mode first runs uninjected to record its
+    own exact T=0 stream, then re-runs with banked candidates rewritten
+    after every round — the true next tokens corrupted independently with
+    probability 1-p (rank 2 of the tree gets an independent draw). Head
+    compute still runs on device every round (realistic cost); only the
+    banked ids are overwritten. Emitted streams stay exact by construction
+    (point-mass verification).
+
+    YALM_BENCH_SPEC_ACCEPT sets the sweep. One JSON line with per-p rows
+    for chain and tree + the plain reference."""
+    import jax.numpy as jnp
+    from yalm_tpu.medusa import MedusaWeights
+    from yalm_tpu.scheduler import Request, Scheduler
+
+    rtt = measure_rtt()
+    ps = [float(s) for s in os.environ.get(
+        "YALM_BENCH_SPEC_ACCEPT", "1.0,0.75,0.5").split(",")]
+    B = int(os.environ.get("YALM_BENCH_SPEC_BATCH", "8"))
+    N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
+    D = int(os.environ.get("YALM_BENCH_SPEC_DEPTH", "2"))
+    KT = int(os.environ.get("YALM_BENCH_SPEC_TREEK", "2"))
+    kv = kv_dtype or jnp.bfloat16
+    V = cfg.vocab_size
+    prompt = [1, 7, 9]
+
+    def corr(dt, ticks):
+        return max(dt - ticks * rtt, 0.1 * dt)
+
+    mw = MedusaWeights(
+        w1=jnp.zeros((D, cfg.dim, cfg.dim), jnp.bfloat16),
+        b1=jnp.zeros((D, cfg.dim), jnp.float32),
+        head=jnp.broadcast_to(weights.lm_head.astype(jnp.bfloat16)[None],
+                              (D, V, cfg.dim)))
+
+    def reqs():
+        return [Request(prompt_tokens=list(prompt), max_new_tokens=N,
+                        temperature=0.0, seed=i) for i in range(B)]
+
+    def mk(tree: bool):
+        kw = dict(spec_medusa=mw, spec_k=D)
+        if tree:
+            kw["spec_tree"] = tuple([KT] * D)
+        return Scheduler(cfg, weights, batch=B, kv_dtype=kv, **kw)
+
+    def drive(sched, rs, bank=None):
+        t0 = time.perf_counter()
+        ticks = 0
+        while sched.queue or sched.n_active:
+            sched.step()
+            ticks += 1
+            if bank is not None:
+                for s in sched.slots:
+                    if s.request is None or not s.med_props:
+                        continue
+                    bank(s)
+        return time.perf_counter() - t0, ticks
+
+    rng = np.random.default_rng(0)
+
+    def run_mode(tree: bool, p: float, streams):
+        sched = mk(tree)
+        rs = reqs()
+        for r in rs:
+            sched.submit(r)
+        req_stream = {id(r): streams[i] for i, r in enumerate(rs)}
+
+        def bank(s):
+            st = req_stream.get(id(s.request))
+            if st is None:
+                return
+            n = len(s.request.generated)
+            tr = [st[n + d] if n + d < len(st) else 0 for d in range(D)]
+            if tree:
+                s.med_props = [
+                    [int(t) if rng.random() < p else int((t + 1 + c) % V)
+                     for c in range(KT)] for t in tr]
+            else:
+                s.med_props = [int(t) if rng.random() < p
+                               else int((t + 1) % V) for t in tr]
+
+        dt, ticks = drive(sched, rs, bank)
+        st = sched.spec_stats
+        toks = sum(len(r.generated) for r in rs)
+        acc = st["accepted"] / max(st.get("proposed", 1), 1)
+        return toks / corr(dt, ticks), acc, st["rounds"]
+
+    # plain reference
+    plain = Scheduler(cfg, weights, batch=B, kv_dtype=kv)
+    rs = reqs()
+    for r in rs:
+        plain.submit(r)
+    drive(plain, rs)  # compile pass folded into the run; re-run timed
+    rs = reqs()
+    for r in rs:
+        plain.submit(r)
+    pdt, pticks = drive(plain, rs)
+    plain_tps = sum(len(r.generated) for r in rs) / corr(pdt, pticks)
+    plain = None
+    log(f"plain sched: {plain_tps:.1f} tok/s rtt-corrected")
+
+    rows = []
+    for tree in (False, True):
+        # record this mode's own exact stream (uninjected warm-up run —
+        # also compiles every program)
+        sched = mk(tree)
+        rs = reqs()
+        for r in rs:
+            sched.submit(r)
+        drive(sched, rs)
+        streams = [list(r.generated) for r in rs]
+        sched = None
+        for p in ps:
+            tps, acc, rounds = run_mode(tree, p, streams)
+            name = "tree" if tree else "chain"
+            log(f"{name} p={p}: acceptance {acc:.2f}, {tps:.1f} tok/s "
+                f"({rounds} rounds)")
+            rows.append({"mode": name, "per_candidate_p": p,
+                         "acceptance": round(acc, 3),
+                         "tok_s": round(tps, 2),
+                         "speedup_vs_plain": round(tps / plain_tps, 3),
+                         "rounds": rounds})
+
+    best = max(rows, key=lambda r: r["tok_s"])
+    print(json.dumps({
+        "metric": f"{cfg.weight_dtype}_medusa_tree_vs_chain_b{B}",
+        "value": best["tok_s"],
+        "unit": "tok/s",
+        "vs_baseline": round(best["tok_s"] / BASELINE_TOK_S, 3),
+        "plain_sched_tok_s": round(plain_tps, 2),
+        "sweep": rows,
+        "batch": B, "depth": D, "tree_k": KT,
     }))
 
 

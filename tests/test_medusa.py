@@ -262,3 +262,135 @@ def test_server_medusa(tmp_path):
         assert isinstance(out2, str)
     finally:
         eng.close()
+
+
+# -------------------------------------------------- TREE-attention medusa
+def test_medusa_tree_head_independence(tmp_path):
+    """Tree verification emits the target's exact greedy stream whatever
+    the head candidates propose: random heads and identity heads give
+    BITWISE-identical streams (each emitted token is a row argmax
+    conditioned only on the already-emitted prefix)."""
+    from yalm_tpu.scheduler import Request
+    p_rand = _mk(tmp_path, "trand", 4)
+    p_ident = _mk(tmp_path, "tident", -4)
+    streams, stats = {}, {}
+    for name, p in (("rand", p_rand), ("ident", p_ident)):
+        cfg, w, sched = _mk_sched(p, spec_tree=(3, 2))
+        assert sched.spec_tree == (3, 2)
+        rs = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=24,
+                      temperature=0.0, seed=i) for i in range(3)]
+        for r in rs:
+            sched.submit(r)
+        sched.run()
+        streams[name] = [r.generated for r in rs]
+        stats[name] = dict(sched.spec_stats)
+    assert streams["rand"] == streams["ident"]
+    assert stats["rand"]["rounds"] >= 1
+    assert stats["ident"]["accepted"] >= 1, stats["ident"]
+
+
+def test_medusa_tree_agrees_with_plain(tmp_path):
+    """Tree streams agree with the plain scheduler until the first
+    verify-vs-tick bf16 near-tie (the chain test's invariant), and every
+    request completes at full length with finite logprobs."""
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.scheduler import Request, Scheduler
+    p = _mk(tmp_path, "tpl", -4)
+    cfg, w, sched = _mk_sched(p, spec_tree=(3, 2), top_logprobs=2)
+    rs = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=20,
+                  temperature=0.0, seed=i) for i in range(3)]
+    for r in rs:
+        sched.submit(r)
+    sched.run()
+    assert all(len(r.generated) == 20 for r in rs)
+    for r in rs:
+        assert all(np.isfinite(r.logprobs))
+        assert all(len(t) == 2 for t in r.top_logprobs)
+
+    yf = read_yalm(p)
+    cfg2 = ModelConfig.from_metadata(yf.metadata)
+    w2 = load_weights(yf, cfg2)
+    yf.close()
+    plain = Scheduler(cfg2, w2, batch=8, kv_dtype=jnp.bfloat16)
+    pr = [Request(prompt_tokens=[1, 7, 42], max_new_tokens=20,
+                  temperature=0.0, seed=i) for i in range(3)]
+    for r in pr:
+        plain.submit(r)
+    plain.run()
+    agree = total = 0
+    for got, want in zip([r.generated for r in rs],
+                         [r.generated for r in pr]):
+        for x, y in zip(got, want):
+            total += 1
+            if x != y:
+                break
+            agree += 1
+    assert agree / total > 0.7, (agree, total)
+
+
+def test_medusa_tree_beats_chain_on_rank2_candidates(tmp_path):
+    """The tree's raison d'etre: when the correct token is the head's
+    SECOND choice, a k=2 tree still advances while the linear chain
+    rejects every round. Candidates are injected after each round:
+    rank 1 deliberately wrong, rank 2 = the true next token."""
+    from yalm_tpu.scheduler import Request
+    p = _mk(tmp_path, "trk", -4)
+
+    # reference greedy stream from an uninjected tree run
+    cfg, w, sched0 = _mk_sched(p, spec_tree=(2,))
+    r0 = sched0.submit(Request(prompt_tokens=[1, 7, 42], max_new_tokens=16,
+                               temperature=0.0))
+    sched0.run()
+    stream = list(r0.generated)
+    V = cfg.vocab_size
+
+    def drive(sched, r, bank):
+        while sched.queue or sched.n_active:
+            sched.step()
+            for s in sched.slots:
+                if s.request is not r or not s.med_props:
+                    continue
+                n = len(r.generated)
+                if 0 < n < len(stream):
+                    s.med_props = bank(stream[n])
+        return list(r.generated), dict(sched.spec_stats)
+
+    # tree, rank2-correct candidates: advances via the second child
+    _, _, tree = _mk_sched(p, spec_tree=(2,))
+    rt = tree.submit(Request(prompt_tokens=[1, 7, 42], max_new_tokens=16,
+                             temperature=0.0))
+    got_t, st_t = drive(tree, rt,
+                        lambda right: [[(right + 1) % V, right]])
+
+    # chain (K=1), same wrong rank-1 proposals: never advances
+    _, _, chain = _mk_sched(p, spec_k=1)
+    rc = chain.submit(Request(prompt_tokens=[1, 7, 42], max_new_tokens=16,
+                              temperature=0.0))
+    got_c, st_c = drive(chain, rc, lambda right: [(right + 1) % V])
+
+    assert got_t == stream and got_c == stream  # exactness either way
+    assert st_t["accepted"] > st_c["accepted"], (st_t, st_c)
+    assert st_t["rounds"] < st_c["rounds"], (st_t, st_c)
+
+
+def test_medusa_tree_rejections(tmp_path):
+    import jax
+    from yalm_tpu.models import load_weights
+    from yalm_tpu.medusa import load_medusa_weights
+    from yalm_tpu.scheduler import Scheduler
+    from yalm_tpu.parallel import MeshConfig, make_mesh
+    p = _mk(tmp_path, "trj", 2)
+    yf = read_yalm(p)
+    cfg = ModelConfig.from_metadata(yf.metadata)
+    w = load_weights(yf, cfg)
+    mw = load_medusa_weights(yf, cfg)
+    yf.close()
+    with pytest.raises(ValueError, match="spec_medusa"):
+        Scheduler(cfg, w, batch=8, spec_tree=(2, 2),
+                  kv_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="heads"):
+        Scheduler(cfg, w, batch=8, spec_medusa=mw, spec_tree=(2, 2, 2),
+                  kv_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="dense single-device"):
+        Scheduler(cfg, w, batch=8, spec_medusa=mw, spec_tree=(2,),
+                  paged_pages=16, page_size=16, kv_dtype=jnp.bfloat16)

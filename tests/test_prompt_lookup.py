@@ -237,22 +237,24 @@ def test_sched_lookup_window_edge_fallback(tmp_path):
     assert agree >= 10, (agree, g.generated, w.generated)
 
 
-def test_sched_lookup_rejects_topk_topp_and_draft_combo(tmp_path):
-    """Spec mode verifies with full-vocab rejection sampling: any
-    temperature is fine, but top_k/top_p cuts are rejected at submit."""
+def test_sched_lookup_serves_topk_topp_rejects_combo(tmp_path):
+    """Spec mode serves ANY sampling envelope (round-5: _verify_pack
+    applies per-request top_k/top_p to the target before the accept math);
+    proposal sources stay mutually exclusive."""
     import pytest
     from yalm_tpu.scheduler import Request, Scheduler
     cfg, weights, sched = _mk_sched(tmp_path, seed=72, spec_lookup=True)
-    sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7,
-                         max_new_tokens=2))
-    with pytest.raises(ValueError, match="full-vocab"):
-        sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7, top_k=5))
-    with pytest.raises(ValueError, match="full-vocab"):
-        sched.submit(Request(prompt_tokens=[1, 2], top_p=0.9))
+    r1 = sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7,
+                              max_new_tokens=2))
+    r2 = sched.submit(Request(prompt_tokens=[1, 2], temperature=0.7,
+                              top_k=5, max_new_tokens=2))
+    r3 = sched.submit(Request(prompt_tokens=[1, 2], top_p=0.9,
+                              max_new_tokens=2))
     with pytest.raises(ValueError, match="mutually exclusive"):
         Scheduler(cfg, weights, batch=8, spec_lookup=True,
                   spec_draft=(cfg, weights))
-    sched.run()  # the sampled request completes through verify rounds
+    sched.run()  # every envelope completes through verify rounds
+    assert all(len(r.generated) == 2 for r in (r1, r2, r3))
 
 
 def test_server_over_lookup_scheduler(tmp_path):

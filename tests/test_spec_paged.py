@@ -222,11 +222,15 @@ def test_mesh_lookup_matches_single_device(tmp_path):
     assert sched.spec_stats["accepted"] >= 1, sched.spec_stats
 
 
-def test_mesh_rejects_draft_spec(tmp_path):
+def test_mesh_accepts_draft_spec(tmp_path):
+    """Round-5: draft x mesh works (the draft shards over the same mesh);
+    test_scheduler_mesh.py pins the streams — here just the construction."""
     import jax
+    import jax.numpy as jnp
     from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
     cfg, weights = _weights(tmp_path, seed=88)
+    cfg2, weights2 = _weights(tmp_path, seed=89)
     mesh = make_mesh(MeshConfig(dp=2, tp=2), devices=jax.devices()[:4])
-    with pytest.raises(ValueError, match="prompt-lookup"):
-        Scheduler(cfg, weights, batch=8, spec_draft=(cfg, weights),
-                  mesh=mesh)
+    sched = Scheduler(cfg, weights, batch=8, kv_dtype=jnp.bfloat16,
+                      spec_draft=(cfg2, weights2), mesh=mesh)
+    assert sched.spec and sched.mesh is mesh

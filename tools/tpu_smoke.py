@@ -372,6 +372,40 @@ def main() -> int:
     check("gemma2 scheduler batched tick [B=8]", run_gemma2_sched)
 
     # --- shard_map fast-TP at tp=1 on the single chip --------------------
+    def run_medusa_tree():
+        # TREE-attention medusa == chain medusa's exact greedy stream on
+        # hardware (head-independence, the tree walk, path scatter)
+        from yalm_tpu.medusa import load_medusa_weights
+        from yalm_tpu.models import load_weights as lw
+        cfg = tiny_config(**base, weight_dtype="fp8", max_seq_len=64)
+        p = f"{tmp}/mtree.yalm"
+        synth_checkpoint(p, cfg, seed=17, medusa_heads=-3)
+        yf = read_yalm(p)
+        w = lw(yf, cfg)
+        mw = load_medusa_weights(yf, cfg)
+        yf.close()
+        streams = {}
+        for name, kw in (("chain", {}), ("tree", {"spec_tree": (2, 2)})):
+            s = Scheduler(cfg, lw(read_yalm(p), cfg), batch=8,
+                          kv_dtype=jnp.bfloat16, spec_medusa=mw, **kw)
+            rs = [Request(prompt_tokens=[1, 7, 9], max_new_tokens=8,
+                          temperature=0.0, seed=i) for i in range(3)]
+            for r in rs:
+                s.submit(r)
+            s.run()
+            assert s.spec_stats["rounds"] >= 1
+            streams[name] = [r.generated for r in rs]
+        for a, b in zip(streams["chain"], streams["tree"]):
+            # same verify formulation family; agreement until the first
+            # chain-vs-tree attention-order bf16 near-tie
+            pre = 0
+            for x, y in zip(a, b):
+                if x != y:
+                    break
+                pre += 1
+            assert pre >= 4, (a, b)
+    check("medusa TREE scheduler == chain stream", run_medusa_tree)
+
     def run_tp():
         from yalm_tpu.parallel.mesh import MeshConfig, make_mesh
         cfg = tiny_config(**base, weight_dtype="bf16")

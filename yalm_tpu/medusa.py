@@ -16,8 +16,11 @@ distribution — head quality only changes the speedup, never the output.
 The heads live in the `.yalm` checkpoint as `medusa.{h}.w1.weight`,
 `medusa.{h}.w1.bias`, `medusa.{h}.head.weight` with metadata
 `medusa_heads = H` (the reference has no comparable machinery; its decode
-is strictly one token per forward pass, src/main.cpp:102-112). v1 scope:
-linear proposal chains (no tree attention), engine-level, dense models.
+is strictly one token per forward pass, src/main.cpp:102-112). Proposal
+shapes: linear chains (engine + scheduler, composes with paged/mesh) and
+TREE attention (scheduler spec_tree: per-depth top-k candidates form a
+cartesian tree, one sweep verifies every chain —
+models/fast.verify_tree_fast_batched).
 """
 
 from __future__ import annotations
@@ -74,6 +77,24 @@ def medusa_propose(mw: MedusaWeights, hidden: jax.Array) -> jax.Array:
                         z.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def medusa_propose_topk_rows(mw: MedusaWeights, hidden: jax.Array,
+                             kmax: int) -> jax.Array:
+    """Batched TOP-K head proposals from per-lane hidden rows (B, dim) ->
+    (B, H, kmax) int32: head h's kmax best candidates for position h+1
+    ahead — the per-depth candidate sets of TREE-attention verification
+    (models/fast.verify_tree_fast_batched). Column 0 is each head's argmax,
+    so a (…, 1) slice reproduces the linear-chain proposals exactly."""
+    z = jnp.einsum("hij,bj->bhi", mw.w1.astype(jnp.bfloat16),
+                   hidden.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) + mw.b1[None]
+    z = hidden[:, None].astype(jnp.float32) + jax.nn.silu(z)
+    logits = jnp.einsum("hvi,bhi->bhv", mw.head.astype(jnp.bfloat16),
+                        z.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    _, idx = jax.lax.top_k(logits, kmax)
+    return idx.astype(jnp.int32)
 
 
 @jax.jit

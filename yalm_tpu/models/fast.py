@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import KV_SINKS, ModelConfig
 from ..ops.attention import attend_chunk
@@ -1033,6 +1034,219 @@ def verify_chunk_fast_batched(
     return _chunk_forward_fast_batched(
         cfg, fw, tokens, pos0, None, enable, cache,
         logits_mode="all_h" if with_hidden else "all")
+
+
+def tree_depths(parents: tuple[int, ...]) -> tuple[int, ...]:
+    """Node depths for a static candidate tree (parents[0] == -1, nodes in
+    topological order: parents[i] < i)."""
+    d = []
+    for i, p in enumerate(parents):
+        d.append(0 if p < 0 else d[p] + 1)
+    return tuple(d)
+
+
+def cartesian_tree(branching: tuple[int, ...]) -> tuple[int, ...]:
+    """Parent array of the full cartesian candidate tree for per-depth
+    branching factors, e.g. (4, 2) -> root + 4 children + 8 grandchildren
+    (13 nodes). Node order: BFS (all depth-d nodes precede depth-d+1)."""
+    parents = [-1]
+    prev = [0]
+    for k in branching:
+        nxt = []
+        for p in prev:
+            for _ in range(k):
+                parents.append(p)
+                nxt.append(len(parents) - 1)
+        prev = nxt
+    return tuple(parents)
+
+
+@partial(jax.jit, static_argnames=("cfg", "parents", "with_hidden"))
+def verify_tree_fast_batched(
+    cfg: ModelConfig,
+    fw: FastWeights,
+    tokens: jax.Array,     # (B, Tn) int32 — node tokens, row 0 = root
+    pos0: jax.Array,       # (B,) int32 — the root's absolute position
+    enable: jax.Array,     # (B,) int32 — 0 lanes compute garbage
+    cache: KVCache,        # (B, L, S, Hk, D) — READ-ONLY here
+    *,
+    parents: tuple[int, ...],
+    with_hidden: bool = False,
+):
+    """TREE-attention speculative verify (Medusa-style multi-candidate
+    chains, SpecInfer/Cai et al. arXiv:2401.10774 §tree attention): ONE
+    target weight-sweep scores a whole candidate TREE per lane — node i
+    attends the lane's cache history plus its own ancestor chain (a static
+    (Tn, Tn) mask), at position pos0 + depth(i). Row i's logits answer
+    "what follows the root..ancestor..i chain".
+
+    Unlike the linear verify, candidate rows are NOT written to the cache
+    (siblings would collide on the same ring slot): the sweep attends the
+    chunk KV in-VMEM (cast to the cache dtype first, so accepted rows see
+    exactly what a cache round-trip would produce) and RETURNS it as
+    (B, n_layers, Tn, Hk, D) tree-KV tensors; the caller scatters the
+    accepted path's rows with `scatter_tree_rows` after the host walk.
+
+    Returns ((logits (B, Tn, V) [, hidden]), (ktree, vtree)).
+    PRECONDITION: enabled lanes have pos0 + max_depth + 1 <= window.
+    """
+    B, Tn = tokens.shape
+    assert Tn == len(parents)
+    S = cfg.max_seq_len
+    Hq, Hk, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    qpk = Hq // Hk
+    sc = fw.scales
+    depths = tree_depths(parents)
+
+    # static ancestor matrix: anc[i, j] == True iff j == i or j is an
+    # ancestor of i (nodes attend their own chain only)
+    anc = np.zeros((Tn, Tn), bool)
+    for i, p in enumerate(parents):
+        anc[i, i] = True
+        while p >= 0:
+            anc[i, p] = True
+            p = parents[p]
+    anc = jnp.asarray(anc)
+    depth_arr = jnp.asarray(depths, jnp.int32)
+
+    p0 = jnp.where(enable != 0, pos0, 0)
+    positions = p0[:, None] + depth_arr[None, :]                # (B, Tn)
+    # history mask: strictly the slots BEFORE the root (the chunk itself is
+    # attended through the in-chunk ancestor mask)
+    hist_mask = jnp.arange(S)[None, None, :] < p0[:, None, None]
+    if any(cfg.layer_sliding):
+        slide = hist_mask & (positions[..., None] - jnp.arange(S)
+                             < cfg.sliding_window)
+        sl_flags = jnp.asarray(cfg.layer_sliding, jnp.int32)
+
+        def hist_of(i):
+            return jnp.where(sl_flags[i] != 0, slide, hist_mask)
+    else:
+        def hist_of(i):
+            return hist_mask
+
+    x = fw.embed[tokens].astype(jnp.float32)                    # (B, Tn, dim)
+    if cfg.embed_scale != 1.0:
+        x = x * cfg.embed_scale
+    if sc is not None:
+        x = x * sc.embed[tokens][..., None]
+    x = x.reshape(B * Tn, cfg.dim)
+
+    def clip(a):
+        if math.isinf(cfg.qkv_clip):
+            return a
+        return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
+
+    def attend(q4, kc, vc, kt, vt, hmask):
+        # history scores over the (read-only) cache ...
+        sh = jnp.einsum("btgqd,bsgd->bgqts", q4.astype(jnp.bfloat16),
+                        kc.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) / math.sqrt(D)
+        # ... plus in-chunk scores over the candidate tree's own KV
+        st = jnp.einsum("btgqd,bngd->bgqtn", q4.astype(jnp.bfloat16),
+                        kt.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) / math.sqrt(D)
+        sh = _softcap_scores(cfg, sh)
+        st = _softcap_scores(cfg, st)
+        sh = jnp.where(hmask[:, None, None], sh, -1e30)
+        st = jnp.where(anc[None, None, None], st, -1e30)
+        scores = jnp.concatenate([sh, st], axis=-1)             # (B,g,q,Tn,S+Tn)
+        att = jax.nn.softmax(scores, axis=-1)
+        ah, at = att[..., :S], att[..., S:]
+        mix = jnp.einsum("bgqts,bsgd->btgqd", ah.astype(jnp.bfloat16),
+                         vc.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        mix += jnp.einsum("bgqtn,bngd->btgqd", at.astype(jnp.bfloat16),
+                          vt.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        return mix
+
+    ktree0 = jnp.zeros((B, cfg.n_layers, Tn, Hk, D), cache.k.dtype)
+    vtree0 = jnp.zeros((B, cfg.n_layers, Tn, Hk, D), cache.v.dtype)
+
+    def layer_body(i, carry):
+        x, ktree, vtree = carry
+        xb = rmsnorm(x, jax.lax.dynamic_index_in_dim(fw.rms_att, i,
+                                                     keepdims=False),
+                     cfg.norm_eps)
+        qkv = _proj_l(xb, fw.wqkv, i, sc.wqkv if sc else None)
+        if fw.bqkv is not None:
+            qkv = qkv + jax.lax.dynamic_index_in_dim(fw.bqkv, i,
+                                                     keepdims=False)
+        qkv = clip(qkv).reshape(B, Tn, -1)
+        alt_i = _layer_alt(cfg, i)
+        rope_b = jax.vmap(lambda a, p: apply_rope(a, p, cfg.rope_param,
+                                                  cfg.rotary_dim, alt_i))
+        qf, kf = _qk_norm(qkv[..., : cfg.q_dim],
+                          qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim],
+                          fw, i, cfg)
+        q = rope_b(qf.reshape(B, Tn, Hq, D), positions)
+        k = rope_b(kf.reshape(B, Tn, Hk, D), positions)
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:].reshape(B, Tn, Hk, D)
+        # cast through the cache dtype BEFORE attending: accepted rows must
+        # see exactly what a cache round-trip produces (fp8 KV parity)
+        kq = k.astype(cache.k.dtype)
+        vq = v.astype(cache.v.dtype)
+        ktree = jax.lax.dynamic_update_slice(
+            ktree, kq[:, None], (0, i, 0, 0, 0))
+        vtree = jax.lax.dynamic_update_slice(
+            vtree, vq[:, None], (0, i, 0, 0, 0))
+
+        kc_i = jax.lax.dynamic_index_in_dim(cache.k, i, axis=1,
+                                            keepdims=False)     # (B, S, Hk, D)
+        vc_i = jax.lax.dynamic_index_in_dim(cache.v, i, axis=1,
+                                            keepdims=False)
+        mixed = attend(q.reshape(B, Tn, Hk, qpk, D), kc_i, vc_i, kq, vq,
+                       hist_of(i))
+        x = x + _post_norm(
+            _proj_l(mixed.reshape(B * Tn, cfg.q_dim), fw.wo, i,
+                    sc.wo if sc else None), fw.pa, i, cfg.norm_eps)
+        if cfg.is_moe:
+            x = _moe_ffn_batched(x, fw, i, sc, cfg)
+        else:
+            x = _ffn2_l(x, fw, i, sc, cfg)
+        return (x, ktree, vtree)
+
+    x, ktree, vtree = jax.lax.fori_loop(
+        0, cfg.n_layers, layer_body, (x, ktree0, vtree0))
+    xn = rmsnorm(x, fw.final_norm, cfg.norm_eps)
+    logits = _cap_logits(cfg, gemm(xn, fw.lm_head,
+                                   sc.lm_head if sc else None))
+    logits = logits.reshape(B, Tn, -1)
+    if with_hidden:
+        return (logits, xn.reshape(B, Tn, -1)), (ktree, vtree)
+    return logits, (ktree, vtree)
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def scatter_tree_rows(cache: KVCache, ktree, vtree, pos0, rows, n,
+                      *, n_rows: int) -> KVCache:
+    """Write the ACCEPTED tree path's KV rows into the ring cache: for
+    d < n[b], cache[b, :, pos0[b] + d] = tree[b, :, rows[b, d]]. rows is
+    (B, n_rows) node indices (the walked path, root first); n (B,) is the
+    per-lane accepted length (0 disables the lane)."""
+    B = rows.shape[0]
+
+    def lane(ck, cv, kt, vt, s0, r, nn):
+        def put(d, carry):
+            ck, cv = carry
+            node = r[d]
+            en = d < nn
+            oldk = jax.lax.dynamic_slice(
+                ck, (0, s0 + d, 0, 0), (ck.shape[0], 1) + ck.shape[2:])
+            oldv = jax.lax.dynamic_slice(
+                cv, (0, s0 + d, 0, 0), (cv.shape[0], 1) + cv.shape[2:])
+            newk = jnp.where(en, kt[:, node][:, None], oldk)
+            newv = jnp.where(en, vt[:, node][:, None], oldv)
+            ck = jax.lax.dynamic_update_slice(ck, newk, (0, s0 + d, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, newv, (0, s0 + d, 0, 0))
+            return ck, cv
+
+        return jax.lax.fori_loop(0, n_rows, put, (ck, cv))
+
+    k_new, v_new = jax.vmap(lane)(cache.k, cache.v, ktree, vtree,
+                                  pos0, rows, n)
+    return KVCache(k=k_new, v=v_new)
 
 
 @partial(jax.jit, static_argnames=("cfg", "attend_len", "logits_mode"))

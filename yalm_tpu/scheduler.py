@@ -217,6 +217,63 @@ def _verify_pack_medusa(logits, chunk, seeds, positions, temps, topks,
     return jnp.concatenate([vp, col], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("parents", "kmax", "topn"))
+def _verify_pack_tree(logits, chunk, live, hidden, mw, *, parents,
+                      kmax: int, topn: int = 0):
+    """Post-process a TREE verify sweep ON DEVICE (greedy lanes only): one
+    (B, Tn, C) fetch carrying, per node row, [argmax id, its full-dist
+    logprob, the node's OWN token's logprob under its PARENT's row, topn
+    ids, topn logprobs, the walked FINAL node (broadcast), next-round
+    head proposals (broadcast)]. The accept walk (descend to the child
+    whose token equals the parent row's argmax) runs here so the Medusa
+    heads read ONLY the final node's hidden row — the host reconstructs
+    the same path from the final node's ancestor chain."""
+    from .medusa import medusa_propose_topk_rows
+    from .models.fast import tree_depths
+
+    B, Tn, V = logits.shape
+    depths = tree_depths(parents)
+    Dmax = max(depths)
+    par = jnp.asarray([max(p, 0) for p in parents], jnp.int32)
+    dep = jnp.asarray(depths, jnp.int32)
+    lg = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg, axis=-1)               # (B, Tn)
+    arg = jnp.argmax(lg, axis=-1).astype(jnp.int32)              # (B, Tn)
+    arg_lp = jnp.take_along_axis(lg, arg[..., None],
+                                 axis=-1)[..., 0] - lse
+    own_lp = jnp.take_along_axis(lg[:, par], chunk[..., None].astype(
+        jnp.int32), axis=-1)[..., 0] - lse[:, par]
+
+    def walk(arg_b, chunk_b, live_b):
+        def body(d, carry):
+            node, alive = carry
+            want = arg_b[node]
+            mask = (par == node) & (chunk_b == want) & (dep == d + 1)
+            found = jnp.any(mask)
+            nxt = jnp.argmax(mask).astype(jnp.int32)
+            node = jnp.where(found & alive, nxt, node)
+            return node, alive & found
+        node, _ = jax.lax.fori_loop(
+            0, Dmax, body, (jnp.int32(0), live_b != 0))
+        return node
+
+    fin = jax.vmap(walk)(arg, chunk.astype(jnp.int32), live)     # (B,)
+    h_fin = jnp.take_along_axis(hidden, fin[:, None, None],
+                                axis=1)[:, 0]                    # (B, dim)
+    props = medusa_propose_topk_rows(mw, h_fin, kmax)            # (B, H, k)
+    cols = [arg.astype(jnp.float32), arg_lp, own_lp]
+    if topn:
+        tv, ti = jax.lax.top_k(lg, topn)
+        cols += ([ti[..., k].astype(jnp.float32) for k in range(topn)]
+                 + [tv[..., k] - lse for k in range(topn)])
+    cols.append(jnp.broadcast_to(fin[:, None].astype(jnp.float32),
+                                 (B, Tn)))
+    flat = props.reshape(B, -1).astype(jnp.float32)
+    cols += [jnp.broadcast_to(flat[:, j:j + 1], (B, Tn))
+             for j in range(flat.shape[1])]
+    return jnp.stack(cols, axis=-1)
+
+
 class _DensePrefixRegistry:
     """Token-granular prompt-prefix reuse for the DENSE batched cache.
 
@@ -348,6 +405,7 @@ class Scheduler:
         spec_lookup: bool = False,
         spec_ngram: int = 3,
         spec_medusa=None,
+        spec_tree=None,
         batched_admission: bool = False,
         prefix_cache: bool = False,
         top_logprobs: int = 0,
@@ -793,6 +851,60 @@ class Scheduler:
 
             self._verify = _verify
             self.spec_stats = {"rounds": 0, "accepted": 0, "proposed": 0}
+
+        self.spec_tree = None
+        if spec_tree is not None:
+            # TREE-attention Medusa (round-5): per-depth top-k head
+            # candidates form a static cartesian tree; ONE sweep verifies
+            # every root-to-leaf chain (verify_tree_fast_batched) instead
+            # of a single linear chain, so one target weight-sweep can
+            # advance even when the head's argmax misses but a lower-rank
+            # candidate hits. Greedy lanes only (T>0 joins the plain tick);
+            # dense single-device cache (the accepted path scatters into
+            # the ring after the walk).
+            if spec_medusa is None:
+                raise ValueError("spec_tree requires spec_medusa heads")
+            if self.paged or mesh is not None:
+                raise ValueError("tree verify: dense single-device cache "
+                                 "(chain medusa composes with paged/mesh)")
+            from .models.fast import (cartesian_tree, tree_depths,
+                                      scatter_tree_rows,
+                                      verify_tree_fast_batched)
+            self.spec_tree = tuple(int(k) for k in spec_tree)
+            H = int(spec_medusa.w1.shape[0])
+            if len(self.spec_tree) > H:
+                raise ValueError(f"tree depth {len(self.spec_tree)} > "
+                                 f"{H} medusa heads")
+            if any(k < 1 for k in self.spec_tree):
+                raise ValueError("tree branching factors must be >= 1")
+            parents = cartesian_tree(self.spec_tree)
+            depths = tree_depths(parents)
+            self._tree_parents = parents
+            self._tree_depths = depths
+            self._tree_kmax = max(self.spec_tree)
+            self._tree_H = len(self.spec_tree)
+            children = {i: [] for i in range(len(parents))}
+            branch = [0] * len(parents)
+            for i, p in enumerate(parents):
+                if p >= 0:
+                    branch[i] = len(children[p])
+                    children[p].append(i)
+            self._tree_children = children
+            self._tree_branch = branch
+
+            @jax.jit
+            def _verify_tree(w, tokens, pos0, enable, cache):
+                return verify_tree_fast_batched(
+                    cfg, w, tokens, pos0, enable, cache, parents=parents,
+                    with_hidden=True)
+
+            @partial(jax.jit, static_argnames=("n_rows",), donate_argnums=(0,))
+            def _scatter_tree(cache, ktree, vtree, pos0, rows, n, n_rows):
+                return scatter_tree_rows(cache, ktree, vtree, pos0, rows,
+                                         n, n_rows=n_rows)
+
+            self._verify_tree = _verify_tree
+            self._scatter_tree = _scatter_tree
 
         if self.spec_lookup or spec_medusa is not None:
             self.spec_edge = cfg.max_seq_len
@@ -1468,6 +1580,8 @@ class Scheduler:
         sampling on device (see _verify_pack). Edge lanes fall back to a
         plain tick with their own sampling params; lookup lanes with no
         n-gram match join it for the round only."""
+        if self.spec_tree is not None:
+            return self._spec_round_tree()
         K = self.spec_k
         elig, props = [], {}
         for b, s in enumerate(self.slots):
@@ -1601,10 +1715,13 @@ class Scheduler:
                     else:
                         break
 
+        self._plain_subtick(plain)
+
+    def _plain_subtick(self, plain) -> None:
+        """One plain tick for the given lanes with their OWN sampling
+        params (all other lanes masked) — window-edge lanes, lookup lanes
+        with no n-gram match, and T>0 lanes in tree mode."""
         if plain:
-            # window-edge lanes (and lookup lanes with no n-gram match this
-            # round): one plain tick with each lane's OWN sampling params
-            # (spec lanes masked)
             pset = set(plain)
             tokens = jnp.asarray([s.last_token for s in self.slots], jnp.int32)
             positions = jnp.asarray([s.pos for s in self.slots], jnp.int32)
@@ -1642,6 +1759,110 @@ class Scheduler:
                 if self._emit_checked(s, tok, float(lps[b]),
                                       tops[b] if tops else None):
                     self._maybe_finish(s, tok)
+
+    def _spec_round_tree(self) -> None:
+        """One TREE-attention Medusa round: banked per-depth top-k head
+        candidates form each lane's cartesian tree; ONE sweep scores every
+        chain (verify_tree_fast_batched), the walk descends to the child
+        matching each row's argmax, the accepted path's KV rows scatter
+        into the ring, and the final node's hidden row banks the next
+        round's candidates — all in one device fetch. Greedy lanes only
+        (the multi-candidate accept rule is argmax matching; T>0 lanes
+        ride the plain tick and keep exact sampling semantics)."""
+        parents = self._tree_parents
+        depths = self._tree_depths
+        Tn = len(parents)
+        Dmax = max(depths)
+        H, kmax = self._tree_H, self._tree_kmax
+        elig, fresh = [], set()
+        for b, s in enumerate(self.slots):
+            if not s.decoding:
+                continue
+            if (s.spec_ok and s.request.temperature == 0.0
+                    and s.pos + Dmax + 1 < self.spec_edge):
+                elig.append(b)
+                if not s.med_props:
+                    fresh.add(b)
+            elif s.request.temperature != 0.0:
+                pass  # sampled lanes stay plain but remain eligible-checked
+            else:
+                s.spec_ok = False
+        plain = [b for b, s in enumerate(self.slots)
+                 if s.decoding and b not in set(elig)]
+
+        if elig:
+            B = self.B
+            chunk = np.zeros((B, Tn), np.int32)
+            positions = np.zeros(B, np.int32)
+            live = np.zeros(B, np.int32)
+            enable = np.zeros(B, np.int32)
+            for b in elig:
+                s = self.slots[b]
+                positions[b] = s.pos
+                enable[b] = 1
+                chunk[b, 0] = s.last_token
+                if b not in fresh:
+                    live[b] = 1
+                    cand = s.med_props  # list of H lists of kmax ids
+                    for i in range(1, Tn):
+                        d = depths[i] - 1
+                        chunk[b, i] = cand[d][self._tree_branch[i]]
+            out, (ktree, vtree) = self._verify_tree(
+                self.weights, jnp.asarray(chunk), jnp.asarray(positions),
+                jnp.asarray(enable), self.cache)
+            logits, hidden = out
+            vp = np.asarray(_verify_pack_tree(
+                logits, jnp.asarray(chunk), jnp.asarray(live), hidden,
+                self.spec_medusa, parents=parents, kmax=kmax,
+                topn=self.topn))
+            self.spec_stats["rounds"] += 1
+            fin_col = 3 + 2 * self.topn
+            rows = np.zeros((B, Dmax + 1), np.int32)
+            nrows = np.zeros(B, np.int32)
+            for b in elig:
+                s = self.slots[b]
+                fin = int(vp[b, 0, fin_col])
+                path = [fin]
+                while parents[path[-1]] >= 0:
+                    path.append(parents[path[-1]])
+                path.reverse()                       # root .. fin
+                a = len(path) - 1                    # accepted proposals
+                rows[b, : a + 1] = path
+                nrows[b] = a + 1
+                corr = int(vp[b, fin, 0])
+                emitted = [int(chunk[b, p]) for p in path[1:]] + [corr]
+                self.spec_stats["accepted"] += a
+                # proposed = the candidate CHAIN length offered (Dmax) —
+                # comparable to the chain scheduler's per-round K
+                self.spec_stats["proposed"] += Dmax if b not in fresh else 0
+                s.pos = int(positions[b]) + a + 1
+                s.last_token = emitted[-1]
+                s.med_props = [
+                    [int(vp[b, 0, fin_col + 1 + h * kmax + k])
+                     for k in range(kmax)] for h in range(H)]
+                for i, tok in enumerate(emitted):
+                    if s.request is None:
+                        break  # finished mid-round: discard the tail
+                    # i < a: token of path[i+1], scored by its parent row
+                    # path[i]; i == a: the correction at the final row
+                    r = path[i]
+                    lp = float(vp[b, path[i + 1], 2] if i < a
+                               else vp[b, fin, 1])
+                    top = None
+                    if self.topn:
+                        top = [(int(vp[b, r, 3 + k]),
+                                float(vp[b, r, 3 + self.topn + k]))
+                               for k in range(self.topn)]
+                    if self._emit_checked(s, tok, lp, top):
+                        self._maybe_finish(s, tok)
+                    else:
+                        break
+            # write the accepted paths' KV rows into the ring cache
+            self.cache = self._scatter_tree(
+                self.cache, ktree, vtree, jnp.asarray(positions),
+                jnp.asarray(rows), jnp.asarray(nrows), n_rows=Dmax + 1)
+
+        self._plain_subtick(plain)
 
     def run(self, max_ticks: int = 100000) -> None:
         """Drive until every queued and active request completes."""

@@ -43,7 +43,7 @@ class ServingEngine:
                  paged_pages: int = 0, page_size: int = 256,
                  mesh=None, spec_draft=None, spec_k: int = 4,
                  spec_lookup: bool = False, spec_ngram: int = 3,
-                 spec_medusa=None, top_logprobs: int = 5):
+                 spec_medusa=None, spec_tree=None, top_logprobs: int = 5):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.chat_template = chat_template
@@ -59,6 +59,7 @@ class ServingEngine:
                                spec_k=spec_k, spec_lookup=spec_lookup,
                                spec_ngram=spec_ngram,
                                spec_medusa=spec_medusa,
+                               spec_tree=spec_tree,
                                # serving optimizes TTFT under load: all
                                # admitting lanes hydrate in one weight sweep
                                batched_admission=True,
@@ -108,10 +109,13 @@ class ServingEngine:
                                         tp=tp)
         else:
             weights = load_weights(yf, cfg)
-        if kw.pop("medusa", False):
+        tree = kw.pop("medusa_tree", None)
+        if kw.pop("medusa", False) or tree:
             # self-drafting heads live in the SAME checkpoint (engine -u)
             from .medusa import load_medusa_weights
             kw["spec_medusa"] = load_medusa_weights(yf, cfg)
+            if tree:
+                kw["spec_tree"] = tuple(int(k) for k in tree.split(","))
         tok = Tokenizer.from_yalm(yf)
         eng = cls(cfg, weights, tok, batch=batch, **kw)
         yf.close()
@@ -624,6 +628,13 @@ def main(argv=None) -> None:
                          "round's proposals — no draft model, no lookup "
                          "index (any temperature via exact rejection "
                          "sampling; composes with --paged-pages)")
+    ap.add_argument("--medusa-tree", default=None, metavar="K1,K2,...",
+                    help="TREE-attention medusa (implies --medusa): verify "
+                         "a cartesian candidate tree with per-depth top-k "
+                         "branching (e.g. 4,2) in one sweep — greedy "
+                         "requests advance even when a head's argmax "
+                         "misses but a lower-rank candidate hits; "
+                         "sampled requests ride plain ticks")
     ap.add_argument("--mesh", default=None, metavar="DP,EP,TP",
                     help="serve over a ('dp','ep','tp') device mesh: slot "
                          "lanes shard on dp, experts on ep, heads/hidden on "
@@ -707,7 +718,8 @@ def main(argv=None) -> None:
                                            spec_k=args.spec_k,
                                            spec_lookup=args.spec_lookup,
                                            spec_ngram=args.spec_ngram,
-                                           medusa=args.medusa)
+                                           medusa=args.medusa,
+                                           medusa_tree=args.medusa_tree)
     httpd = serve(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(batch={args.batch}, fast={engine.sched.fast})", flush=True)

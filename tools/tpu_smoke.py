@@ -377,7 +377,7 @@ def main() -> int:
         # hardware (head-independence, the tree walk, path scatter)
         from yalm_tpu.medusa import load_medusa_weights
         from yalm_tpu.models import load_weights as lw
-        cfg = tiny_config(**base, weight_dtype="fp8", max_seq_len=64)
+        cfg = tiny_config(**base, weight_dtype="fp8")
         p = f"{tmp}/mtree.yalm"
         synth_checkpoint(p, cfg, seed=17, medusa_heads=-3)
         yf = read_yalm(p)

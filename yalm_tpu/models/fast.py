@@ -430,10 +430,35 @@ def _use_ffn4(cfg: ModelConfig) -> bool:
     return ffn4_supported(cfg.dim, cfg.hidden_dim, cfg.dim)
 
 
+def _ffn_rows_ok(cfg: ModelConfig, rows: int, itemsize: int) -> bool:
+    """Whether the fused FFN kernel's scoped VMEM fits `rows` activation
+    rows: h13 (rows, 2H) f32 + x/res/out (rows, dim) f32 + two
+    double-buffered weight-tile pairs must stay under the 16 MB scope
+    (a 56-row tree-verify chunk at 7B measured 16.68 MB and was rejected
+    by Mosaic; 40-row chain chunks fit at 14.85 MB)."""
+    from ..ops.pallas.gemv import pick_blocks
+    H2, K, Hh = 2 * cfg.hidden_dim, cfg.dim, cfg.hidden_dim
+    bn1, _ = pick_blocks(H2, K, itemsize)
+    bn2, _ = pick_blocks(cfg.dim, Hh, itemsize)
+    est = (rows * H2 * 4 + 3 * rows * K * 4
+           + 2 * bn1 * K * itemsize + 2 * bn2 * Hh * itemsize)
+    return est <= 15 << 20
+
+
 def _ffn2_l(x2d, fw, layer, sc, cfg):
     """Dense FFN dispatch for the chunk/batched paths: the fused ffn_l /
     ffn4_l kernel normally; explicit norm + two projections when sandwich
-    norms break the residual fusion (Gemma2/3)."""
+    norms break the residual fusion (Gemma2/3) or the row count overflows
+    the fused kernel's VMEM scope (wide verify trees / big batches)."""
+    rows = x2d.shape[0] if x2d.ndim > 1 else 1
+    if not _ffn_rows_ok(cfg, rows, fw.w13.dtype.itemsize):
+        act = silu if cfg.act_type == "silu" else gelu
+        xb2 = rmsnorm(x2d, jax.lax.dynamic_index_in_dim(
+            fw.rms_ffn, layer, keepdims=False), cfg.norm_eps)
+        h13 = _proj_l(xb2, fw.w13, layer, sc.w13 if sc else None)
+        h = act(h13[:, : cfg.hidden_dim]) * h13[:, cfg.hidden_dim:]
+        delta = _proj_l(h, fw.w2, layer, sc.w2 if sc else None)
+        return x2d + _post_norm(delta, fw.pf, layer, cfg.norm_eps)
     if fw.pf is not None or (is_int4(fw.w13) and not _use_ffn4(cfg)):
         act = silu if cfg.act_type == "silu" else gelu
         xb2 = rmsnorm(x2d, jax.lax.dynamic_index_in_dim(

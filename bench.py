@@ -925,7 +925,12 @@ def bench_spec_accept_medusa(cfg, weights, kv_dtype=None) -> None:
     ps = [float(s) for s in os.environ.get(
         "YALM_BENCH_SPEC_ACCEPT", "1.0,0.75,0.5").split(",")]
     B = int(os.environ.get("YALM_BENCH_SPEC_BATCH", "8"))
-    N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "96"))
+    # 48-token requests: tree rows are path-dependent at the f32-reduction
+    # level (ancestors attend at chunk indices, not cache slots), so a
+    # measured run's stream drifts off the recorded oracle at rare
+    # near-ties (~1/50 tokens at 7B) — keep requests inside the horizon
+    # and stop injecting on any lane that diverges (logged below)
+    N = int(os.environ.get("YALM_BENCH_SPEC_TOKENS", "48"))
     D = int(os.environ.get("YALM_BENCH_SPEC_DEPTH", "2"))
     KT = int(os.environ.get("YALM_BENCH_SPEC_TREEK", "2"))
     kv = kv_dtype or jnp.bfloat16
@@ -966,12 +971,20 @@ def bench_spec_accept_medusa(cfg, weights, kv_dtype=None) -> None:
 
     rng = np.random.default_rng(0)
 
+    diverged = set()
+
     def bank_for(tree, p, req_stream):
         def bank(s):
             st = req_stream.get(id(s.request))
             if st is None:
                 return
             n = len(s.request.generated)
+            if s.request.generated != st[:n]:
+                # this lane's trajectory left the recorded oracle (tree
+                # near-tie); its future is unknown — leave the device
+                # head proposals in place from here on
+                diverged.add(id(s.request))
+                return
             tr = [st[n + d] if n + d < len(st) else 0 for d in range(D)]
             if tree:
                 s.med_props = [
@@ -1024,7 +1037,8 @@ def bench_spec_accept_medusa(cfg, weights, kv_dtype=None) -> None:
             tps = toks / corr(dt, ticks)
             name = "tree" if tree else "chain"
             log(f"{name} p={p}: acceptance {acc:.2f}, {tps:.1f} tok/s "
-                f"({st['rounds']} rounds)")
+                f"({st['rounds']} rounds, {len(diverged)} diverged lanes)")
+            diverged.clear()
             rows.append({"mode": name, "per_candidate_p": p,
                          "acceptance": round(acc, 3),
                          "tok_s": round(tps, 2),

@@ -346,9 +346,11 @@ def test_server_main_mesh_flag(tmp_path, monkeypatch):
 
 
 def test_rejected_submission_returns_error(tmp_path):
-    """A request invalid for the scheduler config (a top-k cut on a
+    """A request invalid for the scheduler config (logit_bias on a
     spec-lookup scheduler) must return an error response, not an empty
-    200 'stop' completion — and must count in the failure metrics."""
+    200 'stop' completion — and must count in the failure metrics.
+    (top_k/top_p compose with speculation since round 5, so the trigger
+    is logit_bias, which spec modes still reject.)"""
     import urllib.error
     path = str(tmp_path / "spec.yalm")
     from test_fast_path import fast_config
@@ -364,9 +366,9 @@ def test_rejected_submission_returns_error(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base + "/v1/completions",
                   {"prompt": "x", "max_tokens": 4, "temperature": 0.9,
-                   "top_k": 5})
+                   "logit_bias": {"5": 10.0}})
         assert ei.value.code == 400
-        assert "full-vocab" in json.loads(ei.value.read())["error"]
+        assert "speculative" in json.loads(ei.value.read())["error"]
         # greedy requests still work on the same server
         _, body = _post(base + "/v1/completions",
                         {"prompt": "x", "max_tokens": 4, "temperature": 0.0})

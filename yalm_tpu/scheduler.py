@@ -40,8 +40,23 @@ from .sampler import sample_ext
 from .engine import PREFILL_BUCKETS, _bucket_for, chunk_schedule
 
 
+_NBIAS = 16  # static per-request logit_bias capacity (OpenAI logit_bias)
+
+
+def _apply_bias(lg, bias_ids, bias_vals):
+    """OpenAI logit_bias: per-lane sparse (token id, value) pairs added to
+    the logits before sampling — everything downstream (the sample, the
+    reported logprob, top-N) sees the BIASED distribution, i.e. the
+    distribution actually sampled (OpenAI semantics). bias_ids (B, _NBIAS)
+    int32 with -1 marking empty slots; bias_vals (B, _NBIAS) f32."""
+    B = lg.shape[0]
+    ids = jnp.clip(bias_ids, 0, lg.shape[-1] - 1)
+    vals = jnp.where(bias_ids >= 0, bias_vals, 0.0)
+    return lg.at[jnp.arange(B)[:, None], ids].add(vals)
+
+
 def _sample_pack(logits, seeds, positions, temps, topks, topps,
-                 topn: int = 0):
+                 bias_ids, bias_vals, topn: int = 0):
     """Batched sample + OpenAI logprob, packed into ONE (2 [+ 2*topn], B)
     f32 array so the host fetches a single tiny buffer per tick (each host
     fetch costs a full tunnel RTT; token ids are exact in f32 — vocab <
@@ -50,8 +65,8 @@ def _sample_pack(logits, seeds, positions, temps, topks, topps,
     top-topn alternative ids, then their log-probs (OpenAI top_logprobs)."""
     keys = jax.vmap(lambda s, p: jax.random.fold_in(jax.random.PRNGKey(s), p))(
         seeds, positions)
-    nxt = jax.vmap(sample_ext)(logits, keys, temps, topks, topps)
-    lg = logits.astype(jnp.float32)
+    lg = _apply_bias(logits.astype(jnp.float32), bias_ids, bias_vals)
+    nxt = jax.vmap(sample_ext)(lg, keys, temps, topks, topps)
     lse = jax.scipy.special.logsumexp(lg, axis=-1)
     lp = jnp.take_along_axis(
         lg, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0] - lse
@@ -76,12 +91,14 @@ def _unpack_sample(packed, topn: int = 0):
 
 
 @partial(jax.jit, static_argnames=("topn",))
-def _sample1_pack(logits, seed, pos, temp, topk, topp, topn: int = 0):
+def _sample1_pack(logits, seed, pos, temp, topk, topp, bias_ids, bias_vals,
+                  topn: int = 0):
     """Single-lane variant of _sample_pack (admission's first token):
     sample + logprob(s) in one jitted dispatch, one small f32 fetch."""
     key = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
-    nxt = sample_ext(logits, key, temp, topk, topp)
-    lg = logits.astype(jnp.float32)
+    lg = _apply_bias(logits.astype(jnp.float32)[None],
+                     bias_ids[None], bias_vals[None])[0]
+    nxt = sample_ext(lg, key, temp, topk, topp)
     lse = jax.scipy.special.logsumexp(lg)
     rows = [nxt.astype(jnp.float32), lg[nxt] - lse]
     if topn:
@@ -335,6 +352,10 @@ class Request:
     seed: int = 0
     top_k: int = 0        # 0 = full-vocab sampling
     top_p: float = 1.0    # 1.0 = no nucleus cut
+    # OpenAI logit_bias: {token_id: additive bias}; applied to the logits
+    # before sampling AND before the reported logprobs/top-N (the sampled
+    # distribution). At most _NBIAS (16) entries per request.
+    logit_bias: Optional[dict] = None
     # control
     cancelled: bool = False   # set by the owner (e.g. server stream close /
                               # stop-string hit); freed at the next tick edge
@@ -576,11 +597,13 @@ class Scheduler:
 
             @partial(jax.jit, donate_argnums=(3,))
             def _tick_paged(w, tokens, positions, pool, seeds, temps,
-                            write_mask, topks, topps, tables):
+                            write_mask, topks, topps, bias_ids, bias_vals,
+                            tables):
                 logits, pool = _ptick(w, tokens, positions, pool, tables,
                                       write_mask)
                 packed = _sample_pack(logits, seeds, positions, temps,
-                                      topks, topps, self.topn)
+                                      topks, topps, bias_ids, bias_vals,
+                                      self.topn)
                 return packed, logits, pool
 
             @partial(jax.jit, static_argnames=("logits_mode",),
@@ -599,12 +622,14 @@ class Scheduler:
 
             @partial(jax.jit, donate_argnums=(3,))
             def _tick_paged(w, tokens, positions, pool, seeds, temps,
-                            write_mask, topks, topps, tables):
+                            write_mask, topks, topps, bias_ids, bias_vals,
+                            tables):
                 logits, pool = decode_step_fast_batched_paged(
                     cfg, w, tokens, positions, pool, tables, write_mask,
                     page_size=ps)
                 packed = _sample_pack(logits, seeds, positions, temps,
-                                      topks, topps, self.topn)
+                                      topks, topps, bias_ids, bias_vals,
+                                      self.topn)
                 # logits returned too: ring-regime admission samples the
                 # first token OUTSIDE the tick with the same key math as the
                 # dense path (_finish_admission folds at the post-increment
@@ -687,7 +712,7 @@ class Scheduler:
 
         @partial(jax.jit, donate_argnums=(3,))
         def _tick(w, tokens, positions, cache, seeds, temps, write_mask,
-                  topks, topps):
+                  topks, topps, bias_ids, bias_vals):
             """One batched decode+sample tick over all B slots.
 
             Sampling keys derive from (request seed, absolute position), so
@@ -699,7 +724,8 @@ class Scheduler:
             logits, cache = _batched_logits(w, tokens, positions, cache,
                                             write_mask)
             packed = _sample_pack(logits, seeds, positions, temps,
-                                  topks, topps, self.topn)
+                                  topks, topps, bias_ids, bias_vals,
+                                  self.topn)
             return packed, cache
 
         if batched_admission and self.fast and mesh is None:
@@ -1003,6 +1029,13 @@ class Scheduler:
     def submit(self, request: Request) -> Request:
         if not request.prompt_tokens:
             raise ValueError("prompt_tokens must be non-empty (include BOS)")
+        if request.logit_bias:
+            if len(request.logit_bias) > _NBIAS:
+                raise ValueError(f"logit_bias supports at most {_NBIAS} "
+                                 f"entries (got {len(request.logit_bias)})")
+            if self.spec:
+                raise ValueError("logit_bias is not supported in "
+                                 "speculative scheduler modes yet")
         # top_k/top_p compose with speculation: _verify_pack applies the
         # per-request envelope to the target distribution BEFORE the
         # accept/residual math, so the emitted stream equals plain
@@ -1174,13 +1207,36 @@ class Scheduler:
         self.alloc.grow(b, target_len)
         return True
 
+    @staticmethod
+    def _bias_row(req) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.full((_NBIAS,), -1, np.int32)
+        vals = np.zeros((_NBIAS,), np.float32)
+        if req is not None and req.logit_bias:
+            for j, (t, v) in enumerate(list(req.logit_bias.items())[:_NBIAS]):
+                ids[j] = int(t)
+                vals[j] = float(v)
+        return ids, vals
+
+    def _bias_arrays(self, active) -> tuple[jax.Array, jax.Array]:
+        """(B, _NBIAS) logit-bias ids/values for the tick; inactive lanes
+        get empty rows. Two tiny uploads per tick (same class as the
+        temps/seeds rows)."""
+        ids = np.full((self.B, _NBIAS), -1, np.int32)
+        vals = np.zeros((self.B, _NBIAS), np.float32)
+        for b, s in enumerate(self.slots):
+            if active(b, s) and s.request is not None and s.request.logit_bias:
+                ids[b], vals[b] = self._bias_row(s.request)
+        return jnp.asarray(ids), jnp.asarray(vals)
+
     def _finish_admission(self, slot: _Slot, logits) -> None:
         """Sample the first generated token (seeded per request)."""
         req = slot.request
+        bi, bv = self._bias_row(req)
         packed = np.asarray(_sample1_pack(
             logits, jnp.int32(req.seed), jnp.int32(slot.pos),
             jnp.float32(req.temperature), jnp.int32(req.top_k),
-            jnp.float32(req.top_p), topn=self.topn))
+            jnp.float32(req.top_p), jnp.asarray(bi), jnp.asarray(bv),
+            topn=self.topn))
         first, lp = int(packed[0]), float(packed[1])
         top = None
         if self.topn:
@@ -1271,6 +1327,8 @@ class Scheduler:
             self.weights, jnp.asarray(tokens), jnp.asarray(positions),
             self.cache, zeros_i, jnp.zeros(B, jnp.float32),
             jnp.asarray(write), zeros_i, jnp.ones(B, jnp.float32),
+            jnp.full((B, _NBIAS), -1, jnp.int32),
+            jnp.zeros((B, _NBIAS), jnp.float32),
             jnp.asarray(self.alloc.table_array()))
         return logits[b]
 
@@ -1549,15 +1607,17 @@ class Scheduler:
             topps = jnp.asarray(
                 [s.request.top_p if s.decoding else 1.0 for s in self.slots],
                 jnp.float32)
+            bias_ids, bias_vals = self._bias_arrays(
+                lambda b, s: s.decoding)
             if self.paged:
                 packed, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, seeds,
-                    temps, write, topks, topps,
+                    temps, write, topks, topps, bias_ids, bias_vals,
                     jnp.asarray(self.alloc.table_array()))
             else:
                 packed, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, seeds,
-                    temps, write, topks, topps)
+                    temps, write, topks, topps, bias_ids, bias_vals)
             nxt, lps, tops = _unpack_sample(packed, self.topn)
             for b, slot in enumerate(self.slots):
                 if not slot.decoding:
@@ -1739,15 +1799,17 @@ class Scheduler:
             topps = jnp.asarray(
                 [s.request.top_p if b in pset else 1.0
                  for b, s in enumerate(self.slots)], jnp.float32)
+            bias_ids, bias_vals = self._bias_arrays(
+                lambda b, s: b in pset)
             if self.paged:
                 packed, _, self.cache = self._tick_paged(
                     self.weights, tokens, positions, self.cache, seeds,
-                    temps, write, topks, topps,
+                    temps, write, topks, topps, bias_ids, bias_vals,
                     jnp.asarray(self.alloc.table_array()))
             else:
                 packed, self.cache = self._tick(
                     self.weights, tokens, positions, self.cache, seeds,
-                    temps, write, topks, topps)
+                    temps, write, topks, topps, bias_ids, bias_vals)
             nxt, lps, tops = _unpack_sample(packed, self.topn)
             for b in plain:
                 s = self.slots[b]

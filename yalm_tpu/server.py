@@ -181,6 +181,7 @@ class ServingEngine:
     def submit_prompt(self, prompt: str, *, max_tokens: int = 128,
                       temperature: float = 1.0, seed: int | None = None,
                       top_k: int = 0, top_p: float = 1.0,
+                      logit_bias: dict | None = None,
                       stop_at_eos: bool = True) -> tuple[Request, "queue.Queue"]:
         if not isinstance(prompt, str):
             raise ValueError(f"prompt must be a string, got {type(prompt).__name__}")
@@ -210,7 +211,7 @@ class ServingEngine:
         req = Request(prompt_tokens=toks, max_new_tokens=max_tokens,
                       temperature=temperature, stop_tokens=frozenset(stops),
                       seed=int(seed), top_k=int(top_k), top_p=float(top_p),
-                      on_token=out_q.put)
+                      logit_bias=logit_bias, on_token=out_q.put)
         self._inbox.put((req, out_q))
         return req, out_q
 
@@ -332,6 +333,12 @@ def make_handler(engine: ServingEngine):
                 stream = bool(body.get("stream", False))
                 top_k = int(body.get("top_k", 0))
                 top_p = float(body.get("top_p", 1.0))
+                # OpenAI logit_bias: {"token_id": bias in [-100, 100]}
+                logit_bias = None
+                if body.get("logit_bias"):
+                    logit_bias = {
+                        int(t): max(-100.0, min(100.0, float(v)))
+                        for t, v in dict(body["logit_bias"]).items()}
                 seed = body.get("seed")
                 if seed is not None:
                     seed = int(seed)
@@ -358,7 +365,7 @@ def make_handler(engine: ServingEngine):
                     subs.append(engine.submit_prompt(
                         prompt, max_tokens=max_tokens,
                         temperature=temperature, seed=sd, top_k=top_k,
-                        top_p=top_p))
+                        top_p=top_p, logit_bias=logit_bias))
                 req, out_q = subs[0]
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})

@@ -10,7 +10,10 @@ with synthetic device-side weights, and prints ONE JSON line:
 vs_baseline is measured tok/s divided by the reference's published 63.8
 tok/s (yalm on RTX 4090, FP16, ~120-token generation — BASELINE.md).
 
-Env knobs: YALM_BENCH_DTYPE=fp8|bf16|int8 (default fp8), YALM_BENCH_STEPS,
+Env knobs: YALM_BENCH_DTYPE=fp8|bf16|int8|int4 (default int4 — the
+fastest weight format and the headline; the metric name carries the
+dtype, fp8's like-for-like-vs-reference row is YALM_BENCH_DTYPE=fp8),
+YALM_BENCH_STEPS,
 YALM_BENCH_PRESET=mistral7b|gemma2-9b|gemma3-12b|small|fasttiny,
 YALM_BENCH_CTX=N (context override), YALM_BENCH_BATCH=N (continuous-batching
 aggregate at batch N; N%8==0), YALM_BENCH_PAGED_BATCH=N (paged-KV batching
@@ -372,7 +375,7 @@ def main() -> None:
                      "plugin init hangs when the tunnel is down)",
         }))
         raise SystemExit(1)
-    dtype = os.environ.get("YALM_BENCH_DTYPE", "fp8")
+    dtype = os.environ.get("YALM_BENCH_DTYPE", "int4")
     # 128 decode steps per on-device block: the sampled ids are fetched once
     # per block, so the dev-tunnel's ~26 ms dispatch+fetch round trip (pure
     # harness artifact; a host-attached TPU dispatches in ~µs) adds ~0.2

@@ -17,14 +17,15 @@ print(jax.devices())
 x = jnp.ones((256,256), jnp.bfloat16)
 print('matmul-ok', float(np.asarray(jnp.sum(x@x))))" || exit 1
 
-  echo "=== 1. tpu_smoke (22 checks incl gemma2/3 kernels) ==="
+  echo "=== 1. tpu_smoke (23 checks incl gemma2/3 + tree-medusa) ==="
   timeout 3600 python tools/tpu_smoke.py
 
   echo "=== 2. int8 KV probe ==="
   timeout 1200 python tools/int8_probe.py
 
-  echo "=== 3. bench: fp8 headline (default e5m2 KV) ==="
+  echo "=== 3. bench: int4 headline (the default) + fp8 like-for-like ==="
   timeout 1800 python bench.py
+  YALM_BENCH_DTYPE=fp8 timeout 1800 python bench.py
 
   echo "=== 4. bench: int4 weights ==="
   YALM_BENCH_DTYPE=int4 YALM_BENCH_KV=bf16 timeout 1800 python bench.py
@@ -48,5 +49,14 @@ print('matmul-ok', float(np.asarray(jnp.sum(x@x))))" || exit 1
   echo "=== 8. bench: gemma presets (softcaps; gemma3 sliding streams 1/4 KV) ==="
   YALM_BENCH_PRESET=gemma2-9b timeout 2400 python bench.py
   YALM_BENCH_PRESET=gemma3-12b timeout 2400 python bench.py
+
+  echo "=== 9. bench: MoE preset (paged + lookup-spec, round-5 compositions) ==="
+  YALM_BENCH_PRESET=mixtral-l8 timeout 1800 python bench.py
+  YALM_BENCH_PRESET=mixtral-l8 YALM_BENCH_PAGED_BATCH=8 timeout 1800 python bench.py
+  YALM_BENCH_PRESET=mixtral-l8 YALM_BENCH_SPEC=sched-lookup timeout 1800 python bench.py
+
+  echo "=== 10. bench: acceptance-dialed speculation sweeps (round 5) ==="
+  YALM_BENCH_DTYPE=fp8 YALM_BENCH_SPEC=accept timeout 2400 python bench.py
+  YALM_BENCH_DTYPE=fp8 YALM_BENCH_SPEC=accept-medusa timeout 3000 python bench.py
   date
 } 2>&1 | tee -a "$LOG"

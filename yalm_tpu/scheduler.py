@@ -51,7 +51,10 @@ def _apply_bias(lg, bias_ids, bias_vals):
     int32 with -1 marking empty slots; bias_vals (B, _NBIAS) f32."""
     B = lg.shape[0]
     ids = jnp.clip(bias_ids, 0, lg.shape[-1] - 1)
-    vals = jnp.where(bias_ids >= 0, bias_vals, 0.0)
+    # empty slots (-1) AND out-of-vocab ids are inert (not clipped onto
+    # the last vocab entry)
+    vals = jnp.where((bias_ids >= 0) & (bias_ids < lg.shape[-1]),
+                     bias_vals, 0.0)
     return lg.at[jnp.arange(B)[:, None], ids].add(vals)
 
 

@@ -594,6 +594,11 @@ def decode_step_fast(
         return jnp.clip(a, -cfg.qkv_clip, cfg.qkv_clip)
 
     if capture:
+        if is_int4(fw.wqkv):
+            raise ValueError(
+                "capture mode does not support packed int4 weights (the "
+                "unfused capture sequence dispatches per-channel kernels); "
+                "debug kernel boundaries with int8/fp8 checkpoints")
         cap_layers: list[dict] = []
         k_all, v_all = cache.k, cache.v
         for i in range(cfg.n_layers):

@@ -66,27 +66,38 @@ def measure_hbm_ceiling() -> float:
     reproducible from the bench artifact alone."""
     import jax
     import jax.numpy as jnp
+    from functools import partial as _partial
     rtt = measure_rtt()
     big = jax.random.normal(jax.random.PRNGKey(0), (16384, 16384),
                             jnp.bfloat16)  # 512 MB
-    red = jax.jit(lambda b: jnp.sum(b.astype(jnp.float32)))
-    _ = np.asarray(red(big))  # compile
-    # two-size DIFFERENCE: T(iters) - T(iters/2) cancels every constant
-    # overhead (tunnel RTT, dispatch queue fill) instead of subtracting a
-    # separately-measured rtt whose +-2 ms jitter swung the old estimate
-    # by >10% run to run (the 24 reads are ~15 ms of signal vs ~26 ms RTT)
 
-    def run(n):
+    # The whole reduce loop runs ON DEVICE in ONE dispatch (fori_loop with
+    # a serializing carry; the `b + c*0` add fuses into the reduce so each
+    # step reads exactly big.size*2 bytes) — a host-side dispatch loop let
+    # transient tunnel stalls land INSIDE the measured window, and the
+    # two-size difference then swung 627-1219 GB/s call to call (a stall
+    # in the short run INFLATES the implied bandwidth; the old max-of-3
+    # amplified that into >spec readings on flaky-tunnel runs). With one
+    # dispatch per measurement, jitter only touches the final fetch, which
+    # the difference cancels; min-of-3 filters the rest.
+    @jax.jit
+    def probe(b, k):
+        def body(i, c):
+            return c * 1e-20 + jnp.sum((b + c * 0).astype(jnp.float32))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    k_lo, k_hi = 64, 128
+    _ = np.asarray(probe(big, jnp.int32(k_lo)))   # ONE compile (k traced)
+
+    def run(k):
         t0 = time.perf_counter()
-        outs = [red(big) for _ in range(n)]
-        _ = np.asarray(outs[-1])
+        _ = np.asarray(probe(big, jnp.int32(k)))
         return time.perf_counter() - t0
 
-    iters = 48
-    best = 0.0
-    for _ in range(3):
-        dt = max(run(iters) - run(iters // 2), 1e-6) / (iters - iters // 2)
-        best = max(best, big.size * 2 / dt / 1e9)
+    t_hi = min(run(k_hi) for _ in range(3))
+    t_lo = min(run(k_lo) for _ in range(3))
+    dt = max(t_hi - t_lo, 1e-6) / (k_hi - k_lo)
+    best = big.size * 2 / dt / 1e9
     log(f"measured HBM ceiling: {best:.0f} GB/s (rtt {rtt*1e3:.1f} ms)")
     return best
 
